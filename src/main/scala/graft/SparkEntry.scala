@@ -1,13 +1,199 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.StarQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a DataFrame program (Spark-first, Catalyst
+  * optimized); `oracleSql` carries the DuckDB-equivalent SQL the driver
+  * hash-compares against on the same parquet tables.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    StarQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q00_counts"            -> (StarQueries.q00Counts(_, _)),
+    "q01_pricing_summary"   -> (StarQueries.q01PricingSummary(_, _)),
+    "q02_topk_orders"       -> (StarQueries.q02TopkOrders(_, _)),
+    "q03_join_agg"          -> (StarQueries.q03JoinAgg(_, _)),
+    "q04_filter_sort"       -> (StarQueries.q04FilterSort(_, _)),
+    "q05_window_rownum"     -> (StarQueries.q05WindowRownum(_, _)),
+    "q06_window_lag"        -> (StarQueries.q06WindowLag(_, _)),
+    "q07_dedup_keepfirst"   -> (StarQueries.q07DedupKeepfirst(_, _)),
+    "q08_explode"           -> (StarQueries.q08Explode(_, _)),
+    "q09_array_access"      -> (StarQueries.q09ArrayAccess(_, _)),
+    "q10_semi_join"         -> (StarQueries.q10SemiJoin(_, _)),
+    "q11_anti_join"         -> (StarQueries.q11AntiJoin(_, _)),
+    "q12_union"             -> (StarQueries.q12Union(_, _)),
+    "q13_except"            -> (StarQueries.q13Except(_, _)),
+    "q14_intersect"         -> (StarQueries.q14Intersect(_, _)),
+    "q15_rollup"            -> (StarQueries.q15Rollup(_, _)),
+    "q16_distinct_agg"      -> (StarQueries.q16DistinctAgg(_, _)),
+    "q17_json_extract"      -> (StarQueries.q17JsonExtract(_, _)),
+    "q18_date_trunc_agg"    -> (StarQueries.q18DateTruncAgg(_, _)),
+    "q19_string_funcs"      -> (StarQueries.q19StringFuncs(_, _)),
+    "q20_date_window_topk"  -> (StarQueries.q20DateWindowTopk(_, _)),
+    "q21_join_agg_time"     -> (StarQueries.q21JoinAggTime(_, _)),
+    "q22_top10_appearances" -> (StarQueries.q22Top10Appearances(_, _)),
+    "q23_lag_trajectory"    -> (StarQueries.q23LagTrajectory(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q00_counts" ->
+      Tables.names.map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"),
+
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_topk_orders" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q03_join_agg" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q04_filter_sort" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q05_window_rownum" -> """
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q06_window_lag" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+      FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q07_dedup_keepfirst" -> """
+      SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM (
+        SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem) t
+      WHERE rn = 1 ORDER BY l_partkey""",
+
+    "q08_explode" -> """
+      SELECT vec_id, count(*) AS n_elems,
+             min(CAST(e AS DOUBLE)) AS min_e, max(CAST(e AS DOUBLE)) AS max_e
+      FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings) t
+      GROUP BY vec_id ORDER BY vec_id""",
+
+    "q09_array_access" -> """
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS first_dim,
+             CAST(embedding[64] AS DOUBLE) AS last_dim, label
+      FROM embeddings ORDER BY vec_id""",
+
+    "q10_semi_join" -> """
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+      ORDER BY s_suppkey""",
+
+    "q11_anti_join" -> """
+      SELECT p_partkey, p_name FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+      ORDER BY p_partkey""",
+
+    "q12_union" -> """
+      SELECT c_nationkey AS nk FROM customer
+      UNION
+      SELECT s_nationkey AS nk FROM supplier
+      ORDER BY nk""",
+
+    "q13_except" -> """
+      SELECT c_custkey AS ck FROM customer
+      EXCEPT
+      SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
+      ORDER BY ck""",
+
+    "q14_intersect" -> """
+      SELECT n_nationkey AS nk FROM nation
+      INTERSECT
+      SELECT c_nationkey AS nk FROM customer
+      ORDER BY nk""",
+
+    "q15_rollup" -> """
+      SELECT coalesce(r_name, 'ALL') AS region_name,
+             coalesce(n_name, 'ALL') AS nation_name,
+             count(*) AS n_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region_name, nation_name""",
+
+    "q16_distinct_agg" -> """
+      SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q17_json_extract" -> """
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             count(*) AS n, min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1 ORDER BY k""",
+
+    "q18_date_trunc_agg" -> """
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1 ORDER BY hr""",
+
+    "q19_string_funcs" -> """
+      SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 12) AS name_pfx,
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             p_brand || '#' || p_type AS brand_type
+      FROM part ORDER BY p_partkey""",
+
+    "q20_date_window_topk" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q21_join_agg_time" -> """
+      SELECT p_brand, CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q22_top10_appearances" -> """
+      SELECT o_custkey, count(*) AS top10_appearances FROM (
+        SELECT o_custkey,
+               row_number() OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) t
+      WHERE rnk <= 10 GROUP BY o_custkey
+      ORDER BY top10_appearances DESC, o_custkey LIMIT 20""",
+
+    "q23_lag_trajectory" -> """
+      SELECT l_partkey, l_shipdate, l_quantity, l_orderkey, l_linenumber,
+             l_quantity - lag(l_quantity, 1) OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS qty_delta
+      FROM lineitem
+      WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
+      ORDER BY l_shipdate, l_orderkey, l_linenumber""",
+  ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

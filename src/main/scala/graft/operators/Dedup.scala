@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * The reference dedups with pandas `drop_duplicates(subset=[key])`
+  * (reference: Airflow-docker/dags/spotify-airflow-pipeline.py:108,130),
+  * whose keep-first semantics depend on input order. Spark's
+  * `dropDuplicates` picks a nondeterministic victim, so the deterministic
+  * equivalent is a row_number window over an explicit tiebreak ordering
+  * (SURVEY.md §2.8 W2).
+  *
+  * Scale notes (100 TB): the window costs one hash-partition shuffle on
+  * `keys` — same cost as any distributed dedup. Skewed keys should be
+  * pre-salted by the caller or left to AQE skew handling; no driver-side
+  * state, no collect.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key, the first under `order`. Deterministic. */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact duplicate groups by content hash of `textCol`: one output row per
+    * distinct content, with the group size and the smallest id as keeper.
+    * Single hash-agg shuffle; mergeable partial aggregates. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Core relational operator suite over the synthetic star schema
+  * (TESTDATA.md), one query per operator family from SURVEY.md §2.
+  *
+  * Oracle-parity rules (the driver hash-compares against DuckDB):
+  *  - money/quantity aggregation goes through DECIMAL(18,2) so sums are
+  *    exact regardless of partial-aggregation order, then casts to DOUBLE;
+  *  - raw doubles are only emitted unaggregated, or via order-independent
+  *    aggregates (min/max), or per-row IEEE arithmetic — never float sums;
+  *  - every output is totally ordered by a unique key and every computed
+  *    column is aliased identically to the oracle SQL;
+  *  - integer-ish outputs are cast to LongType to match DuckDB BIGINT.
+  *
+  * Scale notes are per-query; the common theme: filters/projections sit
+  * directly on the parquet scan (pushdown + pruning), small dimensions are
+  * broadcast, and the only shuffles are the semantically required
+  * hash-exchanges for groupBy/window keys.
+  */
+object StarQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Q0 parity: count(*) smoke per table (SURVEY §2.5 A1). */
+  def q00Counts(spark: SparkSession, dir: String): DataFrame =
+    Tables.names
+      .map { n =>
+        Tables.load(spark, dir, n)
+          .agg(count(lit(1)).as("n"))
+          .select(lit(n).as("tbl"), col("n"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy("tbl")
+
+  /** Pricing summary: multi-key hash agg with exact decimal sums (A2).
+    * Partial (map-side) aggregation makes this a single small shuffle of
+    * |groups| rows per partition at any scale. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Top-k by value with unique tiebreak → TakeOrderedAndProject, no full
+    * sort at scale (O1/O2, P7). */
+  def q02TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** Fact ⋈ dimension with an explicit broadcast of the small side (J1),
+    * then hash agg (A2). No shuffle of the fact table for the join. */
+  def q03JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Range predicate + projection, both pushed into the parquet scan
+    * (O3/O4, F2/F3) — `.explain` shows PushedFilters and a 5-column
+    * ReadSchema. */
+  def q04FilterSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** row_number window, rank<=3 per partition key (W1). One hash shuffle
+    * on the partition key; sort within partitions only. */
+  def q05WindowRownum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** lag() trajectory per key (W3); per-row double subtraction is
+    * IEEE-deterministic so the raw delta is oracle-safe. */
+  def q06WindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Deterministic keep-first dedup (D1/D2 via W2) — reference semantics of
+    * pandas drop_duplicates, made order-explicit. */
+  def q07DedupKeepfirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirst(
+      Tables.load(spark, dir, "lineitem")
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_partkey"),
+      Seq(col("l_orderkey"), col("l_linenumber")))
+      .orderBy("l_partkey")
+
+  /** Array explode (P4) with order-independent aggregates over elements. */
+  def q08Explode(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), explode(col("embedding")).as("e"))
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_elems"),
+        min(col("e").cast("double")).as("min_e"),
+        max(col("e").cast("double")).as("max_e"))
+      .orderBy("vec_id")
+
+  /** Array element access (P3). */
+  def q09ArrayAccess(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("first_dim"),
+        element_at(col("embedding"), 64).cast("double").as("last_dim"),
+        col("label"))
+      .orderBy("vec_id")
+
+  /** Left-semi join (EXISTS). Supplier side is small → broadcast the
+    * filter-producing side would invert; Catalyst broadcasts correctly. */
+  def q10SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "supplier")
+    val li = Tables.load(spark, dir, "lineitem").select(col("l_suppkey"))
+    s.join(li, s("s_suppkey") === li("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): parts never shipped in bulk. The filter
+    * on the probe side is pushed below the join. */
+  def q11AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_partkey"))
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  /** UNION (distinct) — §2.9 set ops. */
+  def q12Union(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+      .union(Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  /** EXCEPT: customers who never placed a >300k order. */
+  def q13Except(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").select(col("c_custkey").as("ck"))
+      .except(Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("ck")))
+      .orderBy("ck")
+
+  /** INTERSECT. */
+  def q14Intersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "nation").select(col("n_nationkey").as("nk"))
+      .intersect(Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nk")))
+      .orderBy("nk")
+
+  /** ROLLUP over a two-dim hierarchy; null grouping slots coalesced to a
+    * sentinel so ordering is engine-independent. */
+  def q15Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** DISTINCT aggregate alongside a plain count (A-family). */
+  def q16DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"), count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** JSON field extraction from a string column (P5/F6 analog). */
+  def q17JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy("k")
+
+  /** Tumbling-hour aggregation over the event stream table — the batch twin
+    * of the Structured Streaming path (§2.10). */
+  def q18DateTruncAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hr")
+
+  /** Scalar string function battery (F-family, §2.7). */
+  def q19StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 12).as("name_pfx"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Q1 parity shape: date-window (anchor = max date in data, so the query
+    * is deterministic, unlike CURRENT_DATE) + top-k (F2, O1). The scalar
+    * anchor is broadcast, never collected. */
+  def q20DateWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate")).as("max_d"))
+    o.crossJoin(broadcast(mx))
+      .filter(col("o_orderdate") >= col("max_d") - expr("INTERVAL 30 DAYS"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Q2 parity shape: fact ⋈ dim + group-avg over (entity, month) (J1+A2+O3). */
+  def q21JoinAggTime(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), month(col("l_shipdate")).cast("long").as("ship_month"))
+      .agg(
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand", "ship_month")
+  }
+
+  /** Q3 parity shape: per-day chart rank (window) → filter top-10 → count
+    * per entity → top-k (W1+A3+O2). */
+  def q22Top10Appearances(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("d")).orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("d"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("top10_appearances"))
+      .orderBy(desc("top10_appearances"), asc("o_custkey"))
+      .limit(20)
+  }
+
+  /** Q4 parity shape: single-key time series with lag delta (O4+W3);
+    * key chosen from the data (min partkey) to stay deterministic. */
+  def q23LagTrajectory(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val mn = li.agg(min(col("l_partkey")).as("min_pk"))
+    val w = Window.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.crossJoin(broadcast(mn))
+      .filter(col("l_partkey") === col("min_pk"))
+      .select(col("l_partkey"), col("l_shipdate"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("qty_delta", col("l_quantity") - lag(col("l_quantity"), 1).over(w))
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+  }
+}

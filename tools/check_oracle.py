@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <verify_out_dir>/<name>/ parquet (Spark result) and runs
+<verify_out_dir>/oracle_sql.json[<name>] in DuckDB over the parquet tables
+in <sf_dir>; compares after sorting columns by name and rows by all columns.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not spark_files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in sorted(spark_files)]))
+            want = norm(con.execute(oracle[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        bad = []
+        for c in got.columns:
+            a, b = got[c].values, want[c].values
+            if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(want[c].dtype, np.floating):
+                af = got[c].astype(float).values; bf = want[c].astype(float).values
+                eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+                if not eq.all():
+                    i = int(np.argmin(eq)); bad.append(f"{c}[{i}]: {af[i]!r} vs {bf[i]!r} (maxdiff {np.nanmax(np.abs(af-bf))})")
+            else:
+                eq = pd.Series(a).astype(object).fillna("\0") == pd.Series(b).astype(object).fillna("\0")
+                if not eq.all():
+                    i = int(np.argmin(eq.values)); bad.append(f"{c}[{i}]: {a[i]!r} vs {b[i]!r}")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad[:4])); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+main()
