@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Transformed-layer sinks and readers (SURVEY §2.1 S5/S8, §2.3 D5).
+  *
+  * The reference writes header CSV per table under
+  * `transformed_data/{album,artist,songs}/` (spotify-airflow-pipeline
+  * .py:111-113,132-134,160-162,221-261) and loads it with
+  * NULL_IF=('NULL','null'), EMPTY_FIELD_AS_NULL, optional quotes
+  * (spotify-analysis.sql:14-20).
+  *
+  * The engine writes a CSV twin (byte-compatible semantics) plus parquet
+  * as the native format, partitioned by scrape_date where the column
+  * exists — partition pruning then serves the date-windowed queries
+  * (Q1/Q4) without touching cold days. At 100 TB the parquet twin is the
+  * only sane scan target; CSV exists for reference parity.
+  */
+object Sinks {
+
+  def writeCsv(df: DataFrame, outDir: String, mode: String = "append"): Unit =
+    df.write.mode(mode)
+      .option("header", "true")
+      .option("nullValue", "NULL") // D5: nulls round-trip as 'NULL'
+      .option("quote", "\"")
+      .csv(outDir)
+
+  def writeParquet(df: DataFrame, outDir: String, mode: String = "append",
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(outDir)
+  }
+
+  /** CSV reader with the reference's null/quote semantics (S8/D5). */
+  def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    csvOptions(spark.read).schema(schema).csv(dir)
+
+  def csvOptions(r: DataFrameReader): DataFrameReader =
+    r.option("header", "true")
+      .option("nullValue", "NULL")
+      .option("emptyValue", "") // empty field → null via nullValue chain
+      .option("quote", "\"")
+}
