@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All pure `Column` expressions (codegen'd, no UDFs), deliberately
+  * engine-portable arithmetic so every function has an exact DuckDB oracle:
+  * string ops + integer counts + per-row IEEE division only.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Documents are single-space separated; for general
+    * text normalize whitespace first (see `normalize`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count via separator counting — O(n) single pass. */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** BPE-ish subword count: maximal alphabetic or numeric runs. */
+  def wordRunCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+
+  /** Characters outside [a-z0-9 ] as a crude punctuation/noise count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("long")
+
+  /** Mean token length = (chars - separators) / tokens; per-row double
+    * division, deterministic. */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)
+
+  // Marker stopwords per language for the n-gram-free heuristic language
+  // ID. Tiny by design: the point is the distributed scoring shape, not
+  // lexicon quality — swap in real frequency tables for production.
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "que", "de", "los"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Count how many times any of `words` occurs as a whole token. */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    words.map { w =>
+      // count occurrences of " w " in " text " — whole-token semantics
+      // via separator padding; length diff / token length.
+      val padded = concat(lit(" "), text, lit(" "))
+      val needle = s" $w "
+      // overlapping ": w " occurrences can't happen with single spaces
+      ((length(padded) - length(replace(padded, lit(needle), lit(" ")))) /
+        lit(w.length + 1)).cast("long")
+    }.reduce(_ + _)
+
+  /** Heuristic language ID: argmax of marker-word hits, ties broken by
+    * declaration order, no hits → 'und'. Deterministic. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, words) => (lang, markerHits(text, words)) }
+    val best = scored.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation noise and sane token lengths. Deterministic per-row
+    * double arithmetic; thresholds are engine-portable integers. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lengthOk = when(n >= 100 && n <= 20000, lit(1.0)).otherwise(lit(0.5))
+    val punctOk = lit(1.0) - least(punctCount(text).cast("double") / n * 10.0, lit(1.0))
+    val tokOk = when(meanTokenLen(text) >= 3.0 && meanTokenLen(text) <= 10.0, lit(1.0))
+      .otherwise(lit(0.5))
+    (lengthOk * punctOk * tokOk)
+  }
+
+  /** Whitespace-normalized lowercase form. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text — the distributed
+    * dedup key (exact duplicates collide, whitespace/case variants too). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** 56-bit stable hash of a string via md5 hex — engine-portable
+    * (DuckDB computes the identical value), unlike xxhash64/murmur whose
+    * seeds differ across engines. Two 28-bit halves keep every
+    * intermediate in non-negative, non-overflowing Long range. */
+  def md5Hash56(c: Column): Column = {
+    val hi = conv(substring(md5(c), 1, 7), 16, 10).cast("long") // 28 bits
+    val lo = conv(substring(md5(c), 8, 7), 16, 10).cast("long") // 28 bits
+    shiftleft(hi, 28) + lo
+  }
+}

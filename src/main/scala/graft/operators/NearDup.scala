@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection for large text corpora: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All shuffle-friendly — partial aggregation,
+  * key-partitioned joins, no driver-side state.
+  *
+  * Scale design (100 TB):
+  *  - shingle/band joins are hash-partitioned equi-joins; the classic
+  *    hot-shingle skew is bounded with a document-frequency cap (`dfCap`);
+  *  - MinHash signatures are fixed-width (numHashes longs/doc), so the
+  *    candidate-generation shuffle is O(docs × bands), not O(tokens);
+  *  - exact-Jaccard verification joins only candidate pairs back to the
+  *    (small relative to corpus) shingle sets.
+  */
+object NearDup {
+
+  /** (doc_id, shingle) — distinct word n-gram shingles per document.
+    * Codegen'd higher-order functions, no UDF. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+  }
+
+  /** All candidate pairs sharing ≥1 shingle, with exact Jaccard similarity.
+    * `dfCap`: drop shingles occurring in more than dfCap docs (stopword
+    * shingles produce quadratic blowup and carry no signal). Pass
+    * Int.MaxValue to disable (exact semantics, used by the oracle query).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val capped =
+      if (dfCap == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, sig: array<long>) MinHash signatures from word n-gram
+    * shingles. One explode + one groupBy: the agg is numHashes parallel
+    * min()s, all partial-aggregatable. Each "permutation" is a salted
+    * md5 hash — equivalent independence guarantees to affine universal
+    * hashing, no Long-overflow concerns, and exactly reproducible in any
+    * engine with md5. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    // Salted md5 per permutation: h_i(s) = md5Hash56(i || ':' || s).
+    // Equivalent independence guarantees to affine perms, zero overflow
+    // risk, and exactly reproducible in any engine with md5.
+    val aggs = (0 until numHashes).map { i =>
+      min(TextFunctions.md5Hash56(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
+    }
+    sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (band, band_key, doc_id) — docs sharing a band key are
+    * candidates. bandRows = numHashes / numBands. */
+  def lshBands(sigs: DataFrame, numBands: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band"),
+            // band key: join the band's slice of the signature; banding is
+            // engine-internal (results get exact-jaccard verified), so
+            // plain string concat is enough — no portable hash needed.
+            concat_ws("_",
+              slice(col("sig"), b * (size(col("sig")) / numBands) + 1,
+                size(col("sig")) / numBands)).as("key")))).as(Seq("pos", "bk")))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("band_key"))
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    *
+    * LSH generates candidates in O(docs × bands); only candidates pay the
+    * exact verification join. With 64 hashes / 16 bands of 4 rows, a pair
+    * at true Jaccard 0.8 is caught with p = 1-(1-0.8^4)^16 ≈ 0.9997 —
+    * the verification filter then makes every *emitted* pair exact. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val bands = lshBands(sigs, numBands)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification over the candidates only
+    val sh = shingles(docs, idCol, textCol, n)
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash from whitespace tokens (with multiplicity): bit j of
+    * the hash of each token votes +1/-1; the sign of the vote sum sets bit
+    * j of the fingerprint. Engine-portable: md5-derived bits + integer
+    * arithmetic only. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", TextFunctions.md5Hash56(col("t")))
+    val bitAggs = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val voted = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. The pair join
+    * here is all-pairs (fine at dim-table size); at corpus scale, block by
+    * simhash bytes first (pigeonhole: ≤k differing bits → some byte
+    * equal). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+    val fps = simhash(docs, idCol, textCol, bits)
+    fps.as("x").join(fps.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{AnnSearch, Dedup, NearDup}
+
+/** Training-data-pipeline extensions over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
+  * similarity search, and text analysis. Every query has an exact DuckDB
+  * oracle (see SparkEntry.oracleSql + OracleSqlGen).
+  */
+object CorpusQueries {
+
+  /** Exact dedup groups by content hash (md5). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+
+  /** Per-document token statistics. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.wordRunCount(col("text")).as("n_words"),
+      TextFunctions.punctCount(col("text")).as("n_punct"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID per document + corpus distribution. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Quality score per document. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint (normalized md5). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    NearDup.ngramJaccardPairs(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash+LSH candidates, exact-Jaccard verified at 0.8. With 64
+    * hashes / 16 bands the candidate recall at the threshold is ≈0.9997,
+    * and every emitted pair is exact — so the result equals the all-pairs
+    * oracle on any corpus without a pair sitting exactly at the S-curve
+    * knee (asserted against the oracle in tests). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minhashLshPairs(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 64, numBands = 16, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** 32-bit SimHash fingerprint per document. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhash(Tables.load(spark, dir, "documents"), "doc_id", "text", bits = 32)
+      .orderBy("doc_id")
+
+  /** Embedding near-dup pairs at cosine ≥ 0.9. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    AnnSearch.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"), 0.9)
+      .orderBy("vec_a", "vec_b")
+
+  /** Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val corpus = e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+    AnnSearch.bruteForceTopK(queries, corpus, k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF approximate top-5 with the same query set (rows-only check: its
+    * recall vs annTopK is asserted in tests, not hash-matched). */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val corpus = e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+    AnnSearch.ivfTopK(queries, corpus, k = 5, numCentroids = 22, nProbe = 8)
+      .orderBy("query_id", "rnk")
+  }
+}
