@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.StarQueries
+import graft.queries.{CorpusOracles, CorpusQueries, StarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,23 @@ object SparkEntry {
     "q21_join_agg_time"     -> (StarQueries.q21JoinAggTime(_, _)),
     "q22_top10_appearances" -> (StarQueries.q22Top10Appearances(_, _)),
     "q23_lag_trajectory"    -> (StarQueries.q23LagTrajectory(_, _)),
+    // training-data-pipeline extensions (documents/embeddings corpus)
+    "q24_dedup_exact"         -> (CorpusQueries.dedupExact(_, _)),
+    "q25_text_stats"          -> (CorpusQueries.textStats(_, _)),
+    "q26_lang_id"             -> (CorpusQueries.langId(_, _)),
+    "q27_quality_score"       -> (CorpusQueries.quality(_, _)),
+    "q28_fingerprint"         -> (CorpusQueries.fingerprint(_, _)),
+    "q29_ngram_jaccard"       -> (CorpusQueries.ngramJaccard(_, _)),
+    "q30_minhash_lsh"         -> (CorpusQueries.minhashLsh(_, _)),
+    "q31_simhash"             -> (CorpusQueries.simhash(_, _)),
+    "q32_simhash_pairs"       -> (CorpusQueries.simhashPairs(_, _)),
+    "q33_embed_neardup"       -> (CorpusQueries.embedNearDup(_, _)),
+    "q34_ann_topk"            -> (CorpusQueries.annTopK(_, _)),
+    "q35_ann_ivf_topk"        -> (CorpusQueries.annIvfTopK(_, _)),
+    "q36_multimodal_meta"     -> (CorpusQueries.multimodalMeta(_, _)),
+    "q37_multimodal_features" -> (CorpusQueries.multimodalFeatures(_, _)),
+    "q38_rolling_fp"          -> (CorpusQueries.rollingFingerprint(_, _)),
+    "q39_token_freq"          -> (CorpusQueries.tokenFreq(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,5 +212,6 @@ object SparkEntry {
       FROM lineitem
       WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
       ORDER BY l_shipdate, l_orderkey, l_linenumber""",
-  ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
+  ).++(CorpusOracles.sql) // q35_ann_ivf_topk: approximate — rows-only check
+    .map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

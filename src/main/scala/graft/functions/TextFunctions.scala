@@ -42,16 +42,12 @@ object TextFunctions {
     "es" -> Seq("el", "la", "que", "de", "los"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
-  /** Count how many times any of `words` occurs as a whole token. */
+  /** Count how many times any of `words` occurs as a whole token.
+    * Token-exact semantics (no substring/overlap edge cases): filter the
+    * token array — codegen'd higher-order function, one pass per word. */
   def markerHits(text: Column, words: Seq[String]): Column =
     words.map { w =>
-      // count occurrences of " w " in " text " — whole-token semantics
-      // via separator padding; length diff / token length.
-      val padded = concat(lit(" "), text, lit(" "))
-      val needle = s" $w "
-      // overlapping ": w " occurrences can't happen with single spaces
-      ((length(padded) - length(replace(padded, lit(needle), lit(" ")))) /
-        lit(w.length + 1)).cast("long")
+      size(filter(tokens(text), t => t === lit(w))).cast("long")
     }.reduce(_ + _)
 
   /** Heuristic language ID: argmax of marker-word hits, ties broken by
@@ -83,6 +79,21 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text — the distributed
     * dedup key (exact duplicates collide, whitespace/case variants too). */
   def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Rolling (polynomial) document fingerprint over token hashes:
+    * fp = fold(0, tokens)((acc, t) => (acc*131 + md5Hash56(t)) mod 2^47).
+    * Order-sensitive (unlike `fingerprint`, which is content-set-style on
+    * the normalized string) — reordered tokens change the value. All
+    * intermediates stay < 2^57, so the arithmetic is exact in any engine
+    * with 64-bit integers (no overflow wrap to depend on). One md5 per
+    * token, sequential fold — single codegen'd pass. */
+  def rollingFingerprint(text: Column): Column = {
+    val mask = (1L << 47) - 1
+    aggregate(
+      transform(tokens(text), t => md5Hash56(t)),
+      lit(0L),
+      (acc, h) => (acc * lit(131L) + h).bitwiseAND(lit(mask)))
+  }
 
   /** 56-bit stable hash of a string via md5 hex — engine-portable
     * (DuckDB computes the identical value), unlike xxhash64/murmur whose

@@ -2,24 +2,23 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 
 /** Vector kernels over `array<float>` embedding columns.
   *
-  * Built from codegen'd higher-order functions (`zip_with`/`aggregate`)
-  * rather than UDFs: the fold is a sequential in-order double accumulation,
-  * which is both fast (whole-stage codegen) and bit-deterministic — the
-  * same left-fold DuckDB's list functions use, so results are exactly
-  * reproducible across engines.
+  * The dot-product fold is a native Catalyst expression (see
+  * [[DotProduct]]) — whole-stage-codegen'd, unlike `zip_with`/`aggregate`
+  * whose lambdas evaluate interpreted. The accumulation stays a sequential
+  * in-order double fold, bit-identical to DuckDB's list functions, so
+  * results are exactly reproducible across engines.
   */
 object Vectors {
 
-  /** Left-fold sum of an array<double> column. */
-  private def fsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
   /** Dot product of two float/double array columns, accumulated in double. */
   def dot(a: Column, b: Column): Column =
-    fsum(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y))
+    exprColumn(DotProduct(
+      columnExpr(a.cast("array<double>")),
+      columnExpr(b.cast("array<double>"))))
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)

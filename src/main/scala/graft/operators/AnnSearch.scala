@@ -11,20 +11,32 @@ import graft.functions.Vectors
   * Two tiers:
   *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
   *    Query set joins the corpus (broadcast the smaller side), per-pair
-  *    kernel is codegen'd, top-k per query via window. Cost O(|Q|·|C|·d):
-  *    right for small query batches or reranking.
+  *    kernel is a native codegen'd dot product, top-k per query via
+  *    window. Cost O(|Q|·|C|·d): right for small query batches or
+  *    reranking.
   *  - `ivfTopK`: inverted-file index — corpus is bucketed by nearest
   *    centroid once (one shuffle), queries probe only `nProbe` buckets.
   *    Cost O(|Q|·(k_c·d + |C|/k_c·nProbe·d)): the 100 TB path. Recall <1
   *    by construction; verified against brute force in tests.
+  *
+  * Norms are computed ONCE per vector before any pair join (cosine =
+  * dot(a,b)/(norm_a*norm_b)) — identical arithmetic to folding per pair,
+  * at a third of the flops. The division order matches the DuckDB oracle
+  * exactly, so results stay bit-deterministic.
   */
 object AnnSearch {
+
+  private def norm(vec: String): org.apache.spark.sql.Column =
+    sqrt(Vectors.dot(col(vec), col(vec)))
 
   /** Exact top-k neighbors for each query vector.
     * queries: (query_id, q: array<float>), corpus: (vec_id, embedding). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", Vectors.cosine(col("q"), col("embedding")))
+    val q = queries.withColumn("nq", norm("q"))
+    val c = corpus.withColumn("nc", norm("embedding"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim",
+        Vectors.dot(col("q"), col("embedding")) / (col("nq") * col("nc")))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -41,13 +53,17 @@ object AnnSearch {
 
   /** Assign every corpus vector to its nearest centroid (broadcast the
     * centroid table — it is tiny by construction). One pass, one shuffle
-    * if the result is persisted bucketed by centroid_id. */
+    * if the result is persisted bucketed by centroid_id. Output keeps the
+    * per-vector norm so probes need not recompute it. */
   def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(cents))
-      .withColumn("csim", Vectors.cosine(col("cvec"), col("embedding")))
+    val c = corpus.withColumn("nrm", norm("embedding"))
+    val ce = cents.withColumn("ncv", norm("cvec"))
+    val scored = c.crossJoin(broadcast(ce))
+      .withColumn("csim",
+        Vectors.dot(col("cvec"), col("embedding")) / (col("ncv") * col("nrm")))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), asc("centroid_id"))
     scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
   }
 
   /** IVF approximate top-k: probe the nProbe nearest centroids per query,
@@ -57,14 +73,18 @@ object AnnSearch {
     val cents = centroids(corpus, numCentroids)
     val inverted = assign(corpus, cents)
     // per query: nProbe nearest centroids
-    val qc = queries.crossJoin(broadcast(cents))
-      .withColumn("csim", Vectors.cosine(col("q"), col("cvec")))
+    val q = queries.withColumn("nq", norm("q"))
+    val ce = cents.withColumn("ncv", norm("cvec"))
+    val qc = q.crossJoin(broadcast(ce))
+      .withColumn("csim",
+        Vectors.dot(col("q"), col("cvec")) / (col("nq") * col("ncv")))
     val wq = Window.partitionBy(col("query_id")).orderBy(desc("csim"), asc("centroid_id"))
     val probes = qc.withColumn("r", row_number().over(wq)).filter(col("r") <= nProbe)
-      .select(col("query_id"), col("q"), col("centroid_id"))
+      .select(col("query_id"), col("q"), col("nq"), col("centroid_id"))
     // search only the probed buckets
     val scored = probes.join(inverted, Seq("centroid_id"))
-      .withColumn("sim", Vectors.cosine(col("q"), col("embedding")))
+      .withColumn("sim",
+        Vectors.dot(col("q"), col("embedding")) / (col("nq") * col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -76,10 +96,11 @@ object AnnSearch {
     * first (same verify-after-candidates shape as NearDup.minhashLshPairs).
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val n = corpus.withColumn("nrm", norm("embedding"))
+    val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", Vectors.cosine(col("ea"), col("eb")))
+      .withColumn("cos_sim", Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }

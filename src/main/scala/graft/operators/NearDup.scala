@@ -68,18 +68,24 @@ object NearDup {
 
   /** (doc_id, sig: array<long>) MinHash signatures from word n-gram
     * shingles. One explode + one groupBy: the agg is numHashes parallel
-    * min()s, all partial-aggregatable. Each "permutation" is a salted
-    * md5 hash — equivalent independence guarantees to affine universal
-    * hashing, no Long-overflow concerns, and exactly reproducible in any
-    * engine with md5. */
+    * min()s, all partial-aggregatable.
+    *
+    * Cost design: exactly ONE md5 per (doc, shingle); the numHashes
+    * "permutations" are affine maps h_i(x) = (a_i*x + b_i) mod 2^59 over
+    * the 55-bit base hash (a_i = 2i+1 odd, b_i = i*2654435761). Every
+    * intermediate stays < 2^63 (127 * 2^55 + 2^38 < 2^62), so the
+    * arithmetic is exact and identical in any 64-bit-integer engine — no
+    * overflow wrap to depend on. Versus salting md5 per permutation this
+    * is numHashes× less hashing on the dominant (shingle-volume) term. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64): DataFrame = {
+    require(numHashes <= 64, "affine multipliers sized for <= 64 permutations")
     val sh = shingles(docs, idCol, textCol, n)
-    // Salted md5 per permutation: h_i(s) = md5Hash56(i || ':' || s).
-    // Equivalent independence guarantees to affine perms, zero overflow
-    // risk, and exactly reproducible in any engine with md5.
+      .withColumn("h", TextFunctions.md5Hash56(col("shingle"))
+        .bitwiseAND(lit((1L << 55) - 1)))
+    val mask59 = (1L << 59) - 1
     val aggs = (0 until numHashes).map { i =>
-      min(TextFunctions.md5Hash56(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
+      min((col("h") * lit(2L * i + 1) + lit(i * 2654435761L)).bitwiseAND(lit(mask59))).as(s"h$i")
     }
     sh.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)

@@ -1,0 +1,170 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the corpus (training-data-pipeline) queries.
+  *
+  * Every expression mirrors the Spark query's arithmetic exactly —
+  * md5-derived integer hashes, sequential double folds, identical
+  * operation order — so results hash-match bit-for-bit (verified for the
+  * float folds: DuckDB `list_sum`/`list_transform` and Spark
+  * `aggregate`/`zip_with` produce identical IEEE sequences).
+  */
+object CorpusOracles {
+
+  /** 56-bit md5 hash — DuckDB twin of TextFunctions.md5Hash56. */
+  private def md5h56(x: String): String =
+    s"((('0x'||substr(md5($x),1,7))::BIGINT << 28) + ('0x'||substr(md5($x),8,7))::BIGINT)"
+
+  /** Sequential-fold cosine similarity over 64-dim float lists — DuckDB
+    * twin of Vectors.cosine (same left-fold order, double accumulation). */
+  private def cosine(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1,65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       (sqrt(list_sum(list_transform(range(1,65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+        sqrt(list_sum(list_transform(range(1,65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
+
+  /** Distinct word-3-gram shingles per doc — DuckDB twin of
+    * NearDup.shingles(n=3). */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh0 AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(0, greatest(len(w)-3,0)+1),
+                        i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+               FROM toks),
+       sh AS (SELECT doc_id, shingle FROM sh0 WHERE length(shingle) > 0)"""
+
+  /** All-pairs exact n-gram Jaccard at `threshold` — oracle for both the
+    * exact pairs query and the MinHash+LSH query (LSH recall at the data's
+    * observed pair similarities is 1 up to ~1e-8). */
+  private def jaccardPairs(threshold: Double): String =
+    s"""WITH $shingleCte,
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+       SELECT doc_a, doc_b, nc::DOUBLE/(sa.n + sb.n - nc) AS jaccard
+       FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       WHERE nc::DOUBLE/(sa.n + sb.n - nc) >= $threshold
+       ORDER BY doc_a, doc_b"""
+
+  private val tokenCount = "(length(text) - length(replace(text, ' ', '')) + 1)"
+  private val meanTokLen =
+    s"((length(text) - ($tokenCount - 1))::DOUBLE / $tokenCount)"
+
+  /** Per-lang marker-hit sums + argmax — twin of TextFunctions.langId. */
+  private val langIdSql: String = {
+    val markers = graft.functions.TextFunctions.langMarkers
+    val scores = markers.map { case (lang, words) =>
+      val hits = words
+        .map(w => s"len(list_filter(string_split(text, ' '), t -> t = '$w'))::BIGINT")
+        .mkString(" + ")
+      s"($hits) AS s_$lang"
+    }.mkString(", ")
+    val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = markers.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, $scores FROM documents),
+       b AS (SELECT doc_id, *, $best AS best FROM s)
+       SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+       FROM b ORDER BY doc_id"""
+  }
+
+  /** 32-bit SimHash fingerprints — twin of NearDup.simhash(bits=32). */
+  private val simhashCte: String = {
+    val votes = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val fp = (0 until 32)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       th AS (SELECT doc_id, ${md5h56("t")} AS h FROM tok),
+       v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       fp AS (SELECT doc_id, ($fp)::BIGINT AS simhash FROM v)"""
+  }
+
+  private val multimodalSql =
+    s"""WITH h AS (SELECT doc_id,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         md5(text) AS checksum, ${md5h56("text")} AS h FROM documents)
+       SELECT doc_id, n_bytes, checksum,
+              h % 640 + 64 AS width, h % 480 + 64 AS height, h % 30 + 1 AS n_frames
+       FROM h ORDER BY doc_id"""
+
+  val sql: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q25_text_stats" ->
+      s"""SELECT doc_id,
+          $tokenCount::BIGINT AS n_tokens,
+          len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_words,
+          length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct,
+          $meanTokLen AS mean_tok_len
+          FROM documents ORDER BY doc_id""",
+
+    "q26_lang_id" -> langIdSql,
+
+    "q27_quality_score" ->
+      s"""SELECT doc_id,
+          (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END)
+          * (1.0 - least(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                         / length(text)::DOUBLE * 10.0, 1.0))
+          * (CASE WHEN $meanTokLen >= 3.0 AND $meanTokLen <= 10.0 THEN 1.0 ELSE 0.5 END)
+          AS quality
+          FROM documents ORDER BY doc_id""",
+
+    "q28_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q29_ngram_jaccard" -> jaccardPairs(0.5),
+
+    "q30_minhash_lsh" -> jaccardPairs(0.8),
+
+    "q31_simhash" ->
+      s"WITH $simhashCte SELECT doc_id, simhash FROM fp ORDER BY doc_id",
+
+    "q32_simhash_pairs" ->
+      s"""WITH $simhashCte
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         ORDER BY doc_a, doc_b""",
+
+    "q33_embed_neardup" ->
+      s"""WITH c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            ${cosine("a.embedding", "b.embedding")} AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, cos_sim FROM c WHERE cos_sim >= 0.4
+          ORDER BY vec_a, vec_b""",
+
+    "q34_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+          s AS (SELECT query_id, vec_id, ${cosine("qv", "embedding")} AS sim FROM c, q),
+          r AS (SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+                FROM s)
+          SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 5
+          ORDER BY query_id, rnk""",
+
+    "q36_multimodal_meta" -> multimodalSql,
+
+    "q37_multimodal_features" -> multimodalSql,
+
+    "q38_rolling_fp" ->
+      s"""SELECT doc_id,
+          list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(string_split(text, ' '), t -> ${md5h56("t")})),
+            (a, b) -> (a * 131 + b) & ${(1L << 47) - 1})::BIGINT AS rolling_fp
+          FROM documents ORDER BY doc_id""",
+
+    "q39_token_freq" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+  )
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, Dedup, NearDup}
+import graft.operators.{AnnSearch, Dedup, Multimodal, NearDup}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -71,9 +71,11 @@ object CorpusQueries {
     NearDup.simhash(Tables.load(spark, dir, "documents"), "doc_id", "text", bits = 32)
       .orderBy("doc_id")
 
-  /** Embedding near-dup pairs at cosine ≥ 0.9. */
+  /** Embedding near-dup pairs at cosine ≥ 0.4 (the synthetic embeddings
+    * are near-orthogonal — max pairwise cosine ≈ 0.51 — so 0.4 yields a
+    * non-trivial result set; production would use ~0.9). */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    AnnSearch.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"), 0.9)
+    AnnSearch.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"), 0.4)
       .orderBy("vec_a", "vec_b")
 
   /** Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest. */
@@ -96,4 +98,40 @@ object CorpusQueries {
     AnnSearch.ivfTopK(queries, corpus, k = 5, numCentroids = 22, nProbe = 8)
       .orderBy("query_id", "rnk")
   }
+
+  /** SimHash near-dup pairs at hamming ≤ 8 of 32 bits. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairs(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 8, bits = 32)
+      .orderBy("doc_a", "doc_b")
+
+  /** Order-sensitive rolling-hash fingerprint per document. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  /** Corpus token frequency (classic wordcount): top-100 tokens. */
+  def tokenFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(100)
+
+  /** Multimodal metadata extraction over a binary blob column — the
+    * pure-column path (codegen'd; "decode" is md5-derived stub features). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeaturesColumnar(
+      Multimodal.asBlobTable(Tables.load(spark, dir, "documents"), "doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** Multimodal feature extraction via the batched mapPartitions path —
+    * the real-codec integration shape; same deterministic stub features,
+    * so it is hash-checked against the same oracle as multimodalMeta. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+      Multimodal.asBlobTable(Tables.load(spark, dir, "documents"), "doc_id", "text"))
+      .toDF().orderBy("doc_id")
 }

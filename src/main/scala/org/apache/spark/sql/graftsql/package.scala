@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * Column API. `ExpressionUtils` (and friends) are `private[sql]` in
+  * Spark 4.x, so — like most Spark extension libraries — we expose the
+  * two conversions we need from inside the `org.apache.spark.sql`
+  * package. Nothing else of Spark's internals leaks out of this object.
+  */
+package object graftsql {
+
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def exprColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a Column. */
+  def columnExpr(c: Column): Expression = ExpressionUtils.expression(c)
+}
