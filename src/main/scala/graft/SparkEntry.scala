@@ -59,6 +59,8 @@ object SparkEntry {
     "q37_multimodal_features" -> (CorpusQueries.multimodalFeatures(_, _)),
     "q38_rolling_fp"          -> (CorpusQueries.rollingFingerprint(_, _)),
     "q39_token_freq"          -> (CorpusQueries.tokenFreq(_, _)),
+    "q40_asof_join"           -> (CorpusQueries.asofJoin(_, _)),
+    "q41_range_join"          -> (CorpusQueries.rangeJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -29,11 +29,19 @@ object AnnSearch {
   private def norm(vec: String): org.apache.spark.sql.Column =
     sqrt(Vectors.dot(col(vec), col(vec)))
 
+  /** Hoist the float→double cast out of pair loops: cast the vector column
+    * ONCE in a projection before any join. Inside the per-pair kernel the
+    * remaining cast is array<double>→array<double>, which SimplifyCasts
+    * eliminates — so the hot loop reads the array with zero copies instead
+    * of allocating two converted arrays per pair. */
+  private def castDouble(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+
   /** Exact top-k neighbors for each query vector.
     * queries: (query_id, q: array<float>), corpus: (vec_id, embedding). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.withColumn("nq", norm("q"))
-    val c = corpus.withColumn("nc", norm("embedding"))
+    val q = castDouble(queries, "q").withColumn("nq", norm("q"))
+    val c = castDouble(corpus, "embedding").withColumn("nc", norm("embedding"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("sim",
         Vectors.dot(col("q"), col("embedding")) / (col("nq") * col("nc")))
@@ -56,8 +64,8 @@ object AnnSearch {
     * if the result is persisted bucketed by centroid_id. Output keeps the
     * per-vector norm so probes need not recompute it. */
   def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val c = corpus.withColumn("nrm", norm("embedding"))
-    val ce = cents.withColumn("ncv", norm("cvec"))
+    val c = castDouble(corpus, "embedding").withColumn("nrm", norm("embedding"))
+    val ce = castDouble(cents, "cvec").withColumn("ncv", norm("cvec"))
     val scored = c.crossJoin(broadcast(ce))
       .withColumn("csim",
         Vectors.dot(col("cvec"), col("embedding")) / (col("ncv") * col("nrm")))
@@ -73,8 +81,8 @@ object AnnSearch {
     val cents = centroids(corpus, numCentroids)
     val inverted = assign(corpus, cents)
     // per query: nProbe nearest centroids
-    val q = queries.withColumn("nq", norm("q"))
-    val ce = cents.withColumn("ncv", norm("cvec"))
+    val q = castDouble(queries, "q").withColumn("nq", norm("q"))
+    val ce = castDouble(cents, "cvec").withColumn("ncv", norm("cvec"))
     val qc = q.crossJoin(broadcast(ce))
       .withColumn("csim",
         Vectors.dot(col("q"), col("cvec")) / (col("nq") * col("ncv")))
@@ -96,7 +104,7 @@ object AnnSearch {
     * first (same verify-after-candidates shape as NearDup.minhashLshPairs).
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val n = corpus.withColumn("nrm", norm("embedding"))
+    val n = castDouble(corpus, "embedding").withColumn("nrm", norm("embedding"))
     val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))

@@ -166,5 +166,27 @@ object CorpusOracles {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+
+    // (user_id, ts) pairs are unique in events, so ASOF's greatest-ts<=
+    // match is unambiguous and equals the union+window implementation.
+    "q40_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+                p.ts AS last_purchase_ts, p.value AS last_purchase_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+
+    "q41_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.event_id, count(*) AS n_clicks_1h, max(c.value) AS max_click_value
+               FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+               GROUP BY 1)
+         SELECT p.event_id, p.user_id, p.ts,
+                coalesce(j.n_clicks_1h, 0) AS n_clicks_1h, j.max_click_value
+         FROM p LEFT JOIN j USING (event_id) ORDER BY p.event_id""",
   )
 }

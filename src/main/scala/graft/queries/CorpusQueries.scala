@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, Dedup, Multimodal, NearDup}
+import graft.operators.{AnnSearch, AsOfJoin, Dedup, Multimodal, NearDup, RangeJoin}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -134,4 +134,41 @@ object CorpusQueries {
     Multimodal.decodeFeatures(
       Multimodal.asBlobTable(Tables.load(spark, dir, "documents"), "doc_id", "text"))
       .toDF().orderBy("doc_id")
+
+  /** As-of join: for each click event, the most recent prior-or-equal
+    * purchase (value + its ts) of the same user. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    AsOfJoin.asOfLeft(clicks, purchases, "user_id", "ts", "ts",
+        payload = Seq("ts", "value"), tieBreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof.ts").as("last_purchase_ts"),
+        col("asof.value").as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Banded range join: per purchase event, count and max-value of the
+    * same user's clicks in the preceding hour. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val joined = RangeJoin.priorWindowJoin(
+      purchases, clicks, "user_id", "ts", "ts",
+      windowSeconds = 3600, payload = Seq("value"))
+    val agg = joined.groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks_1h"),
+        max(col("range_match.value")).as("max_click_value"))
+    purchases.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"),
+        col("max_click_value"))
+      .orderBy("event_id")
+  }
 }

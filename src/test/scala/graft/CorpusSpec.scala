@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, Vectors}
+import graft.operators.{AnnSearch, AsOfJoin, Multimodal, NearDup, RangeJoin}
+
+/** Operator-level specs for the training-data-pipeline extensions:
+  * properties the DuckDB hash-oracle can't express (approximate-operator
+  * recall, path equivalence, scalable-impl vs naive-impl agreement). */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val embeddings = Tables.load(spark, sf, "embeddings")
+
+  test("minhash LSH pairs equal exact all-pairs jaccard at the threshold") {
+    val exact = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, numBands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicate documents")
+    assert(lsh === exact)
+  }
+
+  test("minhash signature: fixed width, stable across recomputation") {
+    val sigs = NearDup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
+    val a = sigs.orderBy("doc_id").collect()
+    val b = NearDup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
+      .orderBy("doc_id").collect()
+    assert(a.forall(_.getSeq[Long](1).length == 64))
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("IVF top-k: high recall vs brute force, exact sims where they agree") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val corpus = embeddings.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+    val bf = AnnSearch.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = AnnSearch.ivfTopK(queries, corpus, k = 5, numCentroids = 22, nProbe = 8)
+      .select("query_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recall = ivf.keySet.intersect(bf.keySet).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+    ivf.keySet.intersect(bf.keySet).foreach { k =>
+      assert(ivf(k) == bf(k), s"sim mismatch for $k")
+    }
+  }
+
+  test("simhash: near-duplicate docs are closer in hamming than random pairs") {
+    val dups = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val fps = NearDup.simhash(docs, "doc_id", "text", bits = 32)
+    val joined = dups
+      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+      .select(bit_count(col("ha").bitwiseXOR(col("hb"))).cast("double").as("d"))
+      .agg(avg("d")).head().getDouble(0)
+    assert(joined < 8.0, s"near-dup mean hamming unexpectedly high: $joined")
+  }
+
+  test("multimodal: mapPartitions decode equals columnar decode") {
+    val blobs = Multimodal.asBlobTable(docs, "doc_id", "text")
+    val viaMap = Multimodal.decodeFeatures(blobs, batchSize = 7).toDF()
+      .orderBy("doc_id").collect().map(_.toString)
+    val viaCol = Multimodal.decodeFeaturesColumnar(blobs)
+      .select("doc_id", "n_bytes", "checksum", "width", "height", "n_frames")
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(viaMap.toSeq == viaCol.toSeq)
+  }
+
+  test("multimodal: resize bounds blob size; frame sampling fans out") {
+    val blobs = Multimodal.asBlobTable(docs.limit(20), "doc_id", "text")
+    val resized = Multimodal.resizeBlobs(blobs, maxBytes = 50)
+    assert(resized.select(max(length(col("blob")))).head().getInt(0) <= 50)
+    val frames = Multimodal.sampleFrames(blobs, stride = 10)
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(blobs.select(col("doc_id"), length(col("blob")).as("len")), Seq("doc_id"))
+    // ceil(len / stride) frames per doc
+    assert(perDoc.filter(col("count") =!= ceil(col("len") / 10.0).cast("long")).count() == 0)
+  }
+
+  test("as-of join: handcrafted semantics incl. equal-ts inclusivity and no-match null") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 5L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((100L, 1L, 10L, 1.0), (101L, 1L, 15L, 2.0), (102L, 2L, 6L, 3.0))
+      .toDF("rid", "k", "t", "v")
+    val out = AsOfJoin.asOfLeft(left, right, "k", "t", "t",
+        payload = Seq("t", "v"), tieBreak = "rid")
+      .select(col("event_id"), col("asof.v").as("v"))
+      .orderBy("event_id").collect()
+    assert(out(0) == Row(1L, 1.0)) // equal ts matches (inclusive)
+    assert(out(1) == Row(2L, 2.0)) // picks most recent of two priors
+    assert(out(2) == Row(3L, null)) // right event is later -> no match
+  }
+
+  test("as-of join: ties on right ts broken by greatest tiebreak") {
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "k", "t")
+    val right = Seq((100L, 1L, 5L, 1.0), (200L, 1L, 5L, 2.0), (50L, 1L, 5L, 3.0))
+      .toDF("rid", "k", "t", "v")
+    val out = AsOfJoin.asOfLeft(left, right, "k", "t", "t",
+        payload = Seq("v"), tieBreak = "rid")
+      .select(col("asof.v")).head()
+    assert(out.getDouble(0) == 2.0) // rid=200 wins
+  }
+
+  test("range join: banded result equals naive inequality join") {
+    val e = Tables.load(spark, sf, "events")
+    val l = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val r = e.filter(col("event_type") === "click").select("user_id", "ts", "value")
+    val banded = RangeJoin.priorWindowJoin(l, r, "user_id", "ts", "ts", 3600, Seq("value"))
+      .groupBy("event_id").count().collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val naive = l.as("l").join(r.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= (col("l.ts") - expr("INTERVAL 3600 SECONDS")) &&
+        col("r.ts") < col("l.ts"))
+      .groupBy("l.event_id").count().collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(naive.nonEmpty, "fixture should contain in-window pairs")
+    assert(banded === naive)
+  }
+
+  test("rolling fingerprint is order-sensitive; md5 fingerprint is whitespace/case-insensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "Alpha  BETA gamma"))
+      .toDF("doc_id", "text")
+    val roll = df.select(TextFunctions.rollingFingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(roll(0) != roll(1)) // same tokens, different order
+    val fp = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(2)) // normalization collapses case+whitespace
+    assert(fp(0) != fp(1)) // but not order
+  }
+
+  test("language id picks the marker-dominant language, und on no hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze und das haus nicht"),
+      (3L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("dot product matches an independent computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(Vectors.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(got == (4.0 + 10.0 + 18.0))
+  }
+}
