@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -39,7 +40,9 @@ object NearDup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // the shingle stream feeds the self-join twice plus the size agg —
+    // materialize it once instead of re-scanning + re-shingling 3x
+    val sh = shingles(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val capped =
       if (dfCap == Int.MaxValue) sh
       else {
@@ -77,19 +80,29 @@ object NearDup {
     * arithmetic is exact and identical in any 64-bit-integer engine — no
     * overflow wrap to depend on. Versus salting md5 per permutation this
     * is numHashes× less hashing on the dominant (shingle-volume) term. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64): DataFrame = {
+  /** 55-bit portable base hash of the shingle column. */
+  private def shingleHash: Column =
+    TextFunctions.md5Hash56(col("shingle")).bitwiseAND(lit((1L << 55) - 1))
+
+  /** The numHashes affine permutation min-aggregates over column `h`. */
+  private def affineMinAggs(numHashes: Int): Seq[Column] = {
     require(numHashes <= 64, "affine multipliers sized for <= 64 permutations")
-    val sh = shingles(docs, idCol, textCol, n)
-      .withColumn("h", TextFunctions.md5Hash56(col("shingle"))
-        .bitwiseAND(lit((1L << 55) - 1)))
     val mask59 = (1L << 59) - 1
-    val aggs = (0 until numHashes).map { i =>
+    (0 until numHashes).map { i =>
       min((col("h") * lit(2L * i + 1) + lit(i * 2654435761L)).bitwiseAND(lit(mask59))).as(s"h$i")
     }
+  }
+
+  private def sigArray(numHashes: Int): Column =
+    array((0 until numHashes).map(i => col(s"h$i")): _*)
+
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).withColumn("h", shingleHash)
+    val aggs = affineMinAggs(numHashes)
     sh.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .select(col("doc_id"), sigArray(numHashes).as("sig"))
   }
 
   /** LSH banding: (band, band_key, doc_id) — docs sharing a band key are
@@ -117,8 +130,18 @@ object NearDup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
-    val bands = lshBands(sigs, numBands)
+    // ONE pass over the shingle stream computes both the signature (64
+    // affine mins) and the exact shingle set per doc; the per-doc table
+    // (vastly smaller than the shingle stream) is persisted and feeds
+    // banding + both sides of the verification join. Without this the
+    // plan re-scans + re-shingles + re-hashes the corpus 4x.
+    val sh = shingles(docs, idCol, textCol, n).withColumn("h", shingleHash)
+    val minAggs = affineMinAggs(numHashes)
+    val perDoc = sh.groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail :+ collect_set(col("shingle")).as("sh"): _*)
+      .select(col("doc_id"), sigArray(numHashes).as("sig"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBands(perDoc.select("doc_id", "sig"), numBands)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
@@ -126,11 +149,9 @@ object NearDup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact verification over the candidates only
-    val sh = shingles(docs, idCol, textCol, n)
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -163,7 +184,9 @@ object NearDup {
     * equal). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 32): DataFrame = {
-    val fps = simhash(docs, idCol, textCol, bits)
+    // one long per doc; persist so the self-join doesn't recompute the
+    // token hash + 32 vote sums for each side
+    val fps = simhash(docs, idCol, textCol, bits).persist(StorageLevel.MEMORY_AND_DISK)
     fps.as("x").join(fps.as("y"), col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
