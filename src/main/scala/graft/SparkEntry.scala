@@ -61,6 +61,7 @@ object SparkEntry {
     "q39_token_freq"          -> (CorpusQueries.tokenFreq(_, _)),
     "q40_asof_join"           -> (CorpusQueries.asofJoin(_, _)),
     "q41_range_join"          -> (CorpusQueries.rangeJoin(_, _)),
+    "q42_sessionize"          -> (CorpusQueries.sessionize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -188,5 +188,19 @@ object CorpusOracles {
          SELECT p.event_id, p.user_id, p.ts,
                 coalesce(j.n_clicks_1h, 0) AS n_clicks_1h, j.max_click_value
          FROM p LEFT JOIN j USING (event_id) ORDER BY p.event_id""",
+
+    "q42_sessionize" ->
+      """WITH l AS (SELECT user_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events),
+         g AS (SELECT user_id, ts,
+                sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 14400 SECONDS
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                  AS session_seq
+              FROM l)
+         SELECT user_id, session_seq, min(ts) AS session_start,
+                max(ts) AS session_end, count(*) AS n_events
+         FROM g GROUP BY 1, 2 ORDER BY user_id, session_start""",
   )
 }

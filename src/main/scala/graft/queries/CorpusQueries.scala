@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, Dedup, Multimodal, NearDup, RangeJoin}
+import graft.operators.{AnnSearch, AsOfJoin, Dedup, Multimodal, NearDup, RangeJoin, Sessionize}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -171,4 +171,10 @@ object CorpusQueries {
         col("max_click_value"))
       .orderBy("event_id")
   }
+
+  /** Gaps-and-islands sessionization: per-user sessions at a 4-hour gap. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(
+      Tables.load(spark, dir, "events"), "user_id", "ts", gapSeconds = 14400)
+      .orderBy("user_id", "session_start")
 }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the events stream (SURVEY §2.10 extensions):
+  * watermarked tumbling/sliding windows, native session windows, and a
+  * custom sessionization state machine via `flatMapGroupsWithState`.
+  *
+  * Scale notes: all three are key-partitioned stateful ops — state lives
+  * in the state store (RocksDB-backed on a real cluster), watermarks bound
+  * state size, and nothing touches the driver. The custom state op keeps
+  * exactly one fixed-size record per open (user) session.
+  */
+object EventStreams {
+
+  final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionAccum(startMicros: Long, endMicros: Long, n: Long)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Watermarked sliding-window counts per event type. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLen: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("max_value"))
+
+  /** Gap-based session aggregation with the built-in session_window. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Custom sessionization state machine: one fixed-size state record per
+    * open session, closed sessions emitted either when a same-batch event
+    * arrives past the gap or when the event-time timeout (watermark past
+    * session end + gap) fires. Closed-session output equals
+    * `operators.Sessionize.sessions` on the same data (spec-asserted). */
+  def sessionize(events: Dataset[EventRow], gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L
+    def stamp(us: Long): Timestamp = new Timestamp(us / 1000L)
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAccum, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventRow], state: GroupState[SessionAccum]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, stamp(s.startMicros), stamp(s.endMicros), s.n))
+          } else {
+            val sorted = it.map(e => micros(e.ts)).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.endMicros <= gapMicros =>
+                  open = Some(s.copy(endMicros = math.max(s.endMicros, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, stamp(s.startMicros), stamp(s.endMicros), s.n)
+                  open = Some(SessionAccum(t, t, 1))
+                case None =>
+                  open = Some(SessionAccum(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close once the watermark passes the gap after session end
+              state.setTimeoutTimestamp(
+                math.max(s.endMicros / 1000L + gapSeconds * 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sessionize
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.EventRow
+
+/** Watermark/window/custom-state streaming semantics over MemoryStream. */
+class StreamingAggSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long, typ: String = "click",
+      v: Double = 1.0): EventRow = EventRow(id, ts(t), user, typ, v)
+
+  test("watermarked sliding-window counts finalize once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val out = EventStreams.windowedCounts(in.toDF(),
+      watermarkDelay = "10 minutes", windowLen = "1 hour", slide = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+
+    in.addData(ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:20:00", 2))
+    q.processAllAvailable()
+    // append mode: nothing final yet (watermark still before window ends)
+    assert(spark.table("win_counts").count() == 0)
+
+    // an event far past the windows advances the watermark and flushes them
+    in.addData(ev(3, "2024-01-01 13:00:00", 1))
+    q.processAllAvailable()
+    in.addData(ev(4, "2024-01-01 15:00:00", 1))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select("window_start", "n").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    q.stop()
+    // events at 10:05 and 10:20 fall in sliding windows [09:30,10:30) and [10:00,11:00)
+    assert(rows("2024-01-01 09:30:00.0") == 2)
+    assert(rows("2024-01-01 10:00:00.0") == 2)
+  }
+
+  test("flatMapGroupsWithState sessionize emits closed sessions matching batch gaps-and-islands") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val out = EventStreams.sessionize(in.toDS(), gapSeconds = 300,
+      watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+
+    // user 1: two sessions; user 2: one session
+    in.addData(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:02:00", 1),
+      ev(3, "2024-01-01 10:30:00", 1),
+      ev(4, "2024-01-01 10:00:30", 2))
+    q.processAllAvailable()
+    // watermark-advancing event closes all earlier sessions via timeout
+    in.addData(ev(5, "2024-01-01 12:00:00", 3))
+    q.processAllAvailable()
+    in.addData(ev(6, "2024-01-01 14:00:00", 3))
+    q.processAllAvailable()
+    val streamed = spark.table("sessions")
+      .filter(col("user_id") < 3)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    q.stop()
+
+    val batchInput = Seq(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:02:00", 1),
+      ev(3, "2024-01-01 10:30:00", 1), ev(4, "2024-01-01 10:00:30", 2)).toDF()
+    val batch = Sessionize.sessions(batchInput, "user_id", "ts", gapSeconds = 300)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
+  test("built-in session_window agrees with gaps-and-islands on session count") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val out = EventStreams.sessionWindowCounts(in.toDF(), gap = "5 minutes",
+      watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sw_counts")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:02:00", 1),
+      ev(3, "2024-01-01 10:30:00", 1))
+    q.processAllAvailable()
+    in.addData(ev(4, "2024-01-01 12:00:00", 9))
+    q.processAllAvailable()
+    in.addData(ev(5, "2024-01-01 14:00:00", 9))
+    q.processAllAvailable()
+    val sessions = spark.table("sw_counts").filter(col("user_id") === 1).collect()
+    q.stop()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+}
