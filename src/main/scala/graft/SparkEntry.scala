@@ -62,6 +62,8 @@ object SparkEntry {
     "q40_asof_join"           -> (CorpusQueries.asofJoin(_, _)),
     "q41_range_join"          -> (CorpusQueries.rangeJoin(_, _)),
     "q42_sessionize"          -> (CorpusQueries.sessionize(_, _)),
+    "q43_salted_collect"      -> (CorpusQueries.saltedCollect(_, _)),
+    "q44_approx_distinct"     -> (CorpusQueries.approxDistinct(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -42,23 +42,29 @@ object TextFunctions {
     "es" -> Seq("el", "la", "que", "de", "los"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
-  /** Count how many times any of `words` occurs as a whole token.
-    * Token-exact semantics (no substring/overlap edge cases): filter the
-    * token array — codegen'd higher-order function, one pass per word. */
-  def markerHits(text: Column, words: Seq[String]): Column =
-    words.map { w =>
-      size(filter(tokens(text), t => t === lit(w))).cast("long")
-    }.reduce(_ + _)
+  /** Count how many times any of `words` occurs as a whole token in a
+    * pre-split token array. A token matches at most one marker word, so
+    * one set-membership filter pass equals the per-word sum — token-exact
+    * semantics, no substring/overlap edge cases. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
 
-  /** Heuristic language ID: argmax of marker-word hits, ties broken by
-    * declaration order, no hits → 'und'. Deterministic. */
-  def langId(text: Column): Column = {
-    val scored = langMarkers.map { case (lang, words) => (lang, markerHits(text, words)) }
+  /** Heuristic language ID over a pre-split token array: argmax of
+    * marker-word hits, ties broken by declaration order, no hits → 'und'.
+    * Deterministic. Take tokens (not raw text) so callers hoist the split
+    * into a projection — splitting inside would re-tokenize once per
+    * language. */
+  def langIdFromTokens(toks: Column): Column = {
+    val scored = langMarkers.map { case (lang, words) => (lang, markerHits(toks, words)) }
     val best = scored.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
     scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
       when(score > 0 && score === best, lit(lang)).otherwise(els)
     }
   }
+
+  /** Convenience form over raw text (tokenizes per language — prefer
+    * projecting `tokens(text)` once and using `langIdFromTokens`). */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Composite quality score in [0,1]: rewards mid-length docs with low
     * punctuation noise and sane token lengths. Deterministic per-row

@@ -202,5 +202,11 @@ object CorpusOracles {
          SELECT user_id, session_seq, min(ts) AS session_start,
                 max(ts) AS session_end, count(*) AS n_events
          FROM g GROUP BY 1, 2 ORDER BY user_id, session_start""",
+
+    // q44_approx_distinct: HLL sketch — approximate, rows-only check.
+    "q43_salted_collect" ->
+      """SELECT l_returnflag,
+                array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppkeys
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
   )
 }

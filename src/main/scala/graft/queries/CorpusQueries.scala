@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, Dedup, Multimodal, NearDup, RangeJoin, Sessionize}
+import graft.operators.{AnnSearch, AsOfJoin, Dedup, Multimodal, NearDup, RangeJoin, Sessionize, Sketches, Skew}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -31,10 +31,11 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
-  /** Heuristic language ID per document + corpus distribution. */
+  /** Heuristic language ID per document (tokenize once, score 4 langs). */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.langIdFromTokens(col("toks")).as("lang_pred"))
       .orderBy("doc_id")
 
   /** Quality score per document. */
@@ -177,4 +178,22 @@ object CorpusQueries {
     Sessionize.sessions(
       Tables.load(spark, dir, "events"), "user_id", "ts", gapSeconds = 14400)
       .orderBy("user_id", "session_start")
+
+  /** Skew-safe collect_set: supplier sets per returnflag (3 hot keys),
+    * spread over 8 salted reducers then merged; joined to a string so the
+    * oracle compare is scalar. */
+  def saltedCollect(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCollectSet(
+      Tables.load(spark, dir, "lineitem"), "l_returnflag", "l_suppkey", salts = 8)
+      .select(col("l_returnflag"),
+        concat_ws(",", col("l_suppkey_set")).as("suppkeys"))
+      .orderBy("l_returnflag")
+
+  /** Mergeable-sketch distinct counts (HLL): per-returnflag approximate
+    * supplier counts. Approximate — rows-only driver check; tolerance and
+    * merge-consistency are spec-asserted. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.approxDistinct(
+      Tables.load(spark, dir, "lineitem"), "l_returnflag", "l_suppkey")
+      .orderBy("l_returnflag")
 }
