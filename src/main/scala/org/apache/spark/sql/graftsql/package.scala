@@ -16,4 +16,14 @@ package object graftsql {
 
   /** Extract the Catalyst expression backing a Column. */
   def columnExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions on an already-running session (the
+    * `spark.sql.extensions` config only applies at session build time). */
+  def registerGraftFunctions(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    graft.GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
 }

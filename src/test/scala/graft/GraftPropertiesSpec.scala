@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Casts, Dedup, Multimodal, Sessionize}
+
+/** Property-based specs (SURVEY §5.2 item 4). Spark-backed properties run
+  * a reduced case count — each case is a Spark job. */
+class GraftPropertiesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, cases: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("lenient date parse: total over YYYY / YYYY-MM / YYYY-MM-DD, null on garbage") {
+    val genDate = for {
+      y <- Gen.choose(1900, 2099); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+      prec <- Gen.choose(0, 2)
+    } yield (y, m, d, prec)
+    check("lenientDate", Prop.forAll(Gen.listOfN(20, genDate)) { specs =>
+      val rows = specs.map { case (y, m, d, prec) =>
+        val s = prec match {
+          case 0 => f"$y%04d"
+          case 1 => f"$y%04d-$m%02d"
+          case _ => f"$y%04d-$m%02d-$d%02d"
+        }
+        val expected = prec match {
+          case 0 => f"$y%04d-01-01"
+          case 1 => f"$y%04d-$m%02d-01"
+          case _ => f"$y%04d-$m%02d-$d%02d"
+        }
+        (s, expected)
+      } :+ (("not-a-date", null: String))
+      val out = rows.toDF("raw", "expected")
+        .select(Casts.lenientDate(col("raw")).cast("string").as("got"), col("expected"))
+        .collect()
+      out.forall(r => r.getString(0) == r.getString(1))
+    }, cases = 5)
+  }
+
+  test("keep-first dedup: deterministic, idempotent, independent of input order") {
+    val genRow = for {
+      k <- Gen.choose(0L, 5L); ord <- Gen.choose(0L, 100L); v <- Gen.choose(0, 999)
+    } yield (k, ord, v)
+    check("keepFirst", Prop.forAll(Gen.listOfN(40, genRow)) { rows =>
+      val df = rows.toDF("k", "ord", "v")
+      val shuffled = scala.util.Random.shuffle(rows).toDF("k", "ord", "v")
+      val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"), col("v")))
+        .orderBy("k").collect().map(_.toString).toSeq
+      val twiceIn = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"), col("v")))
+      val twice = Dedup.keepFirst(twiceIn, Seq("k"), Seq(col("ord"), col("v")))
+        .orderBy("k").collect().map(_.toString).toSeq
+      val reordered = Dedup.keepFirst(shuffled, Seq("k"), Seq(col("ord"), col("v")))
+        .orderBy("k").collect().map(_.toString).toSeq
+      once == twice && once == reordered
+    }, cases = 8)
+  }
+
+  test("sessionization partitions events: counts conserve, gaps only between sessions") {
+    val genEv = for {
+      u <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 500L)
+    } yield (u, t)
+    check("sessions", Prop.forAll(Gen.listOfN(60, genEv)) { evs0 =>
+      val evs = evs0.distinct
+      val df = evs.map { case (u, t) => (u, new Timestamp(t * 1000L)) }
+        .toDF("user_id", "ts")
+      val gap = 30L
+      val sess = Sessionize.sessions(df, "user_id", "ts", gap).collect()
+      val totalEvents = sess.map(_.getAs[Long]("n_events")).sum
+      val byUser = sess.groupBy(_.getAs[Long]("user_id"))
+      val ordered = byUser.values.forall { ss =>
+        val sorted = ss.sortBy(_.getAs[Timestamp]("session_start").getTime).toSeq
+        // consecutive sessions of one user are separated by more than gap
+        sorted.sliding(2).forall {
+          case Seq(a, b) =>
+            (b.getAs[Timestamp]("session_start").getTime -
+              a.getAs[Timestamp]("session_end").getTime) > gap * 1000L
+          case _ => true
+        }
+      }
+      totalEvents == evs.size && ordered
+    }, cases = 8)
+  }
+
+  test("multimodal stub decode: pure function agrees with md5 reference") {
+    check("fakeDecode", Prop.forAll(Gen.listOfN(50, Gen.alphaNumStr)) { texts =>
+      texts.forall { t =>
+        val f = Multimodal.fakeDecode(1L, t.getBytes("UTF-8"))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        f.checksum == hex && f.n_bytes == t.getBytes("UTF-8").length &&
+          f.width >= 64 && f.width < 704 && f.height >= 64 && f.height < 544 &&
+          f.n_frames >= 1 && f.n_frames <= 30
+      }
+    }, cases = 20)
+  }
+
+  test("vec_dot is registered in SQL via extension function descriptions") {
+    org.apache.spark.sql.graftsql.registerGraftFunctions(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(got == 32.0)
+    // float arrays coerce through the injected casts
+    val f = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(f == 3.0)
+  }
+}
