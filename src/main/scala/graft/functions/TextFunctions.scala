@@ -103,11 +103,8 @@ object TextFunctions {
 
   /** 56-bit stable hash of a string via md5 hex — engine-portable
     * (DuckDB computes the identical value), unlike xxhash64/murmur whose
-    * seeds differ across engines. Two 28-bit halves keep every
-    * intermediate in non-negative, non-overflowing Long range. */
-  def md5Hash56(c: Column): Column = {
-    val hi = conv(substring(md5(c), 1, 7), 16, 10).cast("long") // 28 bits
-    val lo = conv(substring(md5(c), 8, 7), 16, 10).cast("long") // 28 bits
-    shiftleft(hi, 28) + lo
-  }
+    * seeds differ across engines. 14 hex digits = 56 bits, comfortably
+    * inside non-negative Long range; one md5 + one conv per value. */
+  def md5Hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 }
