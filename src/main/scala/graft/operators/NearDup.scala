@@ -2,9 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.TextFunctions
+import graft.functions.{MinHashAgg, TextFunctions}
 
 /** Near-duplicate detection for large text corpora: exact, n-gram Jaccard,
   * MinHash+LSH, SimHash. All shuffle-friendly — partial aggregation,
@@ -84,25 +85,16 @@ object NearDup {
   private def shingleHash: Column =
     TextFunctions.md5Hash56(col("shingle")).bitwiseAND(lit((1L << 55) - 1))
 
-  /** The numHashes affine permutation min-aggregates over column `h`. */
-  private def affineMinAggs(numHashes: Int): Seq[Column] = {
-    require(numHashes <= 64, "affine multipliers sized for <= 64 permutations")
-    val mask59 = (1L << 59) - 1
-    (0 until numHashes).map { i =>
-      min((col("h") * lit(2L * i + 1) + lit(i * 2654435761L)).bitwiseAND(lit(mask59))).as(s"h$i")
-    }
-  }
-
-  private def sigArray(numHashes: Int): Column =
-    array((0 until numHashes).map(i => col(s"h$i")): _*)
+  /** The MinHash signature aggregate over column `h` — a single
+    * [[graft.functions.MinHashAgg]] imperative aggregate (tight loop over
+    * all permutations) instead of numHashes separate codegen'd mins. */
+  private def sigAgg(numHashes: Int): Column =
+    exprColumn(MinHashAgg(columnExpr(col("h")), numHashes).toAggregateExpression())
 
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n).withColumn("h", shingleHash)
-    val aggs = affineMinAggs(numHashes)
-    sh.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), sigArray(numHashes).as("sig"))
+    sh.groupBy("doc_id").agg(sigAgg(numHashes).as("sig"))
   }
 
   /** LSH banding: (band, band_key, doc_id) — docs sharing a band key are
@@ -130,16 +122,18 @@ object NearDup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    // ONE pass over the shingle stream computes both the signature (64
-    // affine mins) and the exact shingle set per doc; the per-doc table
-    // (vastly smaller than the shingle stream) is persisted and feeds
-    // banding + both sides of the verification join. Without this the
-    // plan re-scans + re-shingles + re-hashes the corpus 4x.
+    // ONE aggregation pass over the shingle stream computes the signature
+    // (MinHashAgg: one long[64] buffer, tight update loop) and the
+    // verification hash set together; the per-doc result — vastly smaller
+    // than the shingle stream — is persisted and feeds banding plus both
+    // sides of the verification join. The set holds the 56-bit shingle
+    // hashes, not the strings: distinct shingles map to distinct hashes
+    // (collision odds ~n²/2^57), the same contract the signatures already
+    // rest on, at a fraction of the shuffle weight.
     val sh = shingles(docs, idCol, textCol, n).withColumn("h", shingleHash)
-    val minAggs = affineMinAggs(numHashes)
+      .select(col("doc_id"), col("h"))
     val perDoc = sh.groupBy("doc_id")
-      .agg(minAggs.head, minAggs.tail :+ collect_set(col("shingle")).as("sh"): _*)
-      .select(col("doc_id"), sigArray(numHashes).as("sig"), col("sh"))
+      .agg(sigAgg(numHashes).as("sig"), collect_set(col("h")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = lshBands(perDoc.select("doc_id", "sig"), numBands)
     val cand = bands.as("x").join(bands.as("y"),
@@ -148,10 +142,14 @@ object NearDup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification over the candidates only
-    cand
-      .join(perDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(perDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    // exact verification over the candidates only. Broadcast the candidate
+    // pairs (and the once-enriched result) — they are LSH-selected and
+    // tiny; left to statistics Spark may instead broadcast the corpus-wide
+    // shingle-set table.
+    val j1 = perDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(broadcast(cand), Seq("doc_a"))
+    perDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .join(broadcast(j1), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
