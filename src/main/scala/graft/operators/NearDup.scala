@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{MinHashAgg, TextFunctions}
+import graft.functions.{MinHashAgg, NGramShingles, SimHashAgg, TextFunctions}
 
 /** Near-duplicate detection for large text corpora: exact, n-gram Jaccard,
   * MinHash+LSH, SimHash. All shuffle-friendly — partial aggregation,
@@ -22,17 +22,14 @@ import graft.functions.{MinHashAgg, TextFunctions}
 object NearDup {
 
   /** (doc_id, shingle) — distinct word n-gram shingles per document.
-    * Codegen'd higher-order functions, no UDF. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    * Single-pass [[graft.functions.NGramShingles]] expression (one eval
+    * per row; the equivalent HOF chain pays one interpreted lambda per
+    * shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      explode(array_distinct(
-        transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
+      explode(exprColumn(NGramShingles(columnExpr(col(textCol)), n))).as("shingle"))
       .filter(length(col("shingle")) > 0)
-  }
 
   /** All candidate pairs sharing ≥1 shingle, with exact Jaccard similarity.
     * `dfCap`: drop shingles occurring in more than dfCap docs (stopword
@@ -166,14 +163,9 @@ object NearDup {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
       .withColumn("h", TextFunctions.md5Hash56(col("t")))
-    val bitAggs = (0 until bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val voted = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val fp = (0 until bits).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col("doc_id"), fp.as("simhash"))
+    tok.groupBy("doc_id").agg(
+      exprColumn(SimHashAgg(columnExpr(col("h")), bits).toAggregateExpression())
+        .as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming. The pair join
