@@ -37,7 +37,7 @@ object AsOfJoin {
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
       lit(null).cast("long").as("__tb"),
       lit(null).cast(rType).as("__r"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"))
     val lType = l.schema("__l").dataType
     val u = l.unionByName(r.withColumn("__l", lit(null).cast(lType)))
     // at equal ts the right row sorts first (side 0 < 1) => inclusive "<="

@@ -25,6 +25,15 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
+  /** Streaming exactly-once dedup on a key: duplicate event_ids arriving
+    * in any later micro-batch are dropped; the watermark bounds how long
+    * each key is remembered (state eviction — without it the key set
+    * grows forever at corpus scale). */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+
   /** Watermarked sliding-window counts per event type. */
   def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
       windowLen: String = "1 hour", slide: String = "30 minutes"): DataFrame =

@@ -83,6 +83,24 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(streamed.size == 3)
   }
 
+  test("streaming dedup drops cross-batch duplicate keys exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:00", 1))
+    q.processAllAvailable()
+    // same event_id redelivered in a later batch (same + different payload)
+    in.addData(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:30", 7),
+      ev(3, "2024-01-01 10:02:00", 2))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out")
+    assert(out.count() == 3)
+    assert(out.select("event_id").distinct().count() == 3)
+    q.stop()
+  }
+
   test("built-in session_window agrees with gaps-and-islands on session count") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
