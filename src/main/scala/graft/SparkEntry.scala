@@ -64,6 +64,9 @@ object SparkEntry {
     "q42_sessionize"          -> (CorpusQueries.sessionize(_, _)),
     "q43_salted_collect"      -> (CorpusQueries.saltedCollect(_, _)),
     "q44_approx_distinct"     -> (CorpusQueries.approxDistinct(_, _)),
+    "q45_pivot"               -> (StarQueries.q45Pivot(_, _)),
+    "q46_cube"                -> (StarQueries.q46Cube(_, _)),
+    "q47_percentiles"         -> (StarQueries.q47Percentiles(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -217,6 +220,28 @@ object SparkEntry {
       FROM lineitem
       WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
       ORDER BY l_shipdate, l_orderkey, l_linenumber""",
+    "q45_pivot" -> """
+      SELECT l_returnflag,
+             count(*) FILTER (l_linestatus = 'F') AS n_f,
+             count(*) FILTER (l_linestatus = 'O') AS n_o
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q46_cube" -> """
+      SELECT coalesce(r_name, 'ALL') AS region_name,
+             coalesce(n_name, 'ALL') AS nation_name,
+             count(*) AS n_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY CUBE(r_name, n_name)
+      ORDER BY region_name, nation_name""",
+
+    "q47_percentiles" -> """
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS p50,
+             quantile_cont(l_extendedprice, 0.9) AS p90,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
   ).++(CorpusOracles.sql) // q35_ann_ivf_topk: approximate — rows-only check
     .map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

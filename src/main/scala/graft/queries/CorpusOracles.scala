@@ -31,15 +31,18 @@ object CorpusOracles {
                FROM toks),
        sh AS (SELECT doc_id, shingle FROM sh0 WHERE length(shingle) > 0)"""
 
-  /** All-pairs exact n-gram Jaccard at `threshold` — oracle for both the
-    * exact pairs query and the MinHash+LSH query (LSH recall at the data's
-    * observed pair similarities is 1 up to ~1e-8). */
+  /** All-pairs n-gram Jaccard at `threshold` over the hashed shingle
+    * space — oracle for both the exact pairs query and the MinHash+LSH
+    * query (LSH recall at the data's observed pair similarities is 1 up
+    * to ~1e-8). Applies the identical 55-bit md5 hash the Spark operator
+    * joins on, so results are equal by construction even at collisions. */
   private def jaccardPairs(threshold: Double): String =
     s"""WITH $shingleCte,
+       shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
-             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
-       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+       sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1)
        SELECT doc_a, doc_b, nc::DOUBLE/(sa.n + sb.n - nc) AS jaccard
        FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
        WHERE nc::DOUBLE/(sa.n + sb.n - nc) >= $threshold

@@ -286,4 +286,46 @@ object StarQueries {
       .withColumn("qty_delta", col("l_quantity") - lag(col("l_quantity"), 1).over(w))
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
   }
+
+  /** Pivot (wide aggregation): returnflag × linestatus counts as columns.
+    * Explicit pivot values keep the plan a single pass (no value-discovery
+    * job); coalesce(0) aligns missing combinations with the oracle's
+    * filtered counts. */
+  def q45Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"))
+      .orderBy("l_returnflag")
+
+  /** CUBE over region × nation (all four grouping-set combinations). */
+  def q46Cube(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition and
+    * match bit-exactly on the same doubles). */
+  def q47Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .orderBy("l_returnflag")
 }
