@@ -317,15 +317,12 @@ object StarQueries {
       .orderBy("region_name", "nation_name")
   }
 
-  /** Exact interpolated percentiles per group (Spark `percentile` and
-    * DuckDB `quantile_cont` share the linear-interpolation definition and
-    * match bit-exactly on the same doubles). */
+  /** Exact interpolated percentiles per group — sort+window formulation
+    * (graft.operators.Percentiles); interpolation matches DuckDB
+    * `quantile_cont` bit-exactly. */
   def q47Percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+    graft.operators.Percentiles.exact(
+      Tables.load(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
       .orderBy("l_returnflag")
 }
