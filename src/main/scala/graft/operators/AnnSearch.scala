@@ -52,12 +52,33 @@ object AnnSearch {
       .select("query_id", "vec_id", "rnk", "sim")
   }
 
-  /** Deterministic centroid pick: the `numCentroids` lowest-id vectors.
-    * A production index would k-means these; the IVF structure (assign,
-    * invert, probe) is identical and that is what's under test. */
-  def centroids(corpus: DataFrame, numCentroids: Int): DataFrame =
+  /** Deterministic centroid seed: the `numCentroids` lowest-id vectors. */
+  def seedCentroids(corpus: DataFrame, numCentroids: Int): DataFrame =
     corpus.orderBy("vec_id").limit(numCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+
+  /** Lloyd k-means refinement of the seed centroids: `iters` rounds of
+    * assign (broadcast centroids, cosine) + recompute (per-dimension mean
+    * via posexplode — a plain hash aggregation, no driver-side math).
+    * Deterministic up to float-sum ordering in the mean (immaterial for
+    * bucket quality). Index build is a one-time cost amortized over every
+    * probe; each iteration is two shuffles at O(|corpus|·d). */
+  def centroids(corpus: DataFrame, numCentroids: Int, iters: Int = 2): DataFrame = {
+    var cents = seedCentroids(corpus, numCentroids)
+    (0 until iters).foreach { _ =>
+      val assigned = assign(corpus, cents)
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("cvec"))
+        .persist() // cut lineage: next iteration reads this round's result
+    }
+    cents
+  }
 
   /** Assign every corpus vector to its nearest centroid (broadcast the
     * centroid table — it is tiny by construction). One pass, one shuffle
@@ -77,8 +98,8 @@ object AnnSearch {
   /** IVF approximate top-k: probe the nProbe nearest centroids per query,
     * exact cosine within the probed buckets only. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      numCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(corpus, numCentroids)
+      numCentroids: Int, nProbe: Int, kmeansIters: Int = 2): DataFrame = {
+    val cents = centroids(corpus, numCentroids, kmeansIters).persist()
     val inverted = assign(corpus, cents)
     // per query: nProbe nearest centroids
     val q = castDouble(queries, "q").withColumn("nq", norm("q"))
