@@ -8,8 +8,13 @@ import org.apache.spark.sql.SparkSession
   *  - full-plan execution via the `noop` sink — `count()` would let
   *    Catalyst drop sorts and prune the very columns a real consumer
   *    reads;
-  *  - one untimed warmup query first, so JVM/codegen/classloading cost
-  *    isn't booked to whichever query happens to run first;
+  *  - steady-state timing (JMH-style): one untimed warmup pass over the
+  *    whole suite first, so JVM JIT, whole-stage-codegen compilation
+  *    (~0.2-0.5 s/query, cached by generated source) and parquet footer
+  *    reads are amortized rather than booked to whichever timed query
+  *    pays them first. The cache of *data* (persisted DataFrames) is
+  *    cleared after every query, warmup included — the timed pass
+  *    re-executes every scan, shuffle and aggregate from the files;
   *  - queries run in declared name order (deterministic round-to-round).
   */
 object Bench {
@@ -30,9 +35,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    run(SparkEntry.queries.keys.min) // warmup, untimed
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name => // warmup pass, untimed (see methodology above)
+      try run(name) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 
-import graft.functions.Vectors
+import graft.functions.{Vectors, VectorAvgAgg}
 
 /** Similarity search over embedding columns (array<float>).
   *
@@ -58,41 +59,46 @@ object AnnSearch {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
 
   /** Lloyd k-means refinement of the seed centroids: `iters` rounds of
-    * assign (broadcast centroids, cosine) + recompute (per-dimension mean
-    * via posexplode — a plain hash aggregation, no driver-side math).
-    * Deterministic up to float-sum ordering in the mean (immaterial for
-    * bucket quality). Index build is a one-time cost amortized over every
-    * probe; each iteration is two shuffles at O(|corpus|·d). */
+    * assign (broadcast centroids, cosine) + recompute (elementwise mean as
+    * ONE [[graft.functions.VectorAvgAgg]] pass — the shuffle carries one
+    * (dim+1)-double buffer per centroid instead of |corpus|·dim exploded
+    * rows). Deterministic up to float-sum ordering in the mean (immaterial
+    * for bucket quality). Index build is a one-time cost amortized over
+    * every probe; each iteration is two hash-agg shuffles. */
   def centroids(corpus: DataFrame, numCentroids: Int, iters: Int = 2): DataFrame = {
     var cents = seedCentroids(corpus, numCentroids)
     (0 until iters).foreach { _ =>
       val assigned = assign(corpus, cents)
       cents = assigned
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("centroid_id", "pos")
-        .agg(avg(col("x")).as("m"))
         .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .agg(exprColumn(
+          VectorAvgAgg(columnExpr(col("embedding"))).toAggregateExpression()).as("m"))
         .select(col("centroid_id"),
-          transform(col("pm"), e => e.getField("m").cast("float")).as("cvec"))
+          transform(col("m"), x => x.cast("float")).as("cvec"))
         .persist() // cut lineage: next iteration reads this round's result
     }
     cents
   }
 
   /** Assign every corpus vector to its nearest centroid (broadcast the
-    * centroid table — it is tiny by construction). One pass, one shuffle
-    * if the result is persisted bucketed by centroid_id. Output keeps the
-    * per-vector norm so probes need not recompute it. */
+    * centroid table — it is tiny by construction). The argmax is a
+    * `max_by` hash aggregate, partial-aggregatable: each map task folds
+    * its numCentroids-per-vector scores down to one row before the
+    * exchange — no window sort, O(|corpus|) shuffle payload. Ties break
+    * to the lowest centroid_id. Output keeps the per-vector norm so
+    * probes need not recompute it. */
   def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val c = castDouble(corpus, "embedding").withColumn("nrm", norm("embedding"))
     val ce = castDouble(cents, "cvec").withColumn("ncv", norm("cvec"))
     val scored = c.crossJoin(broadcast(ce))
       .withColumn("csim",
         Vectors.dot(col("cvec"), col("embedding")) / (col("ncv") * col("nrm")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), asc("centroid_id"))
-    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    scored.groupBy("vec_id")
+      .agg(max_by(
+        struct(col("embedding"), col("nrm"), col("centroid_id")),
+        struct(col("csim"), negate(col("centroid_id")))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.centroid_id").as("centroid_id"))
   }
 
   /** IVF approximate top-k: probe the nProbe nearest centroids per query,

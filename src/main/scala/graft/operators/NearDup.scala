@@ -42,30 +42,38 @@ object NearDup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
-    // the hash stream feeds the self-join twice plus the size agg —
-    // materialize it once instead of re-scanning + re-shingling 3x
-    val sh = shingles(docs, idCol, textCol, n).withColumn("h", shingleHash)
-      .select(col("doc_id"), col("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (doc_id, |shingles(doc)|, h) in one scan: the per-doc set size rides
+    // along with every shingle hash, so no separate size aggregate and no
+    // size-attach joins later — the whole operator is TWO shuffles
+    // (bucket-by-h, group-by-pair), nothing persisted.
+    val arr = exprColumn(NGramShingles(columnExpr(col(textCol)), n))
+    val sh = docs.select(
+        col(idCol).as("doc_id"),
+        filter(arr, x => length(x) > 0).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("shingle"))
+      .withColumn("h", shingleHash)
+      .select(col("doc_id"), col("n_sh"), col("h"))
+    // Pair generation: ONE shuffle groups each shingle's (doc, size) list,
+    // then in-place combination expansion — versus the h ⋈ h self-join
+    // this saves the join's second exchange. sort_array orders each bucket
+    // by doc_id (struct compares field-wise, doc_id leads), so emitted
+    // pairs satisfy doc_a < doc_b like the join formulation. Per-bucket
+    // memory is O(df(h)); dfCap bounds it (and the quadratic emission) at
+    // scale — stopword shingles carry no near-dup signal.
+    val buckets = sh.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")) > 1)
     val capped =
-      if (dfCap == Int.MaxValue) sh
-      else {
-        val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap).select("h")
-        sh.join(hot, Seq("h"), "left_anti")
-      }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val inter = a.join(b, col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      if (dfCap == Int.MaxValue) buckets else buckets.filter(size(col("ds")) <= dfCap)
+    capped
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+            x.getField("n_sh").as("na"), y.getField("n_sh").as("nb")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("p.na").as("size_a"), col("p.nb").as("size_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")))
