@@ -20,12 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Keep exactly one row per key, the first under `order`. Deterministic. */
+  /** Keep exactly one row per key, the first under `order` (ascending,
+    * plain columns — not SortOrder). Deterministic when `order` is total
+    * within each key.
+    *
+    * Implemented as a `min_by` hash aggregate rather than a row_number
+    * window: min_by is partial-aggregatable, so each map task folds its
+    * rows down to one candidate per key BEFORE the exchange — the shuffle
+    * carries |keys| rows, not the whole input, and nothing is sorted. */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val payload = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*), struct(order: _*)).as("__first"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__first.$c").as(c)): _*)
   }
 
   /** Exact duplicate groups by content hash of `textCol`: one output row per

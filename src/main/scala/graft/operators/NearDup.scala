@@ -146,12 +146,19 @@ object NearDup {
     val perDoc = sh.groupBy("doc_id")
       .agg(sigAgg(numHashes).as("sig"), collect_set(col("h")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // candidate pairs: ONE shuffle buckets each (band, band_key)'s doc
+    // list, in-place combination expansion emits ordered pairs — versus
+    // the band ⋈ band self-join this halves the exchanges. Most buckets
+    // are singletons (filtered before expansion); a pathological bucket
+    // is bounded by band-key entropy, the same guarantee LSH itself needs.
     val bands = lshBands(perDoc.select("doc_id", "sig"), numBands)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = bands.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     // exact verification over the candidates only. Broadcast the candidate
     // pairs (and the once-enriched result) — they are LSH-selected and
