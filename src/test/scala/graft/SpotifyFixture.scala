@@ -42,6 +42,10 @@ object SpotifyFixture {
     }"""
   }
 
+  /** One day's items as a JSON array string (the raw-file body). */
+  def itemsJson(day: String, n: Int): String =
+    (0 until n).map(item(day, _)).mkString("[", ",", "]")
+
   /** Write raw files for the given days (yyyy-MM-dd) into dir/to_process,
     * n items each; returns the landing dir. */
   def write(dir: Path, days: Seq[String], n: Int = 50): String = {
