@@ -67,6 +67,8 @@ object SparkEntry {
     "q45_pivot"               -> (StarQueries.q45Pivot(_, _)),
     "q46_cube"                -> (StarQueries.q46Cube(_, _)),
     "q47_percentiles"         -> (StarQueries.q47Percentiles(_, _)),
+    "q48_tfidf"               -> (CorpusQueries.tfidfTopTerms(_, _)),
+    "q49_ann_lsh_topk"        -> (CorpusQueries.annLshTopK(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

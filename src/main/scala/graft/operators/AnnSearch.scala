@@ -126,6 +126,62 @@ object AnnSearch {
       .select("query_id", "vec_id", "rnk", "sim")
   }
 
+  /** Deterministic random-hyperplane planes: `numTables` tables of
+    * `planesPerTable` Gaussian vectors (fixed seed → reproducible runs,
+    * specs, and resumes). Driver-side O(L·m·dim) doubles — index
+    * metadata, not data. */
+  def lshPlanes(numTables: Int, planesPerTable: Int, dim: Int,
+      seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numTables)(Seq.fill(planesPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Sign-bit signature of `vec` under one table's planes: bit j =
+    * [dot(vec, plane_j) >= 0]. Pure codegen'd column arithmetic. */
+  def lshSignature(vec: org.apache.spark.sql.Column,
+      planes: Seq[Array[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(Vectors.dot(vec, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH approximate top-k (the classic L-tables/m-bits
+    * sign-random-projection scheme): vectors collide in table t when all
+    * m sign bits agree — P[collide] = (1-θ/π)^m per table; L independent
+    * tables drive recall to 1-(1-p)^L. Candidates then pay an EXACT
+    * cosine rerank, so every emitted (query, neighbor, sim) is exact;
+    * only recall is approximate (spec-asserted against brute force).
+    *
+    * Scale shape: the bucket table stores (table, sig, vec_id) — ids
+    * only, no L× duplication of the vectors; the candidate join is a hash
+    * equi-join on (table, sig); reranking joins the corpus by vec_id once
+    * per distinct candidate. All shuffles carry O(ids), the only
+    * vector-width traffic is the final candidate set. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numTables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = lshPlanes(numTables, planesPerTable, dim, seed)
+    def sigs(vec: org.apache.spark.sql.Column) = array(planes.zipWithIndex.map {
+      case (ps, t) => struct(lit(t).as("t"), lshSignature(vec, ps).as("sig"))
+    }: _*)
+    val c = castDouble(corpus, "embedding")
+    val q = castDouble(queries, "q")
+    val cbuck = c.select(col("vec_id"), explode(sigs(col("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.t"), col("b.sig"))
+    val qbuck = q.select(col("query_id"), explode(sigs(col("q"))).as("b"))
+      .select(col("query_id"), col("b.t"), col("b.sig"))
+    val cand = qbuck.join(cbuck, Seq("t", "sig"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cand
+      .join(c.withColumn("nc", norm("embedding")), Seq("vec_id"))
+      .join(broadcast(q.withColumn("nq", norm("q"))), Seq("query_id"))
+      .withColumn("sim",
+        Vectors.dot(col("q"), col("embedding")) / (col("nq") * col("nc")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "rnk", "sim")
+  }
+
   /** All near-duplicate embedding pairs by cosine ≥ threshold. All-pairs
     * at dim-table size; at corpus scale route through ivf/LSH buckets
     * first (same verify-after-candidates shape as NearDup.minhashLshPairs).

@@ -211,5 +211,23 @@ object CorpusOracles {
       """SELECT l_returnflag,
                 array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppkeys
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q49_ann_lsh_topk: approximate recall — rows-only check (recall vs
+    // brute force is spec-asserted in CorpusSpec).
+    "q48_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, token,
+                      tf::DOUBLE * ((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) AS tfidf
+                    FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         r AS (SELECT doc_id, token, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token) AS rnk
+               FROM scored)
+         SELECT doc_id, token, tfidf, rnk FROM r WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
   )
 }

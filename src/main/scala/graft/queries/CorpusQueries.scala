@@ -189,6 +189,43 @@ object CorpusQueries {
         concat_ws(",", col("l_suppkey_set")).as("suppkeys"))
       .orderBy("l_returnflag")
 
+  /** TF-IDF top-3 terms per document. The idf is the log-free rational
+    * (N+1)/(df+1) — same monotone ranking as log-idf, but IEEE-exact
+    * cross-engine (a single correctly-rounded division; `ln` is libm-
+    * dependent and would flake the hash oracle). Shape at scale: tf is a
+    * map-side-combinable hash agg; df aggregates the already-distinct
+    * (doc, token) stream; the tf⋈df equi-join shuffles on token (AQE
+    * broadcasts it at small SF); N rides along as a broadcast scalar. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, dir, "documents")
+    val tok = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "token", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH approximate top-5, same query/corpus split as
+    * annTopK (rows-only check; recall vs brute force is spec-asserted). */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val corpus = e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+    AnnSearch.lshTopK(queries, corpus, k = 5, numTables = 8, planesPerTable = 6)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Mergeable-sketch distinct counts (HLL): per-returnflag approximate
     * supplier counts. Approximate — rows-only driver check; tolerance and
     * merge-consistency are spec-asserted. */
