@@ -4,36 +4,64 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact interpolated percentiles via sort + window instead of Spark's
+/** Exact interpolated percentiles via parallel ranking instead of Spark's
   * holistic `percentile` aggregate.
   *
   * The built-in buffers every (value → count) per group in an in-memory
   * map and sorts it single-threaded at eval — 5+ s for 600k rows at
-  * sf0.1, and a scale hazard (group state ∝ group cardinality). This
-  * formulation is all shuffle-parallel primitives:
-  *  1. per-key counts (map-side-combined hash agg, |keys| rows) broadcast
-  *     back onto the stream — so every row knows its key's n without a
-  *     second window pass;
-  *  2. one range-partitioned sort per key assigns ranks (row_number);
-  *  3. rows not sitting at a requested rank are FILTERED OUT right after
-  *     ranking — the final agg interpolates from ≤ 2·|ps| rows per key,
-  *     not the full column;
-  *  4. interpolation is v_lo*(1-frac) + v_hi*frac at position p*(n-1) —
-  *     the exact expression `percentile`/DuckDB `quantile_cont` evaluate
-  *     (the algebraically equal v_lo + (v_hi-v_lo)*frac form differs in
-  *     the last float bits).
+  * sf0.1, and a scale hazard (group state ∝ group cardinality). A naive
+  * row_number window is better but sorts each key in ONE task — with few
+  * huge groups (the common shape: 3 returnflags, a handful of tenants)
+  * parallelism collapses to |keys|.
+  *
+  * This formulation keeps every stage wide:
+  *  1. per-key (count, min, max) — map-side-combined hash agg, broadcast
+  *     back onto the stream;
+  *  2. each row gets a value-range bucket `floor((v-min)/(max-min)·B)`;
+  *     bucket id is a monotone deterministic function of v, so per-key
+  *     global order = (bucket, within-bucket order) — equal values land
+  *     in the same bucket, and interpolation only reads v at a rank, so
+  *     tie order inside a bucket is immaterial;
+  *  3. bucket sizes (hash agg) → cumulative offsets (window over the
+  *     TINY |keys|·B table);
+  *  4. row_number windows partitioned by (key, bucket) — |keys|·B
+  *     concurrent sorts of ~n/B rows instead of |keys| sorts of n;
+  *     global rank = bucket offset + local rank;
+  *  5. rows not at a requested bracketing rank are filtered before the
+  *     final agg, which interpolates v_lo*(1-frac) + v_hi*frac at
+  *     position p*(n-1) — the exact expression `percentile` / DuckDB
+  *     `quantile_cont` evaluate (the algebraically equal
+  *     v_lo + (v_hi-v_lo)*frac form differs in the last float bits).
   */
 object Percentiles {
 
   /** One output row per key: `p<NN>` columns for each requested fraction. */
   def exact(df: DataFrame, key: String, value: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)], numBuckets: Int = 32): DataFrame = {
     val vals = df.select(col(key), col(value).cast("double").as("__v"))
-    val counts = vals.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(key).orderBy("__v")
-    val ranked = vals
-      .withColumn("__rn", row_number().over(w))
-      .join(broadcast(counts), Seq(key))
+    val stats = vals.groupBy(col(key)).agg(
+      count(lit(1)).as("__n"), min("__v").as("__mn"), max("__v").as("__mx"))
+
+    val bkt = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+        * numBuckets), lit(numBuckets - 1))).cast("int")
+    val bucketed = vals.join(broadcast(stats), Seq(key)).withColumn("__b", bkt)
+
+    // per-(key, bucket) sizes → exclusive prefix offsets; |keys|·B rows
+    val offsets = bucketed.groupBy(col(key), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off",
+        coalesce(sum("__bn").over(
+          Window.partitionBy(key).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col("__b"), col("__off"))
+
+    val wLocal = Window.partitionBy(col(key), col("__b")).orderBy("__v")
+    val ranked = bucketed
+      .withColumn("__lrn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq(key, "__b"))
+      .withColumn("__rn", col("__off") + col("__lrn"))
+
     def pos(p: Double): Column = (col("__n") - 1) * p
     val needed = ps.map { case (_, p) =>
       col("__rn") === floor(pos(p)) + 1 || col("__rn") === ceil(pos(p)) + 1
