@@ -54,6 +54,15 @@ object Sinks {
   def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     csvOptions(spark.read).schema(schema).csv(dir)
 
+  /** Glue-Crawler equivalent (S11): infer schema from the header CSVs and
+    * register a catalog table over them (reference: README.md:5-7, the 3
+    * spotify_{album,artist,songs} crawlers). Explicit DDL stays the
+    * production path — inference exists for parity with crawler-built
+    * tables. */
+  def crawlCsv(spark: SparkSession, dir: String, table: String): Unit =
+    csvOptions(spark.read).option("inferSchema", "true").csv(dir)
+      .write.mode("overwrite").saveAsTable(table)
+
   def csvOptions(r: DataFrameReader): DataFrameReader =
     r.option("header", "true")
       .option("nullValue", "NULL")

@@ -132,5 +132,8 @@ class SpotifyPipelineSpec extends AnyFunSuite {
     assert(csv.count() == 10)
     // landing dir drained
     assert(new java.io.File(l).listFiles().count(_.getName.endsWith(".json")) == 0)
+    // S11: crawler-equivalent registers an inferred-schema catalog table
+    graft.sources.Sinks.crawlCsv(spark, s"$out/csv/album", "crawled_album")
+    assert(spark.table("crawled_album").count() == 10)
   }
 }
