@@ -59,9 +59,13 @@ object Sinks {
     * spotify_{album,artist,songs} crawlers). Explicit DDL stays the
     * production path — inference exists for parity with crawler-built
     * tables. */
-  def crawlCsv(spark: SparkSession, dir: String, table: String): Unit =
-    csvOptions(spark.read).option("inferSchema", "true").csv(dir)
-      .write.mode("overwrite").saveAsTable(table)
+  def crawlCsv(spark: SparkSession, dir: String, table: String,
+      location: Option[String] = None): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table") // crawler re-run = replace
+    val w = csvOptions(spark.read).option("inferSchema", "true").csv(dir)
+      .write.mode("overwrite")
+    location.fold(w)(w.option("path", _)).saveAsTable(table)
+  }
 
   def csvOptions(r: DataFrameReader): DataFrameReader =
     r.option("header", "true")

@@ -133,7 +133,8 @@ class SpotifyPipelineSpec extends AnyFunSuite {
     // landing dir drained
     assert(new java.io.File(l).listFiles().count(_.getName.endsWith(".json")) == 0)
     // S11: crawler-equivalent registers an inferred-schema catalog table
-    graft.sources.Sinks.crawlCsv(spark, s"$out/csv/album", "crawled_album")
+    graft.sources.Sinks.crawlCsv(spark, s"$out/csv/album", "crawled_album",
+      location = Some(dir.resolve("crawled_album").toString))
     assert(spark.table("crawled_album").count() == 10)
   }
 }
