@@ -101,10 +101,13 @@ object TextFunctions {
       (acc, h) => (acc * lit(131L) + h).bitwiseAND(lit(mask)))
   }
 
-  /** 56-bit stable hash of a string via md5 hex — engine-portable
-    * (DuckDB computes the identical value), unlike xxhash64/murmur whose
-    * seeds differ across engines. 14 hex digits = 56 bits, comfortably
-    * inside non-negative Long range; one md5 + one conv per value. */
-  def md5Hash56(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+  /** 56-bit stable hash of a string via md5 — engine-portable (DuckDB
+    * computes the identical value from md5 hex arithmetic), unlike
+    * xxhash64/murmur whose seeds differ across engines. Implemented as a
+    * native single-digest-pass expression ([[Md5Hash56]]); value-equal to
+    * `conv(substring(md5(c), 1, 14), 16, 10)`. */
+  def md5Hash56(c: Column): Column = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    exprColumn(Md5Hash56(columnExpr(c)))
+  }
 }
