@@ -69,6 +69,7 @@ object SparkEntry {
     "q47_percentiles"         -> (StarQueries.q47Percentiles(_, _)),
     "q48_tfidf"               -> (CorpusQueries.tfidfTopTerms(_, _)),
     "q49_ann_lsh_topk"        -> (CorpusQueries.annLshTopK(_, _)),
+    "q50_dup_groups"          -> (CorpusQueries.dupGroups(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -175,6 +175,51 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Transitive near-duplicate groups: connected components over a pair
+    * table, labels = min doc_id reachable. The dedup capstone — after
+    * pair generation (exact/MinHash/SimHash), components decide which
+    * rows are "the same document" and `min(label)` picks the canonical
+    * keeper.
+    *
+    * Iterative min-label propagation (the scalable formulation — what
+    * GraphX/GraphFrames run underneath): each round joins labels across
+    * edges and keeps the per-node min; converged when no label shrinks.
+    * All data-sized state lives in hash-partitioned DataFrames; the
+    * driver sees one boolean per round (did anything change) — O(log
+    * diameter) rounds on near-dup graphs, whose components are tiny and
+    * dense. Each round persists its labels and unpersists the previous
+    * round (bounded lineage, no recursive plan blowup). */
+  def dupGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("lbl", "nbr_lbl"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nbr_lbl")).as("nbr_min"))
+      val next = labels.join(viaEdges, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.lbl") < col("o.lbl")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("group_id"))
+  }
+
   /** 32-bit SimHash from whitespace tokens (with multiplicity): bit j of
     * the hash of each token votes +1/-1; the sign of the vote sum sets bit
     * j of the fingerprint. Engine-portable: md5-derived bits + integer

@@ -214,6 +214,32 @@ object CorpusOracles {
 
     // q49_ann_lsh_topk: approximate recall — rows-only check (recall vs
     // brute force is spec-asserted in CorpusSpec).
+    "q50_dup_groups" -> {
+      // min-reachable-label connected components over the 0.5-Jaccard
+      // pair graph, as a recursive reachability CTE (UNION dedup ⇒
+      // guaranteed fixpoint; dup components are tiny so the reach set
+      // stays small)
+      s"""WITH RECURSIVE $shingleCte,
+         shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+               FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+         pr AS (SELECT doc_a, doc_b
+                FROM p JOIN sz sa ON doc_a = sa.doc_id
+                       JOIN sz sb ON doc_b = sb.doc_id
+                WHERE nc::DOUBLE/(sa.n + sb.n - nc) >= 0.5),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+               UNION ALL SELECT doc_b, doc_a FROM pr),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         r AS (SELECT node, node AS reach FROM nodes
+               UNION
+               SELECT e.src AS node, r.reach
+               FROM e JOIN r ON r.node = e.dst)
+         SELECT node AS doc_id, min(reach) AS group_id
+         FROM r GROUP BY node ORDER BY doc_id"""
+    },
+
     "q48_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                       FROM documents),

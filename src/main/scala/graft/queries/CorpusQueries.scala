@@ -215,6 +215,16 @@ object CorpusQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Transitive dup groups: connected components over the 0.5-Jaccard
+    * pair graph; group_id = min doc_id in the component (the canonical
+    * keeper a dedup pass would retain). */
+  def dupGroups(spark: SparkSession, dir: String): DataFrame =
+    NearDup.dupGroups(
+      NearDup.ngramJaccardPairs(
+        Tables.load(spark, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5))
+      .orderBy("doc_id")
+
   /** Random-hyperplane LSH approximate top-5, same query/corpus split as
     * annTopK (rows-only check; recall vs brute force is spec-asserted). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {

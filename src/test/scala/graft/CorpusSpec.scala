@@ -76,6 +76,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("dup groups: transitive closure of the pair graph, min-id labels") {
+    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val groups = NearDup.dupGroups(pairs)
+    val lbl = groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // connected nodes share a label, and the label is the component min
+    edges.foreach { case (a, b) => assert(lbl(a) == lbl(b), s"$a,$b split") }
+    lbl.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.keySet.min == g, s"group $g label is not the min id")
+    }
+  }
+
   test("simhash: near-duplicate docs are closer in hamming than random pairs") {
     val dups = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
     val fps = NearDup.simhash(docs, "doc_id", "text", bits = 32)
