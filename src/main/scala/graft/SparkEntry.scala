@@ -70,6 +70,8 @@ object SparkEntry {
     "q48_tfidf"               -> (CorpusQueries.tfidfTopTerms(_, _)),
     "q49_ann_lsh_topk"        -> (CorpusQueries.annLshTopK(_, _)),
     "q50_dup_groups"          -> (CorpusQueries.dupGroups(_, _)),
+    "q51_outer_join"          -> (StarQueries.q51OuterJoin(_, _)),
+    "q52_exists"              -> (StarQueries.q52Exists(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,6 +247,27 @@ object SparkEntry {
              quantile_cont(l_extendedprice, 0.9) AS p90,
              quantile_cont(l_extendedprice, 0.99) AS p99
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q51_outer_join" -> """
+      WITH stats AS (SELECT o_custkey, count(*) AS n_orders,
+                            max(o_totalprice) AS max_price
+                     FROM orders GROUP BY 1)
+      SELECT c_custkey, c_mktsegment,
+             coalesce(n_orders, 0) AS n_orders, max_price
+      FROM customer LEFT JOIN stats ON c_custkey = o_custkey
+      ORDER BY c_custkey""",
+
+    "q52_exists" -> """
+      SELECT s_suppkey, s_name, s_nationkey
+      FROM supplier s
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_suppkey = s.s_suppkey
+                      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+        AND NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_suppkey = s.s_suppkey
+                          AND l.l_returnflag = 'R' AND l.l_quantity > 49)
+      ORDER BY s_suppkey""",
   ).++(CorpusOracles.sql) // q35_ann_ivf_topk: approximate — rows-only check
     .map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -325,4 +325,41 @@ object StarQueries {
       Tables.load(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
       .orderBy("l_returnflag")
+
+  /** LEFT OUTER broadcast join: every customer, with order stats where
+    * they exist (null-extended otherwise — count preserved as 0). The
+    * fact side is pre-aggregated BEFORE the join, so the outer join
+    * touches |customers| + |custkeys-with-orders| rows, never the raw
+    * fact table. */
+  def q51OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val stats = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("o_totalprice")).as("max_price"))
+    c.join(stats, c("c_custkey") === stats("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("max_price"))
+      .orderBy("c_custkey")
+  }
+
+  /** EXISTS / NOT EXISTS correlated subqueries — expressed as left-semi
+    * and left-anti joins (exactly what Catalyst rewrites EXISTS into):
+    * suppliers that shipped in 1997 but never had a full-quantity return
+    * line. Both subquery filters are pushed to the fact scan. */
+  def q52Exists(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "supplier")
+    val li = Tables.load(spark, dir, "lineitem")
+    val shipped97 = li.filter(
+      col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+      col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select(col("l_suppkey"))
+    val fullReturns = li.filter(col("l_returnflag") === "R" && col("l_quantity") > 49)
+      .select(col("l_suppkey"))
+    s.join(shipped97, s("s_suppkey") === shipped97("l_suppkey"), "left_semi")
+      .join(fullReturns, s("s_suppkey") === fullReturns("l_suppkey"), "left_anti")
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .orderBy("s_suppkey")
+  }
 }
