@@ -56,6 +56,33 @@ object EventStreams {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Watermarked stream-stream interval join: each purchase event joins
+    * the same user's click events from the preceding `windowSeconds` —
+    * the streaming twin of `operators.RangeJoin.priorWindowJoin`
+    * (spec-asserted equal on the same data).
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, so the state store can evict: a buffered click
+    * is droppable once the watermark passes click.ts + window; a buffered
+    * purchase once it passes purchase.ts. Without those bounds a
+    * stream-stream join buffers forever — the failure mode that matters
+    * at 100 TB/day. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      windowSeconds: Long = 3600, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    p.join(c, expr(
+      s"""p_user_id = c_user_id AND
+          c_ts >= p_ts - INTERVAL $windowSeconds SECONDS AND
+          c_ts < p_ts"""))
+      .select(col("p_event_id").as("event_id"), col("p_user_id").as("user_id"),
+        col("p_ts").as("ts"), col("c_ts"), col("c_value"))
+  }
+
   /** Custom sessionization state machine: one fixed-size state record per
     * open session, closed sessions emitted either when a same-batch event
     * arrives past the gap or when the event-time timeout (watermark past

@@ -121,4 +121,43 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(sessions.length == 2)
     assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("stream-stream interval join equals the batch prior-window join") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[EventRow]
+    val cIn = MemoryStream[EventRow]
+    val out = EventStreams.purchaseClickJoin(pIn.toDF(), cIn.toDF(),
+      windowSeconds = 3600, watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+
+    val clicks = Seq(
+      ev(10, "2024-01-01 09:10:00", 1), ev(11, "2024-01-01 09:50:00", 1, v = 2.0),
+      ev(12, "2024-01-01 09:59:00", 2), ev(13, "2024-01-01 08:30:00", 1))
+    val purchases = Seq(
+      ev(20, "2024-01-01 10:00:00", 1, "purchase"),
+      ev(21, "2024-01-01 10:30:00", 2, "purchase"))
+    cIn.addData(clicks: _*)
+    pIn.addData(purchases: _*)
+    q.processAllAvailable()
+    // advance both watermarks so all joinable pairs are emitted
+    cIn.addData(ev(98, "2024-01-01 13:00:00", 99))
+    pIn.addData(ev(99, "2024-01-01 13:00:00", 99, "purchase"))
+    q.processAllAvailable()
+
+    val streamed = spark.table("ss_join")
+      .filter(col("user_id") < 99)
+      .select("event_id", "c_ts", "c_value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    q.stop()
+
+    // batch twin over the same rows
+    val pDf = purchases.toDF().select(col("event_id"), col("user_id"), col("ts"))
+    val cDf = clicks.toDF().select(col("user_id"), col("ts"), col("value"))
+    val batch = graft.operators.RangeJoin.priorWindowJoin(
+      pDf, cDf, "user_id", "ts", "ts", windowSeconds = 3600, payload = Seq("ts", "value"))
+      .select(col("event_id"), col("range_match.ts"), col("range_match.value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
