@@ -205,14 +205,16 @@ object NearDup {
           .withColumnRenamed("lbl", "nbr_lbl"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("nbr_lbl")).as("nbr_min"))
+      // the shrink flag rides along with the new label, so convergence
+      // detection costs one scan of the persisted result — no extra join
       val next = labels.join(viaEdges, Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_min"), col("lbl")) < col("lbl")).as("__shrunk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.lbl") < col("o.lbl")).limit(1).count() > 0
+      val changed = next.filter(col("__shrunk")).limit(1).count() > 0
       labels.unpersist()
-      labels = next
+      labels = next.drop("__shrunk")
       converged = !changed
       iter += 1
     }
