@@ -274,11 +274,14 @@ object StarQueries {
   }
 
   /** Q4 parity shape: single-key time series with lag delta (O4+W3);
-    * key chosen from the data (min partkey) to stay deterministic. */
+    * key chosen from the data (min partkey) to stay deterministic. The
+    * window partitions by the (single, post-filter) key, so the plan
+    * stays key-parallel if the filter ever widens. */
   def q23LagTrajectory(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val mn = li.agg(min(col("l_partkey")).as("min_pk"))
-    val w = Window.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     li.crossJoin(broadcast(mn))
       .filter(col("l_partkey") === col("min_pk"))
       .select(col("l_partkey"), col("l_shipdate"), col("l_quantity"),
