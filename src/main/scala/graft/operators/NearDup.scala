@@ -194,8 +194,11 @@ object NearDup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // seed labels at min(self, min direct neighbor): near-dup components
+    // are usually cliques, which this converges in a single confirm round
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("node"), least(col("node"), col("__mn")).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0

@@ -103,6 +103,37 @@ class GraftPropertiesSpec extends AnyFunSuite {
     }, cases = 20)
   }
 
+  test("Md5Hash56 kernel equals the conv(substring(md5)) formulation") {
+    val genStr = Gen.listOfN(30,
+      Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr, Gen.const("")))
+    check("md5hash56", Prop.forAll(genStr) { strs =>
+      val df = strs.toDF("s")
+      val both = df.select(
+        graft.functions.TextFunctions.md5Hash56(col("s")).as("fast"),
+        conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("ref"))
+        .collect()
+      both.forall(r => r.getLong(0) == r.getLong(1))
+    }, cases = 5)
+  }
+
+  test("VectorAvgAgg equals per-dimension avg") {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    val genVec = Gen.listOfN(4, Gen.choose(-100.0, 100.0))
+    check("vectorAvg", Prop.forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), genVec))) { rows =>
+      val df = rows.map { case (k, v) => (k, v.toArray) }.toDF("k", "v")
+      val fast = df.groupBy("k")
+        .agg(exprColumn(graft.functions.VectorAvgAgg(
+          columnExpr(col("v"))).toAggregateExpression()).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val ref = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> (0 until 4).map(i => vs.map(_._2(i)).sum / vs.size)
+      }
+      fast.keySet == ref.keySet && fast.forall { case (k, m) =>
+        m.zip(ref(k)).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+      }
+    }, cases = 5)
+  }
+
   test("vec_dot is registered in SQL via extension function descriptions") {
     org.apache.spark.sql.graftsql.registerGraftFunctions(spark)
     val got = spark.sql(
