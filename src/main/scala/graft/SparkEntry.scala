@@ -72,6 +72,8 @@ object SparkEntry {
     "q50_dup_groups"          -> (CorpusQueries.dupGroups(_, _)),
     "q51_outer_join"          -> (StarQueries.q51OuterJoin(_, _)),
     "q52_exists"              -> (StarQueries.q52Exists(_, _)),
+    "q53_hash_split"          -> (CorpusQueries.hashSplit(_, _)),
+    "q54_hash_shuffle"        -> (CorpusQueries.hashShuffle(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

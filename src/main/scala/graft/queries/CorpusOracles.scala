@@ -240,6 +240,18 @@ object CorpusOracles {
          FROM r GROUP BY node ORDER BY doc_id"""
     },
 
+    "q53_hash_split" ->
+      s"""WITH b AS (SELECT lang,
+            (${md5h56("doc_id::VARCHAR")}) % 100 AS bucket FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                lang, count(*) AS n
+         FROM b GROUP BY 1, 2 ORDER BY split, lang""",
+
+    "q54_hash_shuffle" ->
+      s"""SELECT doc_id, ${md5h56("doc_id::VARCHAR")} AS h
+         FROM documents ORDER BY h, doc_id LIMIT 100""",
+
     "q48_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                       FROM documents),

@@ -236,6 +236,35 @@ object CorpusQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Deterministic train/val/test split by content-stable hash: bucket =
+    * md5_56(doc_id) mod 100 → 80/10/10. The production way to split a
+    * 100 TB corpus — no RNG state, reproducible across runs/engines,
+    * stable under repartitioning, and a document keeps its split when the
+    * corpus grows (unlike `randomSplit`, whose assignment depends on
+    * partition layout and seed plumbing). Counts per (split, lang) prove
+    * the split is unbiased across strata. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val bucket = pmod(TextFunctions.md5Hash56(col("doc_id").cast("string")), lit(100L))
+    d.select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
+  /** Deterministic corpus shuffle: global order by content-stable hash —
+    * the pre-sharding shuffle a training pipeline runs so adjacent source
+    * documents land in different shards. Range-partitioned sort on the
+    * hash (no RNG, reproducible); emitting the leading slice keeps the
+    * oracle small while the sort is still total. */
+  def hashShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.md5Hash56(col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id")
+      .limit(100)
+
   /** Mergeable-sketch distinct counts (HLL): per-returnflag approximate
     * supplier counts. Approximate — rows-only driver check; tolerance and
     * merge-consistency are spec-asserted. */
