@@ -2,13 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, Md5Hash56, MinHashAgg, NGramShingles, SimHashAgg, VectorAvgAgg}
 
 /** Session extension wiring: makes graft's native expressions available
-  * from SQL text, e.g. `SELECT vec_dot(a, b)`.
+  * from SQL text — the full corpus-pipeline kernel set, e.g.
+  * {{{
+  *   SELECT vec_dot(a, b)                          -- codegen'd dot product
+  *   SELECT md5_hash56(s)                          -- portable 56-bit hash
+  *   SELECT ngram_shingles(text, 3)                -- word n-gram set
+  *   SELECT minhash_agg(h, 64), simhash_agg(h, 32) -- signature aggregates
+  *   SELECT vector_avg(embedding)                  -- elementwise mean
+  * }}}
   *
   * Install at session build time:
   * {{{
@@ -24,13 +31,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
+
+  private def fn(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
   /** (name, info, builder) descriptions for every injected function.
-    * Inputs are wrapped in casts to the kernel's native array<double>, so
-    * SQL callers can pass float or double arrays. */
+    * Vector inputs are wrapped in casts to the kernel's native
+    * array<double>, so SQL callers can pass float or double arrays.
+    * Aggregate functions return the bare `AggregateFunction`; the
+    * analyzer wraps it into an AggregateExpression during resolution. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProduct(
-        Cast(children(0), ArrayType(DoubleType)),
-        Cast(children(1), ArrayType(DoubleType)))))
+    fn("vec_dot", classOf[DotProduct]) { c =>
+      DotProduct(
+        Cast(c(0), ArrayType(DoubleType)), Cast(c(1), ArrayType(DoubleType)))
+    },
+    fn("md5_hash56", classOf[Md5Hash56])(c => Md5Hash56(c(0))),
+    fn("ngram_shingles", classOf[NGramShingles]) { c =>
+      NGramShingles(c(0), intArg(c(1), "ngram_shingles"))
+    },
+    fn("minhash_agg", classOf[MinHashAgg]) { c =>
+      MinHashAgg(c(0), intArg(c(1), "minhash_agg"))
+    },
+    fn("simhash_agg", classOf[SimHashAgg]) { c =>
+      SimHashAgg(c(0), intArg(c(1), "simhash_agg"))
+    },
+    fn("vector_avg", classOf[VectorAvgAgg]) { c =>
+      VectorAvgAgg(Cast(c(0), ArrayType(DoubleType)))
+    })
 }

@@ -146,4 +146,26 @@ class GraftPropertiesSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(f == 3.0)
   }
+
+  test("full kernel set is callable from SQL (scalars and aggregates)") {
+    org.apache.spark.sql.graftsql.registerGraftFunctions(spark)
+    // scalar kernels
+    val h = spark.sql("SELECT md5_hash56('abc') AS h").head().getLong(0)
+    val hRef = spark.range(1).select(
+      conv(substring(md5(lit("abc")), 1, 14), 16, 10).cast("long")).head().getLong(0)
+    assert(h == hRef)
+    val sh = spark.sql("SELECT ngram_shingles('a b c d', 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh.toSet == Set("a b c", "b c d"))
+    // aggregate kernels resolve through the analyzer's aggregate wrapping
+    spark.sql("SELECT explode(sequence(1L, 100L)) AS h").createOrReplaceTempView("hs")
+    val sig = spark.sql("SELECT minhash_agg(h, 8) AS sig FROM hs").head().getSeq[Long](0)
+    assert(sig.length == 8 && sig.forall(_ >= 0))
+    val fp = spark.sql("SELECT simhash_agg(h, 16) AS fp FROM hs").head().getLong(0)
+    assert(fp >= 0 && fp < (1L << 16))
+    val avg = spark.sql(
+      "SELECT vector_avg(v) AS m FROM (SELECT array(1.0D, 3.0D) AS v UNION ALL SELECT array(3.0D, 5.0D))")
+      .head().getSeq[Double](0)
+    assert(avg == Seq(2.0, 4.0))
+  }
 }
