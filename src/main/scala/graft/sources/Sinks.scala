@@ -1,7 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+
+import graft.functions.TextFunctions
 
 /** Transformed-layer sinks and readers (SURVEY §2.1 S5/S8, §2.3 D5).
   *
@@ -49,6 +52,23 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Training-corpus sharding: deterministic shard = stable 56-bit hash of
+    * the id, mod numShards — every shard is a pseudo-random, reproducible
+    * sample of the corpus (what a training loader wants), the assignment
+    * survives repartitioning and corpus growth, and a re-run writes
+    * byte-identical shard membership. One directory per shard via
+    * partitionBy; the pre-write repartition on the shard column makes it
+    * one output file per shard rather than numShards × input-partitions
+    * fragments. */
+  def writeSharded(df: DataFrame, outDir: String, idCol: String,
+      numShards: Int, mode: String = "overwrite"): Unit =
+    df.withColumn("__shard",
+        pmod(TextFunctions.md5Hash56(col(idCol).cast("string")), lit(numShards.toLong)))
+      .repartition(numShards, col("__shard"))
+      .write.mode(mode)
+      .partitionBy("__shard")
+      .parquet(outDir)
 
   /** CSV reader with the reference's null/quote semantics (S8/D5). */
   def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =

@@ -76,6 +76,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("sharded writer: deterministic membership, one file per shard") {
+    val dir = SpotifyFixture.tempDir("shards").toString
+    graft.sources.Sinks.writeSharded(docs, dir, "doc_id", numShards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // membership is the stable hash mod — recomputable from the id alone
+    val bad = back.filter(
+      col("__shard") =!= pmod(
+        graft.functions.TextFunctions.md5Hash56(col("doc_id").cast("string")),
+        lit(4L))).count()
+    assert(bad == 0)
+    // every shard non-empty and exactly one data file per shard dir
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$dir/__shard=$s")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"shard $s has $files files")
+    }
+  }
+
   test("dup groups: transitive closure of the pair graph, min-id labels") {
     val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     val groups = NearDup.dupGroups(pairs)
