@@ -16,11 +16,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * janino compiles and hugeMethodLimit fallback risk). This aggregate
   * keeps one `long[numHashes]` buffer and updates all permutations in a
   * tight loop per input hash — one pass, mergeable partial state (the
-  * elementwise min), fixed-size serialization. The permutation arithmetic
-  * is identical to the declarative form: h_i(x) = (x*(2i+1) + i*q) mod
-  * 2^59 with q = 2654435761, every intermediate < 2^63.
+  * elementwise min), fixed-size serialization.
   *
-  * Input: the 55-bit shingle hash column. Output: array<long> signature.
+  * Permutation family: splitmix64 finalizer over `h + (i+1)·golden`
+  * (64-bit wrapping arithmetic). An earlier affine family
+  * `(x·(2i+1) + b_i) mod 2^59` was order-PRESERVING wherever `x` is
+  * below `2^59/(2i+1)` (no modular wrap) — the low-index permutations
+  * all picked the same minimal shingle, so one differing shingle flipped
+  * every low band at once and a 0.98-Jaccard pair could (and did, at
+  * sf0.1) miss all LSH bands. Signatures are engine-internal — LSH
+  * candidates are exact-verified before emission — so the mixer needs no
+  * cross-engine arithmetic twin, only min-wise quality.
+  *
+  * Input: the 55-bit shingle hash column. Output: array<long> signature
+  * (non-negative: the sign bit is cleared so downstream band keys are
+  * stable strings).
   */
 case class MinHashAgg(
     child: Expression,
@@ -31,7 +41,14 @@ case class MinHashAgg(
 
   require(numHashes > 0 && numHashes <= 64)
 
-  private val mask59 = (1L << 59) - 1
+  private val golden = 0x9E3779B97F4A7C15L
+
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) & Long.MaxValue
+  }
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
@@ -42,7 +59,7 @@ case class MinHashAgg(
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < numHashes) {
-        val p = (h * (2L * i + 1) + i * 2654435761L) & mask59
+        val p = mix(h + (i + 1) * golden)
         if (p < buffer(i)) buffer(i) = p
         i += 1
       }

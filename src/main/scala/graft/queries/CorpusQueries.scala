@@ -56,15 +56,14 @@ object CorpusQueries {
       Tables.load(spark, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
-  /** MinHash+LSH candidates, exact-Jaccard verified at 0.8. With 64
-    * hashes / 16 bands the candidate recall at the threshold is ≈0.9997,
-    * and every emitted pair is exact — so the result equals the all-pairs
-    * oracle on any corpus without a pair sitting exactly at the S-curve
-    * knee (asserted against the oracle in tests). */
+  /** MinHash+LSH candidates, exact-Jaccard verified at 0.8. With 63
+    * hashes / 21 bands of 3 the per-pair miss probability at the
+    * threshold is ≈3e-7, and every emitted pair is exact — so the result
+    * equals the all-pairs oracle (hash-gated; also spec-asserted). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     NearDup.minhashLshPairs(
       Tables.load(spark, dir, "documents"), "doc_id", "text",
-      n = 3, numHashes = 64, numBands = 16, threshold = 0.8)
+      n = 3, numHashes = 63, numBands = 21, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
   /** 32-bit SimHash fingerprint per document. */

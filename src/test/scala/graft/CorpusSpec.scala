@@ -21,7 +21,7 @@ class CorpusSpec extends AnyFunSuite {
     val exact = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text",
-      n = 3, numHashes = 64, numBands = 16, threshold = 0.8)
+      n = 3, numHashes = 63, numBands = 21, threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain near-duplicate documents")
     assert(lsh === exact)
