@@ -70,6 +70,20 @@ object Sinks {
       .partitionBy("__shard")
       .parquet(outDir)
 
+  /** Range-clustered layout: range-partition on the cluster columns and
+    * sort within each output file, so every parquet file (and row group)
+    * covers a narrow, near-disjoint range of the cluster key. Scans with
+    * predicates on those columns then skip whole files via footer
+    * min/max stats — the data-skipping layout that turns a 100 TB
+    * full-scan into reading a handful of files. (Linear clustering; for
+    * multi-column predicate mixes, interleave a Z-value column and
+    * cluster on that.) */
+  def writeClustered(df: DataFrame, outDir: String, clusterCols: Seq[String],
+      numFiles: Int, mode: String = "overwrite"): Unit =
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(mode).parquet(outDir)
+
   /** CSV reader with the reference's null/quote semantics (S8/D5). */
   def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     csvOptions(spark.read).schema(schema).csv(dir)

@@ -95,6 +95,21 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered writer: files cover near-disjoint key ranges (data skipping)") {
+    val dir = SpotifyFixture.tempDir("clustered").toString
+    graft.sources.Sinks.writeClustered(docs, dir, Seq("doc_id"), numFiles = 4)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 4)
+    // consecutive files do not overlap: each file's min exceeds the
+    // previous file's max → a doc_id predicate prunes to one file
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(lo2 > hi1, s"overlapping file ranges: $hi1 vs $lo2")
+    }
+  }
+
   test("dup groups: transitive closure of the pair graph, min-id labels") {
     val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     val groups = NearDup.dupGroups(pairs)
