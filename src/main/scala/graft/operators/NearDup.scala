@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{MinHashAgg, NGramShingles, SimHashAgg, TextFunctions}
+import graft.functions.{MinHashAgg, NGramShingles, PairCombinations, SimHashAgg, TextFunctions}
 
 /** Near-duplicate detection for large text corpora: exact, n-gram Jaccard,
   * MinHash+LSH, SimHash. All shuffle-friendly — partial aggregation,
@@ -67,12 +67,9 @@ object NearDup {
     val capped =
       if (dfCap == Int.MaxValue) buckets else buckets.filter(size(col("ds")) <= dfCap)
     capped
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
-          struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
-            x.getField("n_sh").as("na"), y.getField("n_sh").as("nb")))))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
-        col("p.na").as("size_a"), col("p.nb").as("size_b"))
+      .select(exprColumn(PairCombinations(columnExpr(col("ds")))).as(Seq("x", "y")))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("size_a"), col("y.n_sh").as("size_b"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -159,10 +156,8 @@ object NearDup {
     val cand = bands.groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(exprColumn(PairCombinations(columnExpr(col("ds"))))
+        .as(Seq("doc_a", "doc_b")))
       .distinct()
     // exact verification over the candidates only. Broadcast the candidate
     // pairs (and the once-enriched result) — they are LSH-selected and
