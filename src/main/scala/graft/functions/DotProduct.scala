@@ -24,6 +24,9 @@ case class DotProduct(left: Expression, right: Expression)
   // coercion needed here.
   override def dataType: DataType = DoubleType
 
+  // deterministic pure function: let ConstantFolding collapse literal input
+  override def foldable: Boolean = left.foldable && right.foldable
+
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -22,6 +22,8 @@ case class Md5Hash56(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_hash56"
+  // deterministic pure function: let ConstantFolding collapse literal input
+  override def foldable: Boolean = child.foldable
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (child.dataType == StringType || child.dataType == BinaryType)
