@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.operators.{AnnSearch, AsOfJoin, Dedup, NearDup, Percentiles, RangeJoin, Sessionize, Sketches, Skew}
+import graft.sources.Sinks
+
+/** Fluent entry point: `import graft.syntax._` puts the engine's operator
+  * suite on every DataFrame, so user code reads as one pipeline:
+  *
+  * {{{
+  *   import graft.syntax._
+  *   docs.minhashLshPairs("doc_id", "text")        // near-dup candidates
+  *   docs.dupGroupsFrom(pairs)                     // transitive groups
+  *   events.sessions("user_id", "ts", 1800)        // gaps-and-islands
+  *   corpus.shardedTo("/out", "doc_id", 1024)      // deterministic shards
+  * }}}
+  *
+  * Thin forwarding only — semantics, scale notes and oracle coverage live
+  * with the operators.
+  */
+object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- dedup ----
+    def keepFirst(keys: Seq[String], order: Seq[Column]): DataFrame =
+      Dedup.keepFirst(df, keys, order)
+
+    def exactDupGroups(idCol: String, textCol: String): DataFrame =
+      Dedup.exactGroups(df, idCol, textCol)
+
+    def ngramJaccardPairs(idCol: String, textCol: String, n: Int = 3,
+        threshold: Double = 0.8, dfCap: Int = Int.MaxValue): DataFrame =
+      NearDup.ngramJaccardPairs(df, idCol, textCol, n, threshold, dfCap)
+
+    def minhashLshPairs(idCol: String, textCol: String, n: Int = 3,
+        numHashes: Int = 63, numBands: Int = 21,
+        threshold: Double = 0.8): DataFrame =
+      NearDup.minhashLshPairs(df, idCol, textCol, n, numHashes, numBands, threshold)
+
+    def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3,
+        bits: Int = 32): DataFrame =
+      NearDup.simhashPairs(df, idCol, textCol, maxHamming, bits)
+
+    /** Connected components over a (doc_a, doc_b) pair table built from
+      * this or any pair source. */
+    def dupGroupsFrom(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+      NearDup.dupGroups(pairs, maxIters)
+
+    // ---- similarity search (this = corpus with vec_id/embedding) ----
+    def cosineNearDupPairs(threshold: Double): DataFrame =
+      AnnSearch.cosineNearDupPairs(df, threshold)
+
+    def bruteForceTopK(queries: DataFrame, k: Int): DataFrame =
+      AnnSearch.bruteForceTopK(queries, df, k)
+
+    def ivfTopK(queries: DataFrame, k: Int, numCentroids: Int,
+        nProbe: Int): DataFrame =
+      AnnSearch.ivfTopK(queries, df, k, numCentroids, nProbe)
+
+    def lshTopK(queries: DataFrame, k: Int, numTables: Int = 8,
+        planesPerTable: Int = 8, dim: Int = 64): DataFrame =
+      AnnSearch.lshTopK(queries, df, k, numTables, planesPerTable, dim)
+
+    // ---- time series ----
+    def asOfJoinLeft(right: DataFrame, key: String, leftTs: String,
+        rightTs: String, payload: Seq[String], tieBreak: String): DataFrame =
+      AsOfJoin.asOfLeft(df, right, key, leftTs, rightTs, payload, tieBreak)
+
+    def priorWindowJoin(right: DataFrame, key: String, leftTs: String,
+        rightTs: String, windowSeconds: Long, payload: Seq[String]): DataFrame =
+      RangeJoin.priorWindowJoin(df, right, key, leftTs, rightTs, windowSeconds, payload)
+
+    def sessions(userCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+      Sessionize.sessions(df, userCol, tsCol, gapSeconds)
+
+    // ---- aggregation helpers ----
+    def exactPercentiles(key: String, value: String,
+        ps: Seq[(String, Double)]): DataFrame =
+      Percentiles.exact(df, key, value, ps)
+
+    def saltedCollectSet(key: String, value: String, salts: Int): DataFrame =
+      Skew.saltedCollectSet(df, key, value, salts)
+
+    def approxDistinct(key: String, value: String): DataFrame =
+      Sketches.approxDistinct(df, key, value)
+
+    // ---- layout sinks ----
+    def shardedTo(outDir: String, idCol: String, numShards: Int): Unit =
+      Sinks.writeSharded(df, outDir, idCol, numShards)
+
+    def clusteredTo(outDir: String, clusterCols: Seq[String],
+        numFiles: Int): Unit =
+      Sinks.writeClustered(df, outDir, clusterCols, numFiles)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.syntax._
+
+/** The fluent facade forwards to the operators verbatim. */
+class SyntaxSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val embeddings = Tables.load(spark, sf, "embeddings")
+
+  test("dedup + components chain through the facade") {
+    val pairs = docs.ngramJaccardPairs("doc_id", "text", threshold = 0.5)
+    val direct = graft.operators.NearDup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(pairs.orderBy("doc_a", "doc_b").collect().toSeq ==
+      direct.orderBy("doc_a", "doc_b").collect().toSeq)
+    val groups = docs.dupGroupsFrom(pairs)
+    assert(groups.count() > 0)
+  }
+
+  test("similarity + percentile paths forward correctly") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val corpus = embeddings.filter(col("vec_id") >= 5).select("vec_id", "embedding")
+    assert(corpus.bruteForceTopK(queries, k = 3).count() == 15)
+    val p = Tables.load(spark, sf, "lineitem")
+      .exactPercentiles("l_returnflag", "l_extendedprice", Seq("p50" -> 0.5))
+    assert(p.count() == 3 && p.columns.toSeq == Seq("l_returnflag", "p50"))
+  }
+}
