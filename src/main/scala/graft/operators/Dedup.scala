@@ -29,10 +29,10 @@ object Dedup {
     * rows down to one candidate per key BEFORE the exchange — the shuffle
     * carries |keys| rows, not the whole input, and nothing is sorted. */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val payload = df.columns.filterNot(keys.contains)
+    val payload = df.columns.toSeq.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)
       .agg(min_by(struct(payload.map(col): _*), struct(order: _*)).as("__first"))
-      .select(df.columns.map(c =>
+      .select(df.columns.toSeq.map(c =>
         if (keys.contains(c)) col(c) else col(s"__first.$c").as(c)): _*)
   }
 
