@@ -32,6 +32,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // V2 parquet read path: COUNT/MIN/MAX answered from footer
+      // metadata (aggregate pushdown) — verified oracle-equivalent at
+      // sf0.01 and sf0.1
+      .config("spark.sql.sources.useV1SourceList", "")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

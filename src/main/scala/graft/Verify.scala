@@ -7,14 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // V2 parquet read path: COUNT/MIN/MAX answered from footer
+      // metadata (aggregate pushdown) — verified oracle-equivalent at
+      // sf0.01 and sf0.1
+      .config("spark.sql.sources.useV1SourceList", "")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CONF").toSeq // experiment overrides "k=v;k=v"
+      .flatMap(_.split(';')).map(_.split('=')).collect {
+        case Array(k, v) => builder.config(k.trim, v.trim)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
