@@ -58,24 +58,31 @@ object AnnSearch {
     corpus.orderBy("vec_id").limit(numCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
 
-  /** Lloyd k-means refinement of the seed centroids: `iters` rounds of
-    * assign (broadcast centroids, cosine) + recompute (elementwise mean as
-    * ONE [[graft.functions.VectorAvgAgg]] pass — the shuffle carries one
-    * (dim+1)-double buffer per centroid instead of |corpus|·dim exploded
-    * rows). Deterministic up to float-sum ordering in the mean (immaterial
-    * for bucket quality). Index build is a one-time cost amortized over
-    * every probe; each iteration is two hash-agg shuffles. */
+  /** Lloyd k-means refinement of the seed centroids, MLlib-style: the
+    * per-centroid mean is ONE partial-aggregatable
+    * [[graft.functions.VectorAvgAgg]] pass whose k×(dim+1)-double result
+    * is collected to the driver — control-plane state, like MLlib's
+    * KMeans center updates — and re-broadcast as literals for the next
+    * round. No persisted DataFrame chain, no growing lineage; the
+    * data-sized work (assignment scan) stays fully distributed.
+    * Deterministic up to float-sum ordering in the mean (immaterial for
+    * bucket quality). Index build is a one-time cost amortized over every
+    * probe; each iteration is one hash-agg job. */
   def centroids(corpus: DataFrame, numCentroids: Int, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var cents = seedCentroids(corpus, numCentroids)
     (0 until iters).foreach { _ =>
-      val assigned = assign(corpus, cents)
-      cents = assigned
+      val updated = assign(corpus, cents)
         .groupBy("centroid_id")
         .agg(exprColumn(
           VectorAvgAgg(columnExpr(col("embedding"))).toAggregateExpression()).as("m"))
-        .select(col("centroid_id"),
-          transform(col("m"), x => x.cast("float")).as("cvec"))
-        .persist() // cut lineage: next iteration reads this round's result
+        .select(col("centroid_id").cast("long"), col("m"))
+        .as[(Long, Array[Double])]
+        .collect() // k×dim doubles: index metadata, not data
+        .sortBy(_._1)
+        .map { case (id, m) => (id, m.map(_.toFloat)) }
+      cents = updated.toSeq.toDF("centroid_id", "cvec")
     }
     cents
   }
