@@ -197,10 +197,10 @@ object CorpusOracles {
                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
               FROM events),
          g AS (SELECT user_id, ts,
-                sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 14400 SECONDS
+                CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 14400 SECONDS
                     THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
-                  AS session_seq
+                  AS BIGINT) AS session_seq
               FROM l)
          SELECT user_id, session_seq, min(ts) AS session_start,
                 max(ts) AS session_end, count(*) AS n_events

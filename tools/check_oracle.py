@@ -44,7 +44,17 @@ def main():
         bad = []
         for c in got.columns:
             a, b = got[c].values, want[c].values
-            if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(want[c].dtype, np.floating):
+            # The driver hashes raw values, so int64 1 vs float64 1.0 is a
+            # mismatch there (e.g. an uncast DuckDB integer sum → HUGEINT →
+            # float64). Fail loudly instead of coercing.
+            g_int = np.issubdtype(got[c].dtype, np.integer)
+            w_int = np.issubdtype(want[c].dtype, np.integer)
+            g_flt = np.issubdtype(got[c].dtype, np.floating)
+            w_flt = np.issubdtype(want[c].dtype, np.floating)
+            if (g_int and w_flt) or (g_flt and w_int):
+                bad.append(f"{c}: dtype {got[c].dtype} vs {want[c].dtype} (driver hash would differ)")
+                continue
+            if g_flt or w_flt:
                 af = got[c].astype(float).values; bf = want[c].astype(float).values
                 eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
                 if not eq.all():
