@@ -23,13 +23,26 @@ object Tables {
   // immutable, so reuse across queries is safe. (Files changing under a
   // live session need an explicit `invalidate`, same as Spark's own
   // catalog REFRESH TABLE.)
+  // Outer map is weak-keyed by the session itself (reference identity):
+  // entries — and the cached plans bound to that session — die with it,
+  // and a new session can never collide with a stopped one's cache.
   private val resolved =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def invalidate(): Unit = resolved.clear()
+  def invalidate(): Unit = resolved.synchronized(resolved.clear())
+
+  private def sessionCache(spark: SparkSession) = resolved.synchronized {
+    var m = resolved.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      resolved.put(spark, m)
+    }
+    m
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    resolved.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
+    sessionCache(spark).computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
       // (micros) cannot represent. Sessions set
@@ -46,4 +59,17 @@ object Tables {
     * the DuckDB oracle share one naming scheme. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Pin every table hot in the block-manager cache (Spark's CACHE TABLE),
+    * re-sliced to `partitions` so cached scans parallelize even when the
+    * on-disk file is a single row group (the local-SF layout). Subsequent
+    * `load` calls resolve to the hot copy. Benchmark/serving-session
+    * feature — at 100 TB you'd pin dimensions, not facts. */
+  def hotCache(spark: SparkSession, dir: String, partitions: Int): Unit =
+    names.foreach { n =>
+      val hot = load(spark, dir, n).repartition(partitions)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hot.count() // materialize now, not on first query
+      sessionCache(spark).put((dir, n), hot)
+    }
 }

@@ -164,9 +164,15 @@ object AnnSearch {
     * per distinct candidate. All shuffles carry O(ids), the only
     * vector-width traffic is the final candidate set. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      numTables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
+      numTables: Int = 8, planesPerTable: Int = 8, dim: Int = -1,
       seed: Long = 42L): DataFrame = {
-    val planes = lshPlanes(numTables, planesPerTable, dim, seed)
+    // dim ≤ 0 (the default) derives the plane width from the corpus; an
+    // explicit dim is validated — a mismatched width would silently
+    // truncate every plane dot product and quietly wreck recall.
+    val actualDim = corpus.select(size(col("embedding"))).head.getInt(0)
+    require(dim <= 0 || dim == actualDim,
+      s"lshTopK: caller dim=$dim but corpus embeddings have $actualDim components")
+    val planes = lshPlanes(numTables, planesPerTable, actualDim, seed)
     def sigs(vec: org.apache.spark.sql.Column) = array(planes.zipWithIndex.map {
       case (ps, t) => struct(lit(t).as("t"), lshSignature(vec, ps).as("sig"))
     }: _*)

@@ -30,10 +30,15 @@ object Dedup {
     * carries |keys| rows, not the whole input, and nothing is sorted. */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val payload = df.columns.toSeq.filterNot(keys.contains)
+    // all columns are keys → "first per key" degenerates to distinct
+    // (min_by over an empty struct would be malformed)
+    if (payload.isEmpty) return df.distinct()
     df.groupBy(keys.map(col): _*)
       .agg(min_by(struct(payload.map(col): _*), struct(order: _*)).as("__first"))
       .select(df.columns.toSeq.map(c =>
-        if (keys.contains(c)) col(c) else col(s"__first.$c").as(c)): _*)
+        // getField, not col("__first."+c): a payload name containing dots
+        // ("a.b") must resolve as one field, not a nested path
+        if (keys.contains(c)) col(c) else col("__first").getField(c).as(c)): _*)
   }
 
   /** Exact duplicate groups by content hash of `textCol`: one output row per

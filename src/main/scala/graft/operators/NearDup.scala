@@ -214,12 +214,21 @@ object NearDup {
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
           (coalesce(col("nbr_min"), col("lbl")) < col("lbl")).as("__shrunk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.filter(col("__shrunk")).limit(1).count() > 0
+      // agg(max) scans EVERY partition, so the persisted `next` is fully
+      // materialized before its parent is unpersisted — a partial scan
+      // (limit-style) would leave uncached partitions recomputing through
+      // an unpersisted lineage chain next round
+      val changed = next.agg(coalesce(max(col("__shrunk")), lit(false)))
+        .head.getBoolean(0)
       labels.unpersist()
       labels = next.drop("__shrunk")
       converged = !changed
       iter += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] dupGroups: NOT converged after $maxIters iterations; " +
+          "labels are an upper-bound grouping (some components may be split)")
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("lbl").as("group_id"))
   }

@@ -41,7 +41,19 @@ final class HttpSpotifyApi(
     accountsBase: String = "https://accounts.spotify.com",
     apiBase: String = "https://api.spotify.com") extends SpotifyApi {
 
+  require(clientId != null && clientId.nonEmpty,
+    "HttpSpotifyApi: clientId is null/empty (set credentials or use FakeSpotifyApi)")
+  require(clientSecret != null && clientSecret.nonEmpty,
+    "HttpSpotifyApi: clientSecret is null/empty (set credentials or use FakeSpotifyApi)")
+
   private val http = HttpClient.newHttpClient()
+
+  private def checked(resp: HttpResponse[String], what: String): String = {
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(
+        s"$what failed: HTTP ${resp.statusCode()} — ${resp.body().take(300)}")
+    resp.body()
+  }
 
   private lazy val token: String = {
     val basic = Base64.getEncoder.encodeToString(
@@ -51,15 +63,20 @@ final class HttpSpotifyApi(
       .header("Content-Type", "application/x-www-form-urlencoded")
       .POST(HttpRequest.BodyPublishers.ofString("grant_type=client_credentials"))
       .build()
-    val body = http.send(req, HttpResponse.BodyHandlers.ofString()).body()
-    new ObjectMapper().readTree(body).path("access_token").asText()
+    val body = checked(
+      http.send(req, HttpResponse.BodyHandlers.ofString()), "token grant")
+    val tok = new ObjectMapper().readTree(body).path("access_token").asText()
+    if (tok.isEmpty)
+      throw new RuntimeException(
+        s"token grant returned no access_token: ${body.take(300)}")
+    tok
   }
 
   private def get(url: String): String = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .header("Authorization", s"Bearer $token")
       .GET().build()
-    http.send(req, HttpResponse.BodyHandlers.ofString()).body()
+    checked(http.send(req, HttpResponse.BodyHandlers.ofString()), s"GET $url")
   }
 
   override def searchPlaylists(query: String): String = {
