@@ -26,8 +26,13 @@ import graft.functions.{DotProduct, Md5Hash56, MinHashAgg, NGramShingles, SimHas
   * `org.apache.spark.sql.graftsql.registerGraftFunctions(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator top-k-per-key: optimizer rewrite of the
+    // row_number()-then-filter idiom + the strategy that plans it
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {

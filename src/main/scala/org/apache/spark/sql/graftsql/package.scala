@@ -26,4 +26,16 @@ package object graftsql {
       registry.registerFunction(ident, info, builder)
     }
   }
+
+  /** Install the top-k-per-key rewrite + strategy on a live session (the
+    * public `experimental` hooks; rule runs in the user-provided batch,
+    * after Spark's own InferWindowGroupLimit — the rewrite strips the
+    * WindowGroupLimit it may have inserted). */
+  def installTopK(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(graft.plans.TopKRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.TopKRewrite
+    if (!exp.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+  }
 }
