@@ -73,7 +73,7 @@ object AnnSearch {
     import spark.implicits._
     var cents = seedCentroids(corpus, numCentroids)
     (0 until iters).foreach { _ =>
-      val updated = assign(corpus, cents)
+      val updated = assignPrepped(prep(corpus), cents)
         .groupBy("centroid_id")
         .agg(exprColumn(
           VectorAvgAgg(columnExpr(col("embedding"))).toAggregateExpression()).as("m"))
@@ -94,8 +94,15 @@ object AnnSearch {
     * exchange — no window sort, O(|corpus|) shuffle payload. Ties break
     * to the lowest centroid_id. Output keeps the per-vector norm so
     * probes need not recompute it. */
-  def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val c = castDouble(corpus, "embedding").withColumn("nrm", norm("embedding"))
+  def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    assignPrepped(prep(corpus), cents)
+
+  /** corpus → (vec_id, embedding: array<double>, nrm) — the working set
+    * every index-build pass reads. */
+  private def prep(corpus: DataFrame): DataFrame =
+    castDouble(corpus, "embedding").withColumn("nrm", norm("embedding"))
+
+  private def assignPrepped(c: DataFrame, cents: DataFrame): DataFrame = {
     val ce = castDouble(cents, "cvec").withColumn("ncv", norm("cvec"))
     val scored = c.crossJoin(broadcast(ce))
       .withColumn("csim",
@@ -112,8 +119,27 @@ object AnnSearch {
     * exact cosine within the probed buckets only. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int, nProbe: Int, kmeansIters: Int = 2): DataFrame = {
-    val cents = centroids(corpus, numCentroids, kmeansIters).persist()
-    val inverted = assign(corpus, cents)
+    // the index build reads the corpus (kmeansIters + 2) times — seed,
+    // each Lloyd pass, final assignment. Pin the casted+normed working
+    // set once instead of re-scanning and re-casting per pass.
+    val prepped = prep(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = seedCentroids(prepped.select("vec_id", "embedding"), numCentroids)
+    (0 until kmeansIters).foreach { _ =>
+      val updated = assignPrepped(prepped, cents)
+        .groupBy("centroid_id")
+        .agg(exprColumn(
+          VectorAvgAgg(columnExpr(col("embedding"))).toAggregateExpression()).as("m"))
+        .select(col("centroid_id").cast("long"), col("m"))
+        .as[(Long, Array[Double])]
+        .collect()
+        .sortBy(_._1)
+        .map { case (id, m) => (id, m.map(_.toFloat)) }
+      cents = updated.toSeq.toDF("centroid_id", "cvec")
+    }
+    val inverted = assignPrepped(prepped, cents)
     // per query: nProbe nearest centroids
     val q = castDouble(queries, "q").withColumn("nq", norm("q"))
     val ce = castDouble(cents, "cvec").withColumn("ncv", norm("cvec"))

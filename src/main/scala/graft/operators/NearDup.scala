@@ -189,9 +189,14 @@ object NearDup {
     * dense. Each round persists its labels and unpersists the previous
     * round (bounded lineage, no recursive plan blowup). */
   def dupGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // undirected edge list, both directions
-    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // undirected edge list, both directions — explode, not union: a
+    // union's two branches each re-evaluate the (expensive) pair-gen
+    // subtree when materializing the persist; explode emits both
+    // directions in ONE pass over it
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed labels at min(self, min direct neighbor): near-dup components
     // are usually cliques, which this converges in a single confirm round
