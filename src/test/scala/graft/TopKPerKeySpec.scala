@@ -64,6 +64,27 @@ class TopKPerKeySpec extends AnyFunSuite {
       s"baseline lost its window exec:\n$plan")
   }
 
+  test("SQL-text row_number top-k goes through the native operator") {
+    installTopK(spark)
+    Tables.registerAll(spark, sf)
+    val df = spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKeyFinal"),
+      "SQL window top-k not rewritten")
+    val twin = spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         rank() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin)
+    assert(df.orderBy("o_custkey", "rn").collect().toSeq ==
+      twin.orderBy("o_custkey", "rn").collect().toSeq)
+  }
+
   test("shuffle carries only pruned rows: partial sits below the exchange") {
     installTopK(spark)
     val topk = orders
