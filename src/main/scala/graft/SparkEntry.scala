@@ -74,6 +74,8 @@ object SparkEntry {
     "q52_exists"              -> (StarQueries.q52Exists(_, _)),
     "q53_hash_split"          -> (CorpusQueries.hashSplit(_, _)),
     "q54_hash_shuffle"        -> (CorpusQueries.hashShuffle(_, _)),
+    "q55_salted_join"         -> (StarQueries.q55SaltedJoin(_, _)),
+    "q56_stratified_sample"   -> (CorpusQueries.stratifiedSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -270,6 +272,15 @@ object SparkEntry {
                         WHERE l.l_suppkey = s.s_suppkey
                           AND l.l_returnflag = 'R' AND l.l_quantity > 49)
       ORDER BY s_suppkey""",
+
+    // q55: the salt must be invisible in the result — the oracle is the
+    // PLAIN inner join aggregate
+    "q55_salted_join" -> """
+      SELECT s.s_name, count(*) AS n_lines,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_name
+      ORDER BY s.s_name""",
   ).++(CorpusOracles.sql) // q35_ann_ivf_topk: approximate — rows-only check
     .map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -37,4 +37,29 @@ object Skew {
     df.select(col(key), col(value)).distinct()
       .groupBy(col(key))
       .agg(count(lit(1)).as(s"n_distinct_$value"))
+
+  /** Salted inner equi-join for a skewed fact side: when one join key
+    * dominates (the classic hot-customer / hot-item shape), a plain
+    * shuffle join lands the whole hot key on ONE reducer. Here each fact
+    * row draws a deterministic salt from a hash of the whole row (no
+    * extra entropy column, repartition-stable), joining on (key, salt)
+    * against the dim side replicated `salts` ways — the hot key spreads
+    * over `salts` reducers at the cost of a `salts`× blow-up of the
+    * (small) dim side. Result is row-identical to the plain inner join.
+    *
+    * This is the manual formulation of what AQE skew-join does at
+    * runtime; it exists for the cases AQE cannot fix (skew inside a
+    * single key, non-shuffle-join plans) and as the deterministic,
+    * plannable variant. Broadcast beats both when the dim fits in
+    * memory — salting targets the mid-size dim that does not. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, s"saltedJoin: salts=$salts")
+    val factCols = fact.columns.map(c => col(c)).toSeq
+    val salted = fact.withColumn("__salt",
+      pmod(hash(factCols: _*), lit(salts)))
+    val replicated = dim
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -252,6 +252,18 @@ object CorpusQueries {
       .orderBy("split", "lang")
   }
 
+  /** Stratified deterministic sample (X36): down-sample the dominant
+    * language, keep all of a rare one, quarter-rate everything else —
+    * membership a pure hash-threshold on doc_id (Sampling.scala), so the
+    * DuckDB oracle reproduces the exact kept set, not just its size. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      Tables.load(spark, dir, "documents"), "lang", "doc_id",
+      rates = Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"))
+      .orderBy("lang")
+
   /** Deterministic corpus shuffle: global order by content-stable hash —
     * the pre-sharding shuffle a training pipeline runs so adjacent source
     * documents land in different shards. Range-partitioned sort on the

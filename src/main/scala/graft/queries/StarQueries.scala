@@ -365,4 +365,22 @@ object StarQueries {
       .select("s_suppkey", "s_name", "s_nationkey")
       .orderBy("s_suppkey")
   }
+
+  /** Salted skew join (X35): fact⋈dim through Skew.saltedJoin — each fact
+    * row salts deterministically, the dim replicates `salts` ways, and a
+    * hot supplier spreads over 8 reducers instead of one. Aggregated per
+    * supplier so the oracle (a plain inner join — salting must be
+    * invisible in the result) compares a small totally-ordered frame. */
+  def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val s = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    graft.operators.Skew.saltedJoin(li, s, "suppkey", salts = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("s_name")
+  }
 }

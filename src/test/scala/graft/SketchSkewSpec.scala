@@ -22,6 +22,37 @@ class SketchSkewSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted join equals plain inner join, and spreads the key over salts") {
+    val li = lineitem.select(col("l_suppkey").as("suppkey"),
+      col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val s = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    val salted = Skew.saltedJoin(li, s, "suppkey", salts = 8)
+      .select("suppkey", "l_orderkey", "l_linenumber", "s_name")
+      .orderBy("suppkey", "l_orderkey", "l_linenumber")
+      .collect().toSeq
+    val plain = li.join(s, "suppkey")
+      .select("suppkey", "l_orderkey", "l_linenumber", "s_name")
+      .orderBy("suppkey", "l_orderkey", "l_linenumber")
+      .collect().toSeq
+    assert(salted == plain)
+    // the exchange must hash on (key, salt), not the bare key — that is
+    // the whole point: a hot key spreads over `salts` reducers
+    val bcOff = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Skew.saltedJoin(li, s, "suppkey", salts = 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("suppkey") && l.contains("__salt")),
+        s"exchange not keyed by (suppkey, __salt):\n$plan")
+    } finally bcOff match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("two-phase distinct count equals count(DISTINCT)") {
     val twoPhase = Skew.distinctCountTwoPhase(lineitem, "l_returnflag", "l_suppkey")
       .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
