@@ -54,8 +54,20 @@ object TextFunctions {
     * Deterministic. Take tokens (not raw text) so callers hoist the split
     * into a projection — splitting inside would re-tokenize once per
     * language. */
-  def langIdFromTokens(toks: Column): Column = {
-    val scored = langMarkers.map { case (lang, words) => (lang, markerHits(toks, words)) }
+  def langIdFromTokens(toks: Column): Column =
+    langIdFromScores(langScores(toks))
+
+  /** One (lang, hit-count) column per language — project these ONCE, then
+    * feed the attributes to [[langIdFromScores]]: the argmax chain reads
+    * each score ~3×, and the marker filter is a CodegenFallback
+    * higher-order function, so inlining it into the chain multiplies
+    * interpreted array scans per row. */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, words) => (lang, markerHits(toks, words)) }
+
+  /** Argmax of the (already-projected) scores: ties break in declaration
+    * order, no hits → 'und'. Pure scalar when-chain over the attributes. */
+  def langIdFromScores(scored: Seq[(String, Column)]): Column = {
     val best = scored.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
     scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
       when(score > 0 && score === best, lit(lang)).otherwise(els)

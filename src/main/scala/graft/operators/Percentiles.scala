@@ -49,20 +49,35 @@ object Percentiles {
 
     // per-(key, bucket) sizes → exclusive prefix offsets; |keys|·B rows
     val offsets = bucketed.groupBy(col(key), col("__b"))
-      .agg(count(lit(1)).as("__bn"))
+      .agg(count(lit(1)).as("__bn"), max("__n").as("__kn"))
       .withColumn("__off",
         coalesce(sum("__bn").over(
           Window.partitionBy(key).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col("__b"), col("__bn"), col("__kn"), col("__off"))
+
+    def pos(p: Double): Column = (col("__n") - 1) * p
+
+    // Only buckets that CONTAIN a bracketing rank need ranking: with P
+    // requested fractions that is ≤ 2P buckets per key, so the window
+    // shuffle below carries ~2P/B of the rows instead of all of them.
+    // (A monotone bucket function means global rank r lives in the unique
+    // bucket with __off < r ≤ __off + __bn.)
+    val neededBuckets = offsets.filter(
+      ps.map { case (_, p) =>
+        val kpos = (col("__kn") - 1) * p
+        val lo = floor(kpos) + 1
+        val hi = ceil(kpos) + 1
+        (col("__off") < lo && lo <= col("__off") + col("__bn")) ||
+          (col("__off") < hi && hi <= col("__off") + col("__bn"))
+      }.reduce(_ || _))
       .select(col(key), col("__b"), col("__off"))
 
     val wLocal = Window.partitionBy(col(key), col("__b")).orderBy("__v")
     val ranked = bucketed
+      .join(broadcast(neededBuckets), Seq(key, "__b"))
       .withColumn("__lrn", row_number().over(wLocal))
-      .join(broadcast(offsets), Seq(key, "__b"))
       .withColumn("__rn", col("__off") + col("__lrn"))
-
-    def pos(p: Double): Column = (col("__n") - 1) * p
     val needed = ps.map { case (_, p) =>
       col("__rn") === floor(pos(p)) + 1 || col("__rn") === ceil(pos(p)) + 1
     }.reduce(_ || _)

@@ -31,12 +31,21 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
-  /** Heuristic language ID per document (tokenize once, score 4 langs). */
-  def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextFunctions.langIdFromTokens(col("toks")).as("lang_pred"))
+  /** Heuristic language ID per document: tokenize once, project the
+    * per-language scores once (each is an interpreted HOF array scan),
+    * then run the scalar argmax over the score columns. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = TextFunctions
+      .langScores(TextFunctions.tokens(col("text")))
+      .map { case (lang, c) => (lang, c.as(s"__s_$lang")) }
+    val scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id") +: scoreCols.map(_._2): _*)
+    scored.select(col("doc_id"),
+        TextFunctions.langIdFromScores(
+          scoreCols.map { case (lang, _) => (lang, col(s"__s_$lang")) })
+          .as("lang_pred"))
       .orderBy("doc_id")
+  }
 
   /** Quality score per document. */
   def quality(spark: SparkSession, dir: String): DataFrame =
