@@ -61,6 +61,8 @@ object NearDup {
     // pairs satisfy doc_a < doc_b like the join formulation. Per-bucket
     // memory is O(df(h)); dfCap bounds it (and the quadratic emission) at
     // scale — stopword shingles carry no near-dup signal.
+    // (A/B'd round 3: the h ⋈ h self-join formulation measured ~20%
+    // SLOWER at sf0.1 — the saved exchange beats the object-agg cost.)
     val buckets = sh.groupBy("h")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
       .filter(size(col("ds")) > 1)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, Dedup, NearDup, Percentiles, RangeJoin, Sessionize, Sketches, Skew}
+import graft.operators.{AnnSearch, AsOfJoin, Dedup, NearDup, Percentiles, RangeJoin, Sampling, Sessionize, Sketches, Skew}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -60,7 +60,7 @@ object syntax {
       AnnSearch.ivfTopK(queries, df, k, numCentroids, nProbe)
 
     def lshTopK(queries: DataFrame, k: Int, numTables: Int = 8,
-        planesPerTable: Int = 8, dim: Int = 64): DataFrame =
+        planesPerTable: Int = 8, dim: Int = -1): DataFrame =
       AnnSearch.lshTopK(queries, df, k, numTables, planesPerTable, dim)
 
     // ---- time series ----
@@ -82,6 +82,18 @@ object syntax {
 
     def saltedCollectSet(key: String, value: String, salts: Int): DataFrame =
       Skew.saltedCollectSet(df, key, value, salts)
+
+    /** this = skewed fact side; `dim` replicated `salts` ways. */
+    def saltedJoin(dim: DataFrame, key: String, salts: Int): DataFrame =
+      Skew.saltedJoin(df, dim, key, salts)
+
+    // ---- deterministic sampling ----
+    def deterministicSample(idCol: String, rate: Double): DataFrame =
+      Sampling.deterministicSample(df, idCol, rate)
+
+    def stratifiedSample(stratumCol: String, idCol: String,
+        rates: Map[String, Double], defaultRate: Double): DataFrame =
+      Sampling.stratifiedSample(df, stratumCol, idCol, rates, defaultRate)
 
     def approxDistinct(key: String, value: String): DataFrame =
       Sketches.approxDistinct(df, key, value)

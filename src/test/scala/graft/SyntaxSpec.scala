@@ -22,6 +22,21 @@ class SyntaxSpec extends AnyFunSuite {
     assert(groups.count() > 0)
   }
 
+  test("skew-join + sampling paths forward correctly") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"))
+    val s = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    assert(li.saltedJoin(s, "suppkey", salts = 4).count() ==
+      li.join(s, "suppkey").count())
+    val kept = docs.deterministicSample("doc_id", 0.3)
+    assert(kept.count() ==
+      graft.operators.Sampling.deterministicSample(docs, "doc_id", 0.3).count())
+    assert(docs.stratifiedSample("lang", "doc_id",
+      Map("en" -> 1.0), defaultRate = 0.0).count() ==
+      docs.filter(col("lang") === "en").count())
+  }
+
   test("similarity + percentile paths forward correctly") {
     val queries = embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
