@@ -136,38 +136,43 @@ object NearDup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 63, numBands: Int = 21,
       threshold: Double = 0.8): DataFrame = {
-    // ONE aggregation pass over the shingle stream computes the signature
-    // (MinHashAgg: one long[64] buffer, tight update loop) and the
-    // verification hash set together; the per-doc result — vastly smaller
-    // than the shingle stream — is persisted and feeds banding plus both
-    // sides of the verification join. The set holds the 56-bit shingle
-    // hashes, not the strings: distinct shingles map to distinct hashes
-    // (collision odds ~n²/2^57), the same contract the signatures already
-    // rest on, at a fraction of the shuffle weight.
+    // The shingle-hash stream is persisted ONCE and read twice: the
+    // signature aggregation, and the verification slice. Signatures
+    // aggregate WITHOUT a per-doc hash set (an earlier formulation
+    // collect_set'ed the stream alongside the signature — that forced the
+    // exchange to carry every (doc, h) row into object buffers; dropping
+    // it leaves a lean TypedImperativeAggregate whose partials are
+    // numHashes longs per doc, so the shuffle is |docs|·numHashes, not
+    // |shingles|). Hashes, not strings: distinct shingles map to distinct
+    // 56-bit hashes (collision odds ~n²/2^57), the same contract the
+    // signatures rest on.
     val sh = shingles(docs, idCol, textCol, n).withColumn("h", shingleHash)
       .select(col("doc_id"), col("h"))
-    val perDoc = sh.groupBy("doc_id")
-      .agg(sigAgg(numHashes).as("sig"), collect_set(col("h")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh.groupBy("doc_id").agg(sigAgg(numHashes).as("sig"))
     // candidate pairs: ONE shuffle buckets each (band, band_key)'s doc
     // list, in-place combination expansion emits ordered pairs — versus
     // the band ⋈ band self-join this halves the exchanges. Most buckets
     // are singletons (filtered before expansion); a pathological bucket
     // is bounded by band-key entropy, the same guarantee LSH itself needs.
-    val bands = lshBands(perDoc.select("doc_id", "sig"), numBands)
+    val bands = lshBands(sigs, numBands)
     val cand = bands.groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(exprColumn(PairCombinations(columnExpr(col("ds"))))
         .as(Seq("doc_a", "doc_b")))
       .distinct()
-    // exact verification over the candidates only. Broadcast the candidate
-    // pairs (and the once-enriched result) — they are LSH-selected and
-    // tiny; left to statistics Spark may instead broadcast the corpus-wide
-    // shingle-set table.
-    val j1 = perDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    // exact verification over the candidates only: re-derive the hash
+    // SETS for just the candidate docs (LSH-selected, tiny — broadcast
+    // the doc list into the stream scan, collect ~|cand docs| sets), then
+    // intersect per pair. The corpus-wide stream never carries sets.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val candSets = sh.join(broadcast(candDocs), Seq("doc_id"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
+    val j1 = candSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(broadcast(cand), Seq("doc_a"))
-    perDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       .join(broadcast(j1), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
