@@ -64,6 +64,40 @@ class TopKPerKeySpec extends AnyFunSuite {
       s"baseline lost its window exec:\n$plan")
   }
 
+  test("null keys and null order values group and sort like the window exec") {
+    installTopK(spark)
+    import spark.implicits._
+    // nulls in the key column must form ONE group (window PARTITION BY
+    // semantics) and null order values sort per SortOrder null ordering
+    val df = Seq[(java.lang.Long, java.lang.Double, Long)](
+      (null, 5.0, 1L), (null, null, 2L), (null, 1.0, 3L),
+      (1L, null, 4L), (1L, 2.0, 5L), (1L, 3.0, 6L), (2L, 9.0, 7L)
+    ).toDF("k", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(asc("v"), asc("id"))
+    val native = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(native.queryExecution.executedPlan.toString.contains("TopKPerKeyFinal"))
+    val twin = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
+    assert(native.orderBy("k", "rn").collect().toSeq ==
+      twin.orderBy("k", "rn").collect().toSeq)
+  }
+
+  test("randomized equivalence with the window formulation") {
+    installTopK(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(2000)(i =>
+      (rnd.nextInt(37).toLong, rnd.nextInt(1000).toDouble, i.toLong))
+    val df = rows.toDF("k", "v", "id").repartition(13)
+    for (k <- Seq(1, 4, 50)) {
+      val w = Window.partitionBy(col("k")).orderBy(desc("v"), asc("id"))
+      val native = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      assert(native.queryExecution.executedPlan.toString.contains("TopKPerKeyFinal"))
+      val twin = df.withColumn("rn", rank().over(w)).filter(col("rn") <= k)
+      assert(native.orderBy("k", "rn").collect().toSeq ==
+        twin.orderBy("k", "rn").collect().toSeq, s"mismatch at k=$k")
+    }
+  }
+
   test("SQL-text row_number top-k goes through the native operator") {
     installTopK(spark)
     Tables.registerAll(spark, sf)
