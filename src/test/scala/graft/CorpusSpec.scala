@@ -124,6 +124,21 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dup groups: maxIters=0 skips propagation but still returns seed labels") {
+    import spark.implicits._
+    // a 4-node path graph needs >0 rounds for full convergence; with
+    // maxIters=0 the seeds (min of self and direct neighbors) come back
+    // unconverged — the operator must warn, not loop or throw
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val seeds = NearDup.dupGroups(path, maxIters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seeds == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // and with enough rounds the same graph fully converges to min-id 1
+    val full = NearDup.dupGroups(path)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(full == Set(1L))
+  }
+
   test("simhash: near-duplicate docs are closer in hamming than random pairs") {
     val dups = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
     val fps = NearDup.simhash(docs, "doc_id", "text", bits = 32)
