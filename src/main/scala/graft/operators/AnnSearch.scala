@@ -195,7 +195,7 @@ object AnnSearch {
     // dim ≤ 0 (the default) derives the plane width from the corpus; an
     // explicit dim is validated — a mismatched width would silently
     // truncate every plane dot product and quietly wreck recall.
-    val actualDim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val actualDim = corpus.select(size(col("embedding"))).head().getInt(0)
     require(dim <= 0 || dim == actualDim,
       s"lshTopK: caller dim=$dim but corpus embeddings have $actualDim components")
     val planes = lshPlanes(numTables, planesPerTable, actualDim, seed)

@@ -231,7 +231,7 @@ object NearDup {
       // (limit-style) would leave uncached partitions recomputing through
       // an unpersisted lineage chain next round
       val changed = next.agg(coalesce(max(col("__shrunk")), lit(false)))
-        .head.getBoolean(0)
+        .head().getBoolean(0)
       labels.unpersist()
       labels = next.drop("__shrunk")
       converged = !changed
