@@ -76,6 +76,11 @@ object SparkEntry {
     "q54_hash_shuffle"        -> (CorpusQueries.hashShuffle(_, _)),
     "q55_salted_join"         -> (StarQueries.q55SaltedJoin(_, _)),
     "q56_stratified_sample"   -> (CorpusQueries.stratifiedSample(_, _)),
+    "q57_decontaminate"       -> (CorpusQueries.decontaminate(_, _)),
+    "q58_repetition"          -> (CorpusQueries.repetition(_, _)),
+    "q59_pack_sequences"      -> (CorpusQueries.packSequences(_, _)),
+    "q60_domain_mix"          -> (CorpusQueries.domainMix(_, _)),
+    "q61_row_ids"             -> (CorpusQueries.rowIds(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

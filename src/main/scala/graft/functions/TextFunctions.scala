@@ -113,6 +113,13 @@ object TextFunctions {
       (acc, h) => (acc * lit(131L) + h).bitwiseAND(lit(mask)))
   }
 
+  /** Distinct word n-gram shingle array (single-pass native expression —
+    * see [[NGramShingles]] for semantics and the declarative equivalent). */
+  def ngramArray(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    exprColumn(NGramShingles(columnExpr(text), n))
+  }
+
   /** 56-bit stable hash of a string via md5 — engine-portable (DuckDB
     * computes the identical value from md5 hex arithmetic), unlike
     * xxhash64/murmur whose seeds differ across engines. Implemented as a

@@ -21,15 +21,17 @@ object CorpusOracles {
        (sqrt(list_sum(list_transform(range(1,65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
         sqrt(list_sum(list_transform(range(1,65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
 
-  /** Distinct word-3-gram shingles per doc — DuckDB twin of
-    * NearDup.shingles(n=3). */
-  private val shingleCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Distinct word-n-gram shingles per doc — DuckDB twin of
+    * NearDup.shingles. */
+  private def shingleCteN(n: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh0 AS (SELECT DISTINCT doc_id,
-                 unnest(list_transform(range(0, greatest(len(w)-3,0)+1),
-                        i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+                 unnest(list_transform(range(0, greatest(len(w)-$n,0)+1),
+                        i -> array_to_string(w[i+1:i+$n], ' '))) AS shingle
                FROM toks),
        sh AS (SELECT doc_id, shingle FROM sh0 WHERE length(shingle) > 0)"""
+
+  private val shingleCte = shingleCteN(3)
 
   /** All-pairs n-gram Jaccard at `threshold` over the hashed shingle
     * space — oracle for both the exact pairs query and the MinHash+LSH
@@ -262,6 +264,87 @@ object CorpusOracles {
          WHERE r < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
                         ELSE 0.25 END * 1000000 AS BIGINT)
          GROUP BY lang ORDER BY lang""",
+
+    // q57: eval slice = md5(doc_id) % 20 == 0; shared distinct 4-grams per
+    // corpus doc. Mirrors Contamination.overlapReport (same plain md5h56
+    // shingle hash, distinct-per-doc shingles × distinct eval hashes).
+    "q57_decontaminate" ->
+      s"""WITH ${shingleCteN(4)},
+         shh AS (SELECT doc_id, ${md5h56("shingle")} AS h FROM sh),
+         ev AS (SELECT DISTINCT h FROM shh
+                WHERE (${md5h56("doc_id::VARCHAR")}) % 20 = 0),
+         co AS (SELECT doc_id, h FROM shh
+                WHERE (${md5h56("doc_id::VARCHAR")}) % 20 <> 0)
+         SELECT doc_id, count(*) AS n_shared_ngrams
+         FROM co JOIN ev USING (h)
+         GROUP BY 1 ORDER BY doc_id""",
+
+    // q58: per-doc repetition filters; bigram CTE mirrors NGramShingles
+    // (distinct shingles; a <2-token doc yields its whole token list), the
+    // positional total is max(len-2,0)+1 by the same convention.
+    "q58_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      count(*) AS n_distinct, max(c) AS max_cnt
+               FROM tc GROUP BY 1),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT doc_id,
+                 len(list_filter(
+                   list_distinct(list_transform(range(0, greatest(len(w)-2,0)+1),
+                     i -> array_to_string(w[i+1:i+2], ' '))),
+                   s -> length(s) > 0))::BIGINT AS nb_distinct,
+                 (greatest(len(w)-2,0)+1)::BIGINT AS nb_total
+               FROM w)
+         SELECT d.doc_id, n_tokens, n_distinct,
+                max_cnt::DOUBLE / n_tokens AS top_tok_frac,
+                1.0 - nb_distinct::DOUBLE / nb_total AS dup_bigram_frac,
+                CAST(CASE WHEN max_cnt::DOUBLE / n_tokens <= 0.125
+                           AND 1.0 - nb_distinct::DOUBLE / nb_total <= 0.05
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM d JOIN b ON d.doc_id = b.doc_id
+         ORDER BY d.doc_id""",
+
+    // q59: windowed integer sum → HUGEINT in DuckDB; CAST back to BIGINT
+    // before the floor/divide (and on every aggregate) per the q42 rule.
+    "q59_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+              (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tok,
+              ${md5h56("doc_id::VARCHAR")} AS h,
+              (${md5h56("doc_id::VARCHAR")}) % 8 AS shard
+            FROM documents),
+         p AS (SELECT shard, n_tok,
+                 CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prefix
+               FROM t),
+         bins AS (SELECT shard, n_tok,
+                    CAST(floor(prefix / 256) AS BIGINT) AS bin FROM p)
+         SELECT shard, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+         FROM bins GROUP BY 1, 2 ORDER BY shard, bin""",
+
+    // q60: identical double-division order as the Spark side (share first,
+    // then target/share).
+    "q60_domain_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                      AS BIGINT) AS tok_sum
+               FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(tok_sum) AS BIGINT) AS total_toks,
+                      count(*) AS n_sources FROM s),
+         x AS (SELECT source, n_docs, tok_sum,
+                      tok_sum::DOUBLE / total_toks::DOUBLE AS token_share,
+                      n_sources
+               FROM s CROSS JOIN t)
+         SELECT source, n_docs, tok_sum, token_share,
+                least(1.0, (1.0 / n_sources::DOUBLE) / token_share) AS sample_weight
+         FROM x ORDER BY source""",
+
+    "q61_row_ids" ->
+      s"""SELECT doc_id,
+           row_number() OVER (ORDER BY ${md5h56("doc_id::VARCHAR")}, doc_id) - 1 AS seq
+         FROM documents ORDER BY seq""",
 
     "q48_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, Dedup, Multimodal, NearDup, RangeJoin, Sessionize, Sketches, Skew}
+import graft.operators.{AnnSearch, AsOfJoin, Contamination, Dedup, Multimodal, NearDup, Packing, RangeJoin, RowIds, Sessionize, Sketches, Skew}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -284,6 +284,87 @@ object CorpusQueries {
         TextFunctions.md5Hash56(col("doc_id").cast("string")).as("h"))
       .orderBy("h", "doc_id")
       .limit(100)
+
+  /** Eval-set membership predicate for the decontamination demo: a
+    * deterministic ~5% slice of the corpus plays the held-out benchmark. */
+  private def isEvalDoc =
+    pmod(TextFunctions.md5Hash56(col("doc_id").cast("string")), lit(20L)) === 0L
+
+  /** Decontamination report (X37): corpus documents sharing ≥1 word
+    * 4-gram with the eval slice, with the distinct-shared-4-gram count.
+    * (Production pipelines use 8-13-grams; these synthetic docs are ~100
+    * tokens, so 4 keeps the flagged set non-trivial at every SF.) Eval
+    * hashes broadcast into the corpus scan — no corpus-sized shuffle. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    Contamination.overlapReport(
+        d.filter(!isEvalDoc), d.filter(isEvalDoc), "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
+  /** Repetition-based quality filters (X38), Gopher-style: top-token
+    * fraction and duplicate-bigram fraction per document, plus the keep
+    * decision. Token stats via two-level partial-aggregatable counts (the
+    * 100 TB shape — docs can be arbitrarily long); bigram stats via the
+    * single-pass shingle expression (distinct count vs positional total). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val tcnt = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val docAgg = tcnt.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("max_cnt"))
+    val bigrams = d.select(col("doc_id"),
+      size(filter(TextFunctions.ngramArray(col("text"), 2), x => length(x) > 0))
+        .cast("long").as("nb_distinct"),
+      (greatest(TextFunctions.tokenCount(col("text")) - 2, lit(0L)) + 1).as("nb_total"))
+    val topFrac = col("max_cnt").cast("double") / col("n_tokens")
+    val dupFrac = lit(1.0) - col("nb_distinct").cast("double") / col("nb_total")
+    docAgg.join(bigrams, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        topFrac.as("top_tok_frac"), dupFrac.as("dup_bigram_frac"),
+        when(topFrac <= 0.125 && dupFrac <= 0.05, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget sequence packing (X39): 256-token bins over 8 hash
+    * shards; per-bin doc count and token sum prove the assignment. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    Packing.pack(Tables.load(spark, dir, "documents"), "doc_id",
+        TextFunctions.tokenCount(col("text")), budget = 256, shards = 8)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+      .orderBy("shard", "bin")
+
+  /** Domain-mix rebalancing stats (X40): per-source token share and the
+    * deterministic down-sampling weight that flattens the mix to uniform.
+    * Two-level aggregate; the corpus-wide total rides along broadcast. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val perSrc = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text"))).as("tok_sum"))
+    val tot = perSrc.agg(sum("tok_sum").as("total_toks"), count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        col("tok_sum").cast("double") / col("total_toks").cast("double"))
+      .select(col("source"), col("n_docs"), col("tok_sum"), col("token_share"),
+        least(lit(1.0),
+          (lit(1.0) / col("n_sources").cast("double")) / col("token_share"))
+          .as("sample_weight"))
+      .orderBy("source")
+  }
+
+  /** Dense global ordinals (X41): contiguous 0-based `seq` under the
+    * content-stable-hash total order — two-phase zipWithIndex, never a
+    * partitionless window. */
+  def rowIds(spark: SparkSession, dir: String): DataFrame =
+    RowIds.contiguousIds(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.md5Hash56(col("doc_id").cast("string")).as("h")),
+        Seq(col("h"), col("doc_id")))
+      .select("doc_id", "seq")
+      .orderBy("seq")
 
   /** Mergeable-sketch distinct counts (HLL): per-returnflag approximate
     * supplier counts. Approximate — rows-only driver check; tolerance and
