@@ -139,7 +139,14 @@ object AnnSearch {
         .map { case (id, m) => (id, m.map(_.toFloat)) }
       cents = updated.toSeq.toDF("centroid_id", "cvec")
     }
-    val inverted = assignPrepped(prepped, cents)
+    // The final assignment (and everything downstream) deliberately reads
+    // a FRESH prep of the corpus, not the pinned working set: after the
+    // centroid collect above, nothing lazy references `prepped`, so it can
+    // be unpersisted here — library callers no longer leak cached blocks
+    // on every ivfTopK call. Cost: the one query-time assignment pass
+    // re-scans the source instead of the cache — a single read either way.
+    val inverted = assignPrepped(prep(corpus), cents)
+    prepped.unpersist(blocking = false)
     // per query: nProbe nearest centroids
     val q = castDouble(queries, "q").withColumn("nq", norm("q"))
     val ce = castDouble(cents, "cvec").withColumn("ncv", norm("cvec"))
@@ -194,8 +201,10 @@ object AnnSearch {
       seed: Long = 42L): DataFrame = {
     // dim ≤ 0 (the default) derives the plane width from the corpus; an
     // explicit dim is validated — a mismatched width would silently
-    // truncate every plane dot product and quietly wreck recall.
-    val actualDim = corpus.select(size(col("embedding"))).head().getInt(0)
+    // truncate every plane dot product and quietly wreck recall. The
+    // corpusDim guard (one aggregate job) also rejects empty and ragged
+    // corpora with a clear message.
+    val actualDim = corpusDim(corpus, "lshTopK")
     require(dim <= 0 || dim == actualDim,
       s"lshTopK: caller dim=$dim but corpus embeddings have $actualDim components")
     val planes = lshPlanes(numTables, planesPerTable, actualDim, seed)
@@ -221,11 +230,63 @@ object AnnSearch {
       .select("query_id", "vec_id", "rnk", "sim")
   }
 
-  /** All near-duplicate embedding pairs by cosine ≥ threshold. All-pairs
-    * at dim-table size; at corpus scale route through ivf/LSH buckets
-    * first (same verify-after-candidates shape as NearDup.minhashLshPairs).
+  /** All near-duplicate embedding pairs by cosine ≥ threshold — EXACT,
+    * via a block-grid similarity join (the distributed formulation of
+    * blocked GEMM): each vector is assigned a block b = vec_id mod B and
+    * replicated to the B grid keys it participates in; a plain hash
+    * EQUI-join on the (kx, ky) block-pair key then meets every unordered
+    * vector pair exactly once. No theta join, no cartesian, no broadcast
+    * of the corpus: the shuffle is O(n·B) rows and the n²/2 pair kernel
+    * is spread over B(B+1)/2 reducer-local tiles — at 1000 executors the
+    * tiles schedule independently, which is exactly what the old
+    * `a ⋈ b ON id_a < id_b` nested-loop could not do.
+    *
+    * Why not LSH candidates here: guaranteed-recall LSH needs the
+    * threshold angle to be well separated from the bulk. At θ=0.4 on
+    * near-orthogonal embeddings (true pairs ≈59-66°, random ≈90°) the
+    * per-plane agreement gap is 0.63 vs 0.5 — driving the per-pair miss
+    * rate below 1e-6 takes thousands of hash tables, i.e. more work than
+    * the exact grid. For production-grade thresholds (θ ≥ ~0.85) where
+    * the gap is wide, use [[cosineNearDupPairsLsh]].
+    *
+    * Choose B so a tile (2·n/B vectors) fits a reducer: flops stay n²·d/2
+    * (the exact answer's lower bound on adversarial data) but memory and
+    * shuffle are O(n·B + n²/B²·output).
     */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    require(blocks >= 1, s"cosineNearDupPairs: blocks=$blocks")
+    val b = lit(blocks.toLong)
+    val n0 = castDouble(corpus, "embedding").withColumn("nrm", norm("embedding"))
+      .withColumn("blk", pmod(col("vec_id"), b).cast("int"))
+    // left role: this vector's block is the LOW grid coordinate
+    val left = n0.select(
+      explode(sequence(col("blk"), lit(blocks - 1))).as("ky"),
+      col("blk").as("kx"),
+      col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    // right role: this vector's block is the HIGH grid coordinate
+    val right = n0.select(
+      explode(sequence(lit(0), col("blk"))).as("kx"),
+      col("blk").as("ky"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    left.join(right, Seq("kx", "ky"))
+      // diagonal tiles (kx==ky) hold the same block on both sides: order
+      // by id to keep each pair once; off-diagonal tiles meet each pair
+      // exactly once by construction
+      .filter(col("kx") < col("ky") || col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      // dot/norm products are IEEE-commutative, so orientation does not
+      // change a single result bit — least/greatest just normalizes ids
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"), col("cos_sim"))
+  }
+
+  /** All-pairs theta-join twin of [[cosineNearDupPairs]] — the small-data
+    * exactness baseline the grid join is spec-checked against. Not a
+    * scale path (BroadcastNestedLoopJoin under the hood). */
+  def cosineNearDupPairsAllPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val n = castDouble(corpus, "embedding").withColumn("nrm", norm("embedding"))
     val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -233,5 +294,58 @@ object AnnSearch {
       .withColumn("cos_sim", Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** Approximate cosine near-dup pairs through random-hyperplane LSH
+    * buckets + exact cosine verify — the high-threshold production path
+    * (web-scale embedding dedup runs at θ ≥ ~0.85, where the per-plane
+    * agreement probability 1-θ_angle/π ≫ 1/2 makes collisions sharp).
+    * Candidates are id-only bucket-group pair expansions (one shuffle,
+    * same shape as NearDup.minhashLshPairs); every emitted pair is
+    * exact-cosine verified, so precision is exact and only recall is
+    * probabilistic: P[miss] = (1-p^m)^L for per-plane agreement p.
+    * At θ=0.9 (25.8°), p=0.857: m=8, L=12 ⇒ miss ≈ 4e-2 per pair at the
+    * threshold and ≪1e-3 for true dups (θ≥0.95). Recall is spec-asserted
+    * on clustered synthetic data. */
+  def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      numTables: Int = 12, planesPerTable: Int = 8, seed: Long = 42L): DataFrame = {
+    import graft.functions.PairCombinations
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    val dim = corpusDim(corpus, "cosineNearDupPairsLsh")
+    val planes = lshPlanes(numTables, planesPerTable, dim, seed)
+    val c = castDouble(corpus, "embedding")
+    val sigs = array(planes.zipWithIndex.map { case (ps, t) =>
+      struct(lit(t).as("t"), lshSignature(col("embedding"), ps).as("sig"))
+    }: _*)
+    val buck = c.select(col("vec_id"), explode(sigs).as("b"))
+      .select(col("vec_id"), col("b.t"), col("b.sig"))
+    // id-only candidate pairs: bucket-group one shuffle, ordered expansion
+    val cand = buck.groupBy("t", "sig")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(exprColumn(PairCombinations(columnExpr(col("ds"))))
+        .as(Seq("vec_a", "vec_b")))
+      .distinct()
+    val n = c.withColumn("nrm", norm("embedding"))
+    cand
+      .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos_sim", Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** Single-job emptiness + raggedness guard; returns the corpus
+    * embedding width. */
+  private def corpusDim(corpus: DataFrame, who: String): Int = {
+    val widths = corpus.agg(
+      min(size(col("embedding"))), max(size(col("embedding")))).head()
+    require(!widths.isNullAt(0), s"$who: empty corpus — no embedding width to derive")
+    val d = widths.getInt(0)
+    require(widths.getInt(1) == d,
+      s"$who: ragged embedding widths in corpus (min=$d, max=${widths.getInt(1)})")
+    d
   }
 }

@@ -23,9 +23,16 @@ object Sampling {
 
   private val Denom = 1000000L // rate resolution 1e-6
 
+  // round(), not a truncating cast: rate*1e6 is rarely exactly
+  // representable (0.29 → 289999.999…), and DuckDB's CAST(AS BIGINT)
+  // rounds while Spark's cast truncates — a truncating threshold would
+  // systematically under-sample AND disagree with the oracle for any
+  // rate that isn't integer-exact. A null id hashes to bucket 0 (kept
+  // whenever rate > 0), so rate=1.0 is a true identity — null-id rows
+  // are never silently dropped.
   private def keep(idCol: Column, rate: Column): Column =
-    pmod(TextFunctions.md5Hash56(idCol.cast("string")), lit(Denom)) <
-      (rate * Denom).cast("long")
+    coalesce(pmod(TextFunctions.md5Hash56(idCol.cast("string")), lit(Denom)), lit(0L)) <
+      round(rate * Denom).cast("long")
 
   /** Uniform deterministic sample: keep ~`rate` of rows by id hash. */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {

@@ -48,8 +48,11 @@ case class TopKPerKeyNode(
     child: LogicalPlan) extends UnaryNode {
   require(part.nonEmpty, "TopKPerKeyNode: empty partition keys (use a global top-k/limit)")
   require(k >= 1, s"TopKPerKeyNode: k=$k")
+  // NOTE: no maxRowsPerPartition override — the node emits up to k rows
+  // per KEY, so a physical partition holding many keys produces k·|keys|
+  // rows; advertising Some(k) would hand Catalyst (EliminateLimits et al.)
+  // a false invariant. The bound cannot be stated without key cardinality.
   override def output: Seq[Attribute] = child.output :+ rankAttr
-  override def maxRowsPerPartition: Option[Long] = Some(k.toLong)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
 }

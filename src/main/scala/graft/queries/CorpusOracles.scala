@@ -255,14 +255,15 @@ object CorpusOracles {
          FROM documents ORDER BY h, doc_id LIMIT 100""",
 
     // q56: the same hash-threshold membership the Spark side evaluates —
-    // rates chosen so rate*1e6 is integer-exact in both engines
+    // round() mirrors Sampling.keep's round(rate*Denom), so arbitrary
+    // rates (not just integer-exact ones) stay engine-consistent
     "q56_stratified_sample" ->
       s"""WITH k AS (SELECT lang, doc_id,
             (${md5h56("doc_id::VARCHAR")}) % 1000000 AS r FROM documents)
          SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id
          FROM k
-         WHERE r < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
-                        ELSE 0.25 END * 1000000 AS BIGINT)
+         WHERE r < CAST(round(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
+                        ELSE 0.25 END * 1000000) AS BIGINT)
          GROUP BY lang ORDER BY lang""",
 
     // q57: eval slice = md5(doc_id) % 20 == 0; shared distinct 4-grams per

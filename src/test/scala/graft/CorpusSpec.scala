@@ -235,4 +235,80 @@ class CorpusSpec extends AnyFunSuite {
     val got = df.select(Vectors.dot(col("a"), col("b"))).head().getDouble(0)
     assert(got == (4.0 + 10.0 + 18.0))
   }
+
+  private def assertNoNestedLoop(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"scale-killer join in plan:\n$plan")
+  }
+
+  test("banded simhash pairs equal the all-pairs baseline; no theta join in the plan") {
+    val banded = NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 8, bits = 32)
+    val exact = NearDup.simhashPairsAllPairs(docs, "doc_id", "text", maxHamming = 8, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain hamming-close pairs")
+    assert(got === exact) // pigeonhole banding is exact: recall 1, one emission per pair
+    assertNoNestedLoop(banded)
+    // a tighter radius exercises a different block geometry (4 blocks of 8)
+    val tight = NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tightExact = NearDup.simhashPairsAllPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tight === tightExact)
+  }
+
+  test("banded simhash bucketCap is a pure recall valve: capped result ⊆ exact") {
+    val exact = NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 8, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact), "cap must never invent pairs")
+  }
+
+  test("grid cosine near-dup equals the all-pairs baseline; no theta join in the plan") {
+    val grid = AnnSearch.cosineNearDupPairs(embeddings, 0.4, blocks = 16)
+    val exact = AnnSearch.cosineNearDupPairsAllPairs(embeddings, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = grid.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain cosine-close pairs")
+    assert(got === exact) // grid cover meets every unordered pair exactly once, bit-equal sims
+    assertNoNestedLoop(grid)
+    // a block count that doesn't divide the corpus still covers exactly
+    val odd = AnnSearch.cosineNearDupPairs(embeddings, 0.4, blocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(odd === exact)
+  }
+
+  test("LSH cosine near-dup: exact precision, high recall on clustered vectors") {
+    // synthetic clustered corpus: 20 cluster centers, 3 noisy copies each
+    // (pairwise cosine ≳ 0.97 within a cluster), plus 40 random vectors
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 20).flatMap { c =>
+      val base = unit(64)
+      (0 until 3).map { i =>
+        val noisy = base.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+        ((c * 3 + i).toLong, noisy)
+      }
+    } ++ (0 until 40).map(i => ((100 + i).toLong, unit(64)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val exact = AnnSearch.cosineNearDupPairsAllPairs(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = AnnSearch.cosineNearDupPairsLsh(corpus, 0.9,
+        numTables = 12, planesPerTable = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.size >= 20, s"clustered fixture should have many true pairs: ${exact.size}")
+    // precision is exact: every emitted pair is a true pair with the same sim bits
+    lsh.foreach { case (k, sim) =>
+      assert(exact.contains(k) && exact(k) == sim, s"false/unequal pair $k")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall collapsed: $recall")
+    assertNoNestedLoop(AnnSearch.cosineNearDupPairsLsh(corpus, 0.9))
+  }
 }
