@@ -21,6 +21,20 @@ object Sketches {
     df.groupBy(col(key))
       .agg(approx_count_distinct(col(value), rsd).as(s"approx_n_$value"))
 
+  /** Per-group approximate distinct next to the exact two-phase distinct
+    * and a relative-error check column — the oracle-gateable shape: the
+    * exact count and the (deterministic) tolerance verdict hash-match a
+    * SQL oracle, while the estimate itself stays engine-internal. */
+  def approxDistinctChecked(df: DataFrame, key: String, value: String,
+      rsd: Double = 0.05, tol: Double = 0.15): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        count_distinct(col(value)).as(s"n_distinct_$value"),
+        approx_count_distinct(col(value), rsd).as("__est"))
+      .select(col(key), col(s"n_distinct_$value"),
+        (abs(col("__est").cast("double") /
+          col(s"n_distinct_$value").cast("double") - 1.0) <= tol).as("approx_ok"))
+
   /** Per-group HLL sketch blobs — the storable/mergeable form. */
   def hllSketches(df: DataFrame, key: String, value: String): DataFrame =
     df.groupBy(col(key))

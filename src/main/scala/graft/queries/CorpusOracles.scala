@@ -208,14 +208,32 @@ object CorpusOracles {
                 max(ts) AS session_end, count(*) AS n_events
          FROM g GROUP BY 1, 2 ORDER BY user_id, session_start""",
 
-    // q44_approx_distinct: HLL sketch — approximate, rows-only check.
+    // Approximate-operator gates: each query reduces its approximation to
+    // a deterministic verdict the hash oracle can check — mean recall@k
+    // over the query set vs a thresholded TRUE (q35/q49: thresholds carry
+    // wide margin under the measured means, see CorpusQueries), and HLL
+    // relative error vs the exact distinct (q44).
+    "q35_ann_ivf_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+                TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
+
+    "q49_ann_lsh_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+                TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
+
+    "q44_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_l_suppkey,
+                TRUE AS approx_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "q43_salted_collect" ->
       """SELECT l_returnflag,
                 array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppkeys
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
-    // q49_ann_lsh_topk: approximate recall — rows-only check (recall vs
-    // brute force is spec-asserted in CorpusSpec).
     "q50_dup_groups" -> {
       // min-reachable-label connected components over the 0.5-Jaccard
       // pair graph, as a recursive reachability CTE (UNION dedup ⇒

@@ -97,15 +97,40 @@ object CorpusQueries {
       .orderBy("query_id", "rnk")
   }
 
-  /** IVF approximate top-5 with the same query set (rows-only check: its
-    * recall vs annTopK is asserted in tests, not hash-matched). */
+  /** Mean recall@k of an approximate top-k result against the exact
+    * brute-force answer, reduced to a driver-gateable row — the oracle
+    * shape for approximate ANN queries. Per-query recall on the synthetic
+    * near-orthogonal embeddings is inherently noisy (measured 0.0–1.0 per
+    * query — the corpus has no neighborhood structure for an index to
+    * exploit), so the deterministic gate is the MEAN over the query set
+    * against a threshold with margin; per-query behavior stays
+    * spec-asserted in CorpusSpec. */
+  private def recallGate(approx: DataFrame, exact: DataFrame,
+      queries: DataFrame, k: Int, minMeanRecall: Double): DataFrame =
+    queries.select("query_id")
+      .join(
+        approx.select("query_id", "vec_id")
+          .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+      .agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("mean_recall"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        (col("mean_recall") >= minMeanRecall).as("recall_ok"))
+
+  /** IVF approximate top-5 with the same query set as q34, reported as
+    * the mean-recall@5 gate vs the exact brute-force result. Threshold
+    * 0.4 sits well under the measured means (0.58 at sf0.01, 0.82 at
+    * sf0.1) to absorb k-means float-sum nondeterminism. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val corpus = e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
-    AnnSearch.ivfTopK(queries, corpus, k = 5, numCentroids = 22, nProbe = 8)
-      .orderBy("query_id", "rnk")
+    val ivf = AnnSearch.ivfTopK(queries, corpus, k = 5, numCentroids = 22, nProbe = 8)
+    val bf = AnnSearch.bruteForceTopK(queries, corpus, k = 5)
+    recallGate(ivf, bf, queries, k = 5, minMeanRecall = 0.4)
   }
 
   /** SimHash near-dup pairs at hamming ≤ 8 of 32 bits. */
@@ -234,14 +259,18 @@ object CorpusQueries {
       .orderBy("doc_id")
 
   /** Random-hyperplane LSH approximate top-5, same query/corpus split as
-    * annTopK (rows-only check; recall vs brute force is spec-asserted). */
+    * annTopK, reported as the mean-recall@5 gate vs brute force. The
+    * fixed-seed planes make the recall fully deterministic given the
+    * data; threshold 0.25 sits under the measured means (0.42 at sf0.01,
+    * 0.38 at sf0.1). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val corpus = e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
-    AnnSearch.lshTopK(queries, corpus, k = 5, numTables = 8, planesPerTable = 6)
-      .orderBy("query_id", "rnk")
+    val lsh = AnnSearch.lshTopK(queries, corpus, k = 5, numTables = 8, planesPerTable = 6)
+    val bf = AnnSearch.bruteForceTopK(queries, corpus, k = 5)
+    recallGate(lsh, bf, queries, k = 5, minMeanRecall = 0.25)
   }
 
   /** Deterministic train/val/test split by content-stable hash: bucket =
@@ -367,10 +396,13 @@ object CorpusQueries {
       .orderBy("seq")
 
   /** Mergeable-sketch distinct counts (HLL): per-returnflag approximate
-    * supplier counts. Approximate — rows-only driver check; tolerance and
-    * merge-consistency are spec-asserted. */
+    * supplier counts, emitted alongside the exact two-phase distinct and
+    * a relative-error check — so the driver's hash oracle gates both the
+    * exact count and the sketch's tolerance (HLL++ is deterministic given
+    * the data; 15% = 3× the configured rsd). Merge-consistency stays
+    * spec-asserted. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Sketches.approxDistinct(
+    Sketches.approxDistinctChecked(
       Tables.load(spark, dir, "lineitem"), "l_returnflag", "l_suppkey")
       .orderBy("l_returnflag")
 }
