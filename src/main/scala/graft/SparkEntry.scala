@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusOracles, CorpusQueries, StarQueries}
+import graft.queries.{CorpusOracles, CorpusQueries, SpotifyParity, StarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,13 @@ object SparkEntry {
     "q59_pack_sequences"      -> (CorpusQueries.packSequences(_, _)),
     "q60_domain_mix"          -> (CorpusQueries.domainMix(_, _)),
     "q61_row_ids"             -> (CorpusQueries.rowIds(_, _)),
+    // the reference's literal analysis workload (spotify-analysis.sql:92-126)
+    // over the derived chart star schema — see queries/SpotifyParity.scala
+    "q62_spotify_q1"          -> (SpotifyParity.q1TrendingSongs(_, _)),
+    "q63_spotify_q2"          -> (SpotifyParity.q2AlbumPopularity(_, _)),
+    "q64_spotify_q3"          -> (SpotifyParity.q3TopArtists(_, _)),
+    "q65_spotify_q4"          -> (SpotifyParity.q4ChartMovement(_, _)),
+    "q66_rank_topk"           -> (StarQueries.q66RankTopk(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -278,6 +285,13 @@ object SparkEntry {
                           AND l.l_returnflag = 'R' AND l.l_quantity > 49)
       ORDER BY s_suppkey""",
 
+    "q66_rank_topk" -> """
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(rank() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) DESC) AS BIGINT) AS rnk
+        FROM orders) t
+      WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey""",
+
     // q55: the salt must be invisible in the result — the oracle is the
     // PLAIN inner join aggregate
     "q55_salted_join" -> """
@@ -286,6 +300,6 @@ object SparkEntry {
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY s.s_name
       ORDER BY s.s_name""",
-  ).++(CorpusOracles.sql) // q35_ann_ivf_topk: approximate — rows-only check
+  ).++(CorpusOracles.sql).++(SpotifyParity.oracle)
     .map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -371,6 +371,19 @@ object StarQueries {
     * hot supplier spreads over 8 reducers instead of one. Aggregated per
     * supplier so the oracle (a plain inner join — salting must be
     * invisible in the result) compares a small totally-ordered frame. */
+  /** rank()-with-ties top-k: each customer's 2 most recent order DAYS,
+    * keeping ALL same-day ties (rank ≤ 2 can exceed 2 rows) — the other
+    * common top-k idiom, rewritten by TopKRewrite into the native
+    * ties-aware TopKPerKey operator (RankMode.Rank). */
+  def q66RankTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(desc("d"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),
