@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.graftsql.internalDf
 import org.apache.spark.sql.types.LongType
 
 /** Contiguous global row numbering under a total order — the shard/offset
@@ -18,6 +20,14 @@ import org.apache.spark.sql.types.LongType
   * where dropping to the RDD API is the honest design: the per-partition
   * ordinal is imperative state no Catalyst expression models.
   *
+  * The RDD hop stays INTERNAL: `queryExecution.toRdd` feeds zipWithIndex
+  * UnsafeRows directly and the id is appended via a reused JoinedRow, so
+  * no element ever round-trips through an external `Row` (the naive
+  * `df.rdd` + `Row.fromSeq` formulation converts every value twice —
+  * real money at 100 TB row counts); the scan over the returned
+  * DataFrame re-projects to UnsafeRow per partition, which is the same
+  * copy the old path paid anyway.
+  *
   * Cost: the sort exchange + two passes over the sorted output (count,
   * emit). Determinism requires `order` to be a total order (include a
   * unique id as the last key).
@@ -29,8 +39,17 @@ object RowIds {
       idName: String = "seq"): DataFrame = {
     val sorted = df.orderBy(order: _*)
     val outSchema = sorted.schema.add(idName, LongType, nullable = false)
-    val withIds = sorted.rdd.zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(withIds, outSchema)
+    val withIds = sorted.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions { it =>
+        // reused wrappers are safe: the downstream RDD scan projects each
+        // row to its own UnsafeRow before anything buffers it
+        val joined = new JoinedRow
+        val idRow = new GenericInternalRow(1)
+        it.map { case (r, i) =>
+          idRow.setLong(0, i)
+          joined(r, idRow): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    internalDf(df.sparkSession, withIds, outSchema)
   }
 }

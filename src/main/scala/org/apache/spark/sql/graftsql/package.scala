@@ -27,6 +27,17 @@ package object graftsql {
     }
   }
 
+  /** Build a DataFrame straight from an RDD of InternalRows — the
+    * zero-copy return path for RDD-level operators (RowIds): Spark's
+    * `internalCreateDataFrame` is `private[sql]`, and the public
+    * `createDataFrame(RDD[Row], schema)` forces an external-Row
+    * conversion per element. */
+  def internalDf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Install the top-k-per-key rewrite + strategy on a live session (the
     * public `experimental` hooks; rule runs in the user-provided batch,
     * after Spark's own InferWindowGroupLimit — the rewrite strips the
