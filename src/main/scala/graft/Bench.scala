@@ -13,6 +13,15 @@ import org.apache.spark.sql.SparkSession
   *    (~0.2-0.5 s/query, cached by generated source) and parquet footer
   *    reads are amortized rather than booked to whichever timed query
   *    pays them first;
+  *  - layout staging (untimed, once) via SPARK_GRAFT_STAGE_FILES=N:
+  *    rewrites the single-row-group local-SF inputs as N-file parquet
+  *    (Tables.stageLayout) so scans fan out past the one-task-per-table
+  *    cap. Measured on this box and REJECTED as the default (0 = off):
+  *    N=32 was uniformly ~0.3 s/query SLOWER — per-task scheduling on
+  *    60+ small queries swamps the scan parallelism gained, the same
+  *    arithmetic that killed the hot-table cache. At real data sizes the
+  *    multi-file layout is simply what ingest produces; at sf0.1 the
+  *    single-task scan is the faster physical plan;
   *  - cold-file scans by default: every timed run re-reads the parquet.
   *    SPARK_GRAFT_CACHE_TABLES=1 instead pins the ten tables hot in the
   *    block-manager cache (Spark's CACHE TABLE), repartitioned to the
@@ -35,7 +44,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -48,15 +57,29 @@ object Bench {
       .config("spark.sql.sources.useV1SourceList", "")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CONF").toSeq // experiment overrides "k=v;k=v"
+      .flatMap(_.split(';')).map(_.split('=')).collect {
+        case Array(k, v) => builder.config(k.trim, v.trim)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val stageFiles = sys.env.getOrElse("SPARK_GRAFT_STAGE_FILES", "0").toInt
+    val runDir =
+      if (stageFiles <= 0) sfDir
+      else {
+        val staged = new java.io.File(
+          "target/bench-staged/" + new java.io.File(sfDir).getName).getAbsolutePath
+        Tables.stageLayout(spark, sfDir, staged, stageFiles)
+        staged
+      }
+
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.queries(name)(spark, runDir)
         .write.format("noop").mode("overwrite").save()
 
     val hot = sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("1")
-    if (hot) Tables.hotCache(spark, sfDir, cpus.toInt)
+    if (hot) Tables.hotCache(spark, runDir, cpus.toInt)
     // RDD ids of the pinned tables: everything else persisted during a
     // query is query-local state and gets swept after it
     val pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
@@ -67,7 +90,12 @@ object Bench {
           .values.foreach(_.unpersist(blocking = false))
       else spark.catalog.clearCache()
 
+    // SPARK_GRAFT_ONLY="q32,q50" restricts the suite (local iteration on
+    // hot queries without paying the full 67-query sweep)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(f => f.exists(n.startsWith)))
     names.foreach { name => // warmup pass, untimed (see methodology above)
       try run(name) catch { case _: Throwable => () }
       sweep()

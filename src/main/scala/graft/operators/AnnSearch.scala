@@ -139,14 +139,15 @@ object AnnSearch {
         .map { case (id, m) => (id, m.map(_.toFloat)) }
       cents = updated.toSeq.toDF("centroid_id", "cvec")
     }
-    // The final assignment (and everything downstream) deliberately reads
-    // a FRESH prep of the corpus, not the pinned working set: after the
-    // centroid collect above, nothing lazy references `prepped`, so it can
-    // be unpersisted here — library callers no longer leak cached blocks
-    // on every ivfTopK call. Cost: the one query-time assignment pass
-    // re-scans the source instead of the cache — a single read either way.
-    val inverted = assignPrepped(prep(corpus), cents)
-    prepped.unpersist(blocking = false)
+    // The returned plan's final assignment reads the pinned working set
+    // too (A/B'd: a fresh uncached prep for the query-time pass costs
+    // ~2.7× on the bench — it re-scans AND re-preps per timed run).
+    // CACHE CONTRACT: the pinned blocks live until the caller clears
+    // them (`spark.catalog.clearCache()` or unpersisting); Bench sweeps
+    // query-local persists after every query. An eager unpersist here
+    // would be wrong — the returned DataFrame is lazy and still
+    // references the cache.
+    val inverted = assignPrepped(prepped, cents)
     // per query: nProbe nearest centroids
     val q = castDouble(queries, "q").withColumn("nq", norm("q"))
     val ce = castDouble(cents, "cvec").withColumn("ncv", norm("cvec"))

@@ -68,7 +68,14 @@ object NearDup {
       .filter(size(col("ds")) > 1)
     val capped =
       if (dfCap == Int.MaxValue) buckets else buckets.filter(size(col("ds")) <= dfCap)
+    // round-robin spread before the quadratic expansion: the bucket table
+    // is byte-small, so AQE would coalesce the stage that does the real
+    // work (pair emission + map-side pair-count aggregation) down to a
+    // task or two — same reasoning as simhashPairs, measured ~25% off the
+    // whole operator at sf0.1
+    val spread = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     capped
+      .repartition(spread)
       .select(exprColumn(PairCombinations(columnExpr(col("ds")))).as(Seq("x", "y")))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n_sh").as("size_a"), col("y.n_sh").as("size_b"))
@@ -316,7 +323,20 @@ object NearDup {
       .filter(size(col("ds")) > 1)
     val capped =
       if (bucketCap == Int.MaxValue) buckets else buckets.filter(size(col("ds")) <= bucketCap)
+    // Pin the expansion stage's parallelism: the bucket table is tiny
+    // (docs × nBlocks rows pre-agg), so AQE's coalescing — which sizes
+    // stages by their INPUT bytes — runs the quadratic pair expansion in
+    // ONE task (measured 2× the whole query, sf0.1). A hash repartition
+    // on (blk, v) is useless here: it matches the aggregate's own
+    // partitioning, gets pruned as redundant, and the surviving exchange
+    // coalesces anyway. Round-robin repartition by COUNT is the right
+    // tool — coalesce-exempt (REPARTITION_BY_NUM origin), never
+    // redundant, and it balances bucket sizes across tasks better than
+    // any hash of 144 keys could; it costs one exchange of |buckets|
+    // rows, trivial next to the emission it parallelizes.
+    val spread = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     capped
+      .repartition(spread)
       .select(exprColumn(
         SimHashBandPairs(columnExpr(col("ds")), columnExpr(col("blk")), masks, maxHamming))
         .as(Seq("doc_a", "doc_b", "hamming")))
