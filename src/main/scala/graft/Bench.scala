@@ -44,9 +44,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions sized to the DATA, not the cores: at sf0.1 a
+    // shuffle carries a few MB — 8 partitions keep every task non-trivial
+    // while AQE still coalesces the truly tiny exchanges. Measured: 8 vs
+    // 32 is ~10% off the suite total (fewer tasks to schedule per stage
+    // on 60+ small queries); heavy operators pin their own spread where
+    // it matters. At cluster SFs this knob scales with volume per the
+    // usual partitions ≈ bytes/128MB sizing.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")

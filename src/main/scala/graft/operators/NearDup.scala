@@ -21,12 +21,24 @@ import graft.functions.{MinHashAgg, NGramShingles, PairCombinations, SimHashAgg,
   */
 object NearDup {
 
+  /** Spread the raw document stream across the configured parallelism
+    * before a CPU-heavy per-doc projection (tokenize + shingle + md5):
+    * the local-SF inputs are single-row-group parquet, so without this
+    * the scan stage — and every projection Spark fuses into it — runs as
+    * ONE task no matter how many cores exist. One exchange of the raw
+    * docs (tiny next to the shingle stream it unlocks) buys full fan-out;
+    * at cluster scale the source arrives multi-split and the exchange is
+    * simply a cheap rebalance. */
+  private def spreadDocs(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** (doc_id, shingle) — distinct word n-gram shingles per document.
     * Single-pass [[graft.functions.NGramShingles]] expression (one eval
     * per row; the equivalent HOF chain pays one interpreted lambda per
     * shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
+    spreadDocs(docs).select(
       col(idCol).as("doc_id"),
       explode(exprColumn(NGramShingles(columnExpr(col(textCol)), n))).as("shingle"))
       .filter(length(col("shingle")) > 0)
@@ -258,7 +270,7 @@ object NearDup {
     * arithmetic only. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = spreadDocs(docs).select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
       .withColumn("h", TextFunctions.md5Hash56(col("t")))
     tok.groupBy("doc_id").agg(

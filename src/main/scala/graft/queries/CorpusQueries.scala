@@ -14,6 +14,13 @@ import graft.operators.{AnnSearch, AsOfJoin, Contamination, Dedup, Multimodal, N
   */
 object CorpusQueries {
 
+  /** Spread a single-row-group scan across the configured parallelism
+    * before a CPU-heavy per-doc projection (tokenize/regex/hash) — see
+    * NearDup.spreadDocs for the rationale; one raw-doc exchange buys a
+    * fully parallel projection stage. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Exact dedup groups by content hash (md5). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables.load(spark, dir, "documents"), "doc_id", "text")
@@ -21,7 +28,7 @@ object CorpusQueries {
 
   /** Per-document token statistics. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = spread(Tables.load(spark, dir, "documents"))
     d.select(
       col("doc_id"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -38,7 +45,7 @@ object CorpusQueries {
     val scoreCols = TextFunctions
       .langScores(TextFunctions.tokens(col("text")))
       .map { case (lang, c) => (lang, c.as(s"__s_$lang")) }
-    val scored = Tables.load(spark, dir, "documents")
+    val scored = spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id") +: scoreCols.map(_._2): _*)
     scored.select(col("doc_id"),
         TextFunctions.langIdFromScores(
@@ -49,7 +56,7 @@ object CorpusQueries {
 
   /** Quality score per document. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
@@ -232,7 +239,7 @@ object CorpusQueries {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.load(spark, dir, "documents")
-    val tok = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+    val tok = spread(d).select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
@@ -337,7 +344,7 @@ object CorpusQueries {
     * 100 TB shape — docs can be arbitrarily long); bigram stats via the
     * single-pass shingle expression (distinct count vs positional total). */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = spread(Tables.load(spark, dir, "documents"))
     val tcnt = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
     val docAgg = tcnt.groupBy("doc_id").agg(
