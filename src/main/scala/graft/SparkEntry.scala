@@ -88,6 +88,11 @@ object SparkEntry {
     "q64_spotify_q3"          -> (SpotifyParity.q3TopArtists(_, _)),
     "q65_spotify_q4"          -> (SpotifyParity.q4ChartMovement(_, _)),
     "q66_rank_topk"           -> (StarQueries.q66RankTopk(_, _)),
+    // round-4 pipeline extensions (SURVEY §2.11b X48-X51)
+    "q67_chunk_dedup"         -> (CorpusQueries.chunkDedup(_, _)),
+    "q68_scd2"                -> (CorpusQueries.scd2(_, _)),
+    "q69_token_budget"        -> (CorpusQueries.tokenBudget(_, _)),
+    "q70_bloom_semi"          -> (CorpusQueries.bloomSemiJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

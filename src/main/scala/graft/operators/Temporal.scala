@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal (slowly-changing-dimension) operators.
+  *
+  * An ETL pipeline that lands a change log (CDC stream, scrape history,
+  * daily snapshots) needs two standard derivations:
+  *   - SCD type 2: compress the log into validity intervals
+  *     [valid_from, valid_to) per key, one row per distinct consecutive
+  *     state, the open interval flagged current;
+  *   - latest-state snapshot: the last row per key (SCD type 1) — that
+  *     one is just `Dedup.keepFirst` under reversed order.
+  *
+  * Plan shape: one hash-partition exchange on the key, then both windows
+  * (change detection and interval close) run in the SAME sort within each
+  * partition — Catalyst plans consecutive windows over one
+  * (partition, order) as a single Sort + two Window nodes, no second
+  * shuffle. At 100 TB this is the minimum cost of any per-key ordered
+  * derivation; per-key state is O(1) (lag/lead buffers), so skewed keys
+  * spill the sort, not the operator.
+  */
+object Temporal {
+
+  /** Build SCD2 validity intervals from a change log.
+    *
+    * @param df       change log
+    * @param keyCol   entity key
+    * @param stateCol the tracked attribute; consecutive equal values
+    *                 collapse into one interval
+    * @param tsCol    event time
+    * @param tieCols  deterministic tiebreak within equal timestamps
+    *
+    * Output: (key, state, valid_from, valid_to, version, is_current) —
+    * `valid_to` NULL on the open interval, `version` 1-based per key. */
+  def scd2(df: DataFrame, keyCol: String, stateCol: String, tsCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    // a row opens an interval iff its state differs from the previous row's
+    df.withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col(stateCol))
+      .select(
+        col(keyCol),
+        col(stateCol).as("state"),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"),
+        row_number().over(w).cast("long").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Latest state per key (SCD type 1): the last log row under
+    * (ts, tieCols) — a `max_by` hash aggregate, so the shuffle carries one
+    * candidate per key from each map task, never the log. */
+  def latestSnapshot(df: DataFrame, keyCol: String, tsCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    val payload = df.columns.toSeq.filterNot(_ == keyCol)
+    val order = struct((col(tsCol) +: tieCols.map(col)): _*)
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*), order).as("__last"))
+      .select(df.columns.toSeq.map(c =>
+        if (c == keyCol) col(c) else col("__last").getField(c).as(c)): _*)
+  }
+}

@@ -380,5 +380,60 @@ object CorpusOracles {
                FROM scored)
          SELECT doc_id, token, tfidf, rnk FROM r WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+
+    // X48: 10-token chunks, corpus-wide keep-first under (doc_id, idx),
+    // docs reassembled from survivors — NULL when nothing survives
+    "q67_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         ch AS (SELECT doc_id, unnest(range(0, ((len(w) + 9) // 10))) AS chunk_idx, w
+                FROM w),
+         c2 AS (SELECT doc_id, chunk_idx,
+                  array_to_string(w[chunk_idx*10+1 : chunk_idx*10+10], ' ') AS chunk
+                FROM ch),
+         r AS (SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+               FROM c2)
+         SELECT doc_id, count(*) AS n_chunks,
+                count(*) FILTER (rn = 1) AS n_kept,
+                string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (rn = 1) AS new_text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    // X49: SCD2 intervals from the events change log
+    "q68_scd2" ->
+      """WITH l AS (SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+         c AS (SELECT user_id, event_type, ts, event_id FROM l
+               WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type AS state, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+                (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+         FROM c ORDER BY user_id, version""",
+
+    // X50: per-source token-budget quota in content-hash order (the
+    // windowed integer sum is CAST to BIGINT — HUGEINT drift rule)
+    "q69_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                  (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok,
+                  ${md5h56("doc_id::VARCHAR")} AS h
+                FROM documents),
+         c AS (SELECT doc_id, source, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM d)
+         SELECT source, count(*) AS n_docs_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+                max(cum) AS tok_cum_at_cut
+         FROM c WHERE cum - n_tok < 512 GROUP BY source ORDER BY source""",
+
+    // X51: the bloom filter is invisible in the result — the oracle is
+    // the plain EXISTS semi join
+    "q70_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, Contamination, Dedup, Multimodal, NearDup, Packing, RangeJoin, RowIds, Sessionize, Sketches, Skew}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, RangeJoin, RowIds, Sessionize, Sketches, Skew, Temporal}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -412,4 +412,63 @@ object CorpusQueries {
     Sketches.approxDistinctChecked(
       Tables.load(spark, dir, "lineitem"), "l_returnflag", "l_suppkey")
       .orderBy("l_returnflag")
+
+  /** Chunk-level (sub-document) exact dedup (X48): 10-token chunks,
+    * corpus-wide keep-first, documents reassembled from surviving chunks —
+    * the boilerplate-removal pass document-level dedup misses. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    ChunkDedup.dedupChunks(
+      spread(Tables.load(spark, dir, "documents")), "doc_id", "text", size = 10)
+      .orderBy("doc_id")
+
+  /** SCD2 validity intervals (X49) from the events change log: per user,
+    * consecutive equal event_types collapse into [valid_from, valid_to)
+    * intervals, the open one flagged current. */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    Temporal.scd2(
+      Tables.load(spark, dir, "events")
+        .select("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "ts", tieCols = Seq("event_id"))
+      .orderBy("user_id", "version")
+
+  /** Per-source token-budget quota (X50): admit documents in
+    * content-stable-hash order until each source's running token total
+    * reaches the budget — the deterministic "cap every domain at N
+    * tokens" pass of a data-mixing pipeline. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 512 binds at every test SF (a source holds ~1.4k tokens at sf0.01),
+    // so the cut is exercised, not vacuous
+    val budget = 512L
+    val d = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.md5Hash56(col("doc_id").cast("string")).as("h"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum("n_tok").over(w))
+      // a doc is admitted iff the budget was not already exhausted before it
+      .where(col("cum") - col("n_tok") < budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tok").as("tok_kept"),
+        max("cum").as("tok_cum_at_cut"))
+      .orderBy("source")
+  }
+
+  /** Bloom-pruned semi join (X51): lineitems of high-value orders — the
+    * bloom filter discards probe rows inside the scan stage, the exact
+    * semi join re-verifies survivors, so the result equals the plain
+    * `WHERE EXISTS` bit-for-bit. */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val expensive = Tables.load(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000.0)
+      .select("o_orderkey")
+    BloomPrune.semiJoin(li, "l_orderkey", expensive, "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

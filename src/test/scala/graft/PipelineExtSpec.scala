@@ -1,0 +1,196 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BloomPrune, ChunkDedup, Temporal}
+
+/** Specs for the round-4 pipeline extensions (SURVEY §2.11b X48–X51):
+  * chunk-level dedup, SCD2 intervals, token-budget quota, bloom-pruned
+  * semi join. Each oracle-gated query has its hand-built semantic twin
+  * here; plan-shape asserts pin the scale-relevant physical properties. */
+class PipelineExtSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---------- ChunkDedup (X48) ----------
+
+  private def chunkFixture = Seq(
+    (0L, "a b c d"),   // keeper of "a b" and "c d"
+    (1L, "a b x y"),   // loses chunk 0, keeps "x y"
+    (2L, "a b"),       // loses its only chunk -> NULL text
+    (3L, "p q p q")    // within-doc duplicate: second "p q" dropped
+  ).toDF("doc_id", "text")
+
+  test("chunk dedup: corpus-wide keep-first, reassembly, NULL when empty") {
+    val out = ChunkDedup.dedupChunks(chunkFixture, "doc_id", "text", size = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 0L), (3L, 2L, 1L)))
+    assert(out.map(_.getString(3)).toSeq ===
+      Seq("a b c d", "x y", null, "p q"))
+  }
+
+  test("chunk dedup: surviving chunks rejoin in original order") {
+    val df = Seq(
+      (0L, "k k"),            // claims "k k"
+      (1L, "k k m m z z")     // loses chunk 0, keeps chunks 1 and 2 in order
+    ).toDF("doc_id", "text")
+    val out = ChunkDedup.dedupChunks(df, "doc_id", "text", size = 2)
+      .orderBy("doc_id").collect()
+    assert(out(1).getString(3) === "m m z z")
+  }
+
+  test("chunk dedup: ragged tail chunk is its own unit") {
+    val df = Seq((0L, "a b c"), (1L, "c")).toDF("doc_id", "text")
+    // size=2 -> doc0 chunks ["a b", "c"]; doc1 chunk ["c"] collides with
+    // doc0's tail and is dropped
+    val out = ChunkDedup.dedupChunks(df, "doc_id", "text", size = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) === "a b c")
+    assert(out(1).getString(3) === null && out(1).getLong(2) === 0L)
+  }
+
+  test("chunk dedup plan: aggregate + equi join, no nested-loop pair scan") {
+    val plan = ChunkDedup.dedupChunks(chunkFixture, "doc_id", "text", size = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("boilerplate report finds cross-document repeated chunks") {
+    val out = ChunkDedup.boilerplate(chunkFixture, "doc_id", "text",
+      size = 2, minDocs = 2).collect()
+    assert(out.map(_.getString(0)).toSet === Set("a b"))
+    assert(out.head.getAs[Long]("n_docs") === 3L)
+    assert(out.head.getAs[Long]("first_id") === 0L)
+  }
+
+  // ---------- Temporal (X49) ----------
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def changeLog = Seq(
+    (1L, "A", ts(10), 100L),
+    (1L, "A", ts(20), 101L), // no change -> collapsed
+    (1L, "B", ts(30), 102L),
+    (1L, "B", ts(40), 103L),
+    (1L, "A", ts(50), 104L), // back to A: NEW interval, not merged
+    (2L, "X", ts(15), 200L)
+  ).toDF("user_id", "event_type", "ts", "event_id")
+
+  test("scd2: consecutive equal states collapse, intervals chain, open end") {
+    val out = Temporal.scd2(changeLog, "user_id", "event_type", "ts",
+      tieCols = Seq("event_id")).orderBy("user_id", "version").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(r => (r.getString(1), r.getTimestamp(2),
+      Option(r.getTimestamp(3)), r.getLong(4), r.getBoolean(5))).toSeq === Seq(
+      ("A", ts(10), Some(ts(30)), 1L, false),
+      ("B", ts(30), Some(ts(50)), 2L, false),
+      ("A", ts(50), None, 3L, true)))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2.head.getBoolean(5))
+  }
+
+  test("scd2: equal-timestamp rows resolved by the tiebreak column") {
+    val df = Seq(
+      (1L, "A", ts(10), 2L), // same ts: event_id orders A before B
+      (1L, "B", ts(10), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Temporal.scd2(df, "user_id", "event_type", "ts", Seq("event_id"))
+      .orderBy("version").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("A", "B"))
+    assert(out(0).getTimestamp(3) === ts(10)) // A's interval closed at B's ts
+  }
+
+  test("scd2 on events: intervals chain per user, exactly one open each") {
+    val out = Temporal.scd2(
+      Tables.load(spark, sf, "events").select("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "ts", Seq("event_id"))
+    val perUser = out.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perUser.nonEmpty)
+    assert(perUser.forall(_.getLong(1) == 1L), "exactly one open interval per user")
+    // chaining: version v's valid_to equals version v+1's valid_from
+    val rows = out.orderBy("user_id", "version").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getLong(0) == b.getLong(0) =>
+        assert(a.getTimestamp(3) === b.getTimestamp(2))
+      case _ => ()
+    }
+  }
+
+  test("latestSnapshot: last row per key under (ts, tie) order") {
+    val out = Temporal.latestSnapshot(changeLog, "user_id", "ts", Seq("event_id"))
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq ===
+      Seq((1L, "A", 104L), (2L, "X", 200L)))
+  }
+
+  // ---------- token budget (X50) ----------
+
+  test("token budget query: kept set is the exact hash-order prefix per source") {
+    val out = queries.CorpusQueries.tokenBudget(spark, sf).collect()
+    // independent reimplementation: same md5-derived order, driver-side fold
+    def h56(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 7), 16) << 28) +
+        java.lang.Long.parseLong(hex.substring(7, 14), 16)
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val ordered = rows.sortBy { case (id, _, _) => (h56(id.toString), id) }
+      var cum = 0L
+      val kept = ordered.takeWhile { case (_, _, text) =>
+        val n = text.split(" ", -1).length
+        val admit = cum < 512L; if (admit) cum += n; admit
+      }
+      src -> (kept.length.toLong,
+        kept.map(_._3.split(" ", -1).length.toLong).sum)
+    }
+    out.foreach { r =>
+      val (nKept, tokKept) = expected(r.getString(0))
+      assert(r.getLong(1) === nKept, s"n_docs_kept for ${r.getString(0)}")
+      assert(r.getLong(2) === tokKept, s"tok_kept for ${r.getString(0)}")
+    }
+  }
+
+  // ---------- BloomPrune (X51) ----------
+
+  test("bloom-pruned semi join equals the plain semi join exactly") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val expensive = Tables.load(spark, sf, "orders")
+      .where(col("o_totalprice") > 200000.0).select("o_orderkey")
+    val pruned = BloomPrune.semiJoin(li, "l_orderkey", expensive, "o_orderkey")
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = li.join(expensive, li("l_orderkey") === expensive("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(plain.nonEmpty)
+    assert(pruned === plain)
+  }
+
+  test("bloom prune sits in the probe-side filter of the plan") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val expensive = Tables.load(spark, sf, "orders")
+      .where(col("o_totalprice") > 200000.0).select("o_orderkey")
+    val plan = BloomPrune.semiJoin(li, "l_orderkey", expensive, "o_orderkey")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("bloom prune with empty build side yields empty result, no crash") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val none = Tables.load(spark, sf, "orders")
+      .where(col("o_totalprice") < 0.0).select("o_orderkey")
+    assert(BloomPrune.semiJoin(li, "l_orderkey", none, "o_orderkey").count() === 0L)
+  }
+}
