@@ -119,7 +119,10 @@ object Bench {
       name -> dt
     }.toMap
 
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    // SPARK_GRAFT_PASSES trims the sequential min-of-N for quick local
+    // A/Bs of the throughput section (default 3 = the reported method)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
+    val passes = Seq.fill(nPasses)(timedPass())
     val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -135,25 +138,27 @@ object Bench {
     // mid-run (a concurrent clearCache would evict another stream's
     // working set); one sweep at the end.
     val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "8").toInt
-    val wallSec =
-      if (streams <= 1) 0.0
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
-        val t0 = System.nanoTime()
-        names.foreach { name =>
-          pool.submit(new Runnable {
-            def run(): Unit =
-              try SparkEntry.queries(name)(spark, runDir)
-                .write.format("noop").mode("overwrite").save()
-              catch { case _: Throwable => () }
-          })
-        }
-        pool.shutdown()
-        pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
-        val w = (System.nanoTime() - t0) / 1e9
-        sweep()
-        w
+    def throughputPass(): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
+      val t0 = System.nanoTime()
+      names.foreach { name =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try SparkEntry.queries(name)(spark, runDir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+        })
       }
+      pool.shutdown()
+      pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
+      val w = (System.nanoTime() - t0) / 1e9
+      sweep()
+      w
+    }
+    // min-of-2: the same scheduling-lottery argument as the sequential
+    // min-of-3, at 2 × ~11 s cost
+    val wallSec =
+      if (streams <= 1) 0.0 else math.min(throughputPass(), throughputPass())
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""throughput_wallclock_sec":$wallSec,"throughput_streams":$streams,"sf":"$sfDir"}""")

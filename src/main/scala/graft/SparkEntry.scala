@@ -93,6 +93,9 @@ object SparkEntry {
     "q68_scd2"                -> (CorpusQueries.scd2(_, _)),
     "q69_token_budget"        -> (CorpusQueries.tokenBudget(_, _)),
     "q70_bloom_semi"          -> (CorpusQueries.bloomSemiJoin(_, _)),
+    "q71_redact"              -> (CorpusQueries.redact(_, _)),
+    "q72_weighted_sample"     -> (CorpusQueries.weightedSample(_, _)),
+    "q73_cms_topk"            -> (CorpusQueries.cmsTopk(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -94,6 +94,26 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** PII scrub: replace email addresses, long digit runs (phone/account
+    * numbers), and IPv4 literals with typed placeholder tags. Patterns
+    * deliberately stay in the regex subset Java and RE2 interpret
+    * identically (no backreferences, no lookaround, explicit classes —
+    * `[0-9]`, not `\d`), so a SQL engine running the same replacements
+    * produces byte-identical output. Order matters and is fixed:
+    * emails first (an address contains digit runs), then IPs (dotted
+    * digits would otherwise be eaten by the digit-run rule), then runs.
+    * Single codegen'd projection, no shuffle. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val digitRun = "[0-9][0-9][0-9][0-9][0-9]+"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      digitRun, "<NUM>")
+  }
+
   /** Content fingerprint: md5 of the normalized text — the distributed
     * dedup key (exact duplicates collide, whitespace/case variants too). */
   def fingerprint(text: Column): Column = md5(normalize(text))

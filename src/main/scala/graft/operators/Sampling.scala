@@ -54,4 +54,28 @@ object Sampling {
     }
     df.filter(keep(col(idCol), rate))
   }
+
+  /** Weighted deterministic (importance) sample: each row kept with
+    * probability `min(weight, cap) / cap` for an integer weight column —
+    * e.g. weight = token count with cap 512 keeps long documents surely
+    * and short ones proportionally, the standard length-proportional
+    * draw when sampling a token budget rather than a document count.
+    *
+    * ENTIRELY integer arithmetic so any SQL engine reproduces the exact
+    * kept set: keep iff `h56(id) < (2^56 / cap) * min(weight, cap)`.
+    * `cap` must divide 2^56 (a power of two ≤ 2^56) so the threshold is
+    * exact — weight = cap then yields threshold 2^56 > every hash,
+    * a true keep-everything. Same no-shuffle codegen'd-filter shape as
+    * the uniform sampler; a null id hashes to bucket 0 (always kept when
+    * weight > 0), a null/negative weight drops the row explicitly. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      cap: Long): DataFrame = {
+    require(cap > 0 && (cap & (cap - 1)) == 0 && cap <= (1L << 56),
+      s"cap must be a power of two in [1, 2^56], got $cap")
+    val unit = (1L << 56) / cap
+    val w = least(coalesce(weight.cast("long"), lit(0L)), lit(cap))
+    df.filter(
+      coalesce(TextFunctions.md5Hash56(col(idCol).cast("string")), lit(0L)) <
+        lit(unit) * w)
+  }
 }

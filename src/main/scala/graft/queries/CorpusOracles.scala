@@ -426,6 +426,38 @@ object CorpusOracles {
                 max(cum) AS tok_cum_at_cut
          FROM c WHERE cum - n_tok < 512 GROUP BY source ORDER BY source""",
 
+    // X52: same three replacements, same fixed order, identical RE2/Java
+    // regex subset; DuckDB needs the explicit 'g' flag Spark implies
+    "q71_redact" ->
+      s"""SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(
+              source || '_' || doc_id::VARCHAR || '@example.com' || ' tel ' ||
+                (doc_id * 7919 + 10000000)::VARCHAR || ' ' ||
+                '192.168.' || (doc_id % 254)::VARCHAR || '.' ||
+                ((doc_id * 7) % 254)::VARCHAR || ' ' || text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+              '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+              '[0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    // X53: integer-exact weighted Bernoulli — 140737488355328 = 2^56/512
+    "q72_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                  (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok,
+                  ${md5h56("doc_id::VARCHAR")} AS h
+                FROM documents)
+         SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept
+         FROM d WHERE h < 140737488355328 * least(n_tok, 512)
+         GROUP BY source ORDER BY source""",
+
+    // X54: exact top-20 token counts are the hash-gated payload; est_ok
+    // TRUE asserts the Spark-side CMS estimate sits in [exact, exact+N/256]
+    "q73_cms_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY 1)
+         SELECT token, n_exact, TRUE AS est_ok
+         FROM c ORDER BY n_exact DESC, token LIMIT 20""",
+
     // X51: the bloom filter is invisible in the result — the oracle is
     // the plain EXISTS semi join
     "q70_bloom_semi" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, RangeJoin, RowIds, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, RangeJoin, RowIds, Sampling, Sessionize, Sketches, Skew, Temporal}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -454,6 +454,61 @@ object CorpusQueries {
         sum("n_tok").as("tok_kept"),
         max("cum").as("tok_cum_at_cut"))
       .orderBy("source")
+  }
+
+  /** PII redaction (X52) over synthesized contact strings (the corpus
+    * text itself is clean, so the query plants an email, a phone-like
+    * digit run and an IPv4 per document to exercise every pattern). */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+    val contact = concat_ws(" ",
+      concat(col("source"), lit("_"), col("doc_id").cast("string"), lit("@example.com")),
+      lit("tel"),
+      (col("doc_id") * lit(7919L) + lit(10000000L)).cast("string"),
+      concat(lit("192.168."), pmod(col("doc_id"), lit(254L)).cast("string"),
+        lit("."), pmod(col("doc_id") * lit(7L), lit(254L)).cast("string")),
+      col("text"))
+    d.select(col("doc_id"), TextFunctions.redactPii(contact).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Weighted deterministic sampling (X53): length-proportional keep
+    * probability `min(n_tok, 512)/512` — integer-exact hash threshold,
+    * so DuckDB reproduces the exact kept set. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+    Sampling.weightedSample(d, "doc_id", col("n_tok"), cap = 512L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("tok_kept"))
+      .orderBy("source")
+  }
+
+  /** Count-Min sketch frequency estimates (X54), gated like the HLL
+    * query: the top-20 exact token counts ride along (hash-comparable),
+    * and `est_ok` asserts the sketch estimate for each is ≥ exact (CMS
+    * never undercounts) and within the N/256 collision bound. */
+  def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.{CountMin, CountMinAgg}
+    val toks = spread(Tables.load(spark, dir, "documents"))
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val sketch = toks.agg(
+      exprColumn(CountMinAgg(
+        columnExpr(TextFunctions.md5Hash56(col("token")))).toAggregateExpression())
+        .as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("token")).limit(20)
+    val est = exprColumn(CountMin.Estimate(
+      columnExpr(col("sk")),
+      columnExpr(TextFunctions.md5Hash56(col("token")))))
+    top.crossJoin(broadcast(sketch))
+      .select(col("token"), col("n_exact"),
+        (est >= col("n_exact") &&
+          est <= col("n_exact") + col("n_total") / lit(256)).as("est_ok"))
+      .orderBy(desc("n_exact"), col("token"))
   }
 
   /** Bloom-pruned semi join (X51): lineitems of high-value orders — the

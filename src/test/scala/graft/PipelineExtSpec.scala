@@ -193,4 +193,95 @@ class PipelineExtSpec extends AnyFunSuite {
       .where(col("o_totalprice") < 0.0).select("o_orderkey")
     assert(BloomPrune.semiJoin(li, "l_orderkey", none, "o_orderkey").count() === 0L)
   }
+
+  // ---------- PII redaction (X52) ----------
+
+  private def redactOne(s: String): String =
+    Seq((s, 0)).toDF("t", "i")
+      .select(graft.functions.TextFunctions.redactPii(col("t")))
+      .head().getString(0)
+
+  test("redactPii: each pattern, fixed order, clean text untouched") {
+    assert(redactOne("mail bob.smith+x@corp.example.com end") === "mail <EMAIL> end")
+    assert(redactOne("host 10.0.255.7 up") === "host <IP> up")
+    assert(redactOne("call 5551234567 now") === "call <NUM> now")
+    // 4 digits is below the run threshold; dotted digits go to IP, not NUM
+    assert(redactOne("year 2024 at 192.168.0.1") === "year 2024 at <IP>")
+    // an email containing digit runs is ONE email tag, not nested tags
+    assert(redactOne("a12345@b12345.org") === "<EMAIL>")
+    assert(redactOne("plain words only") === "plain words only")
+  }
+
+  // ---------- weighted sampling (X53) ----------
+
+  private def h56(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 7), 16) << 28) +
+      java.lang.Long.parseLong(hex.substring(7, 14), 16)
+  }
+
+  test("weightedSample: weight>=cap is a sure keep, 0/null weight drops") {
+    val df = Seq(
+      (1L, 512L), (2L, 600L), // at/over cap
+      (3L, 0L)                // zero weight
+    ).toDF("id", "w").union(Seq((4L, Option.empty[Long])).toDF("id", "w"))
+    val kept = operators.Sampling.weightedSample(df, "id", col("w"), cap = 512L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("weightedSample: kept set matches the integer threshold exactly") {
+    val df = (0L until 200L).map(i => (i, i % 64L)).toDF("id", "w")
+    val kept = operators.Sampling.weightedSample(df, "id", col("w"), cap = 64L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val unit = (1L << 56) / 64L
+    val expected = (0L until 200L)
+      .filter(i => h56(i.toString) < unit * math.min(i % 64L, 64L)).toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.size < 200)
+  }
+
+  // ---------- Count-Min sketch (X54) ----------
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    df.agg(exprColumn(graft.functions.CountMinAgg(
+        columnExpr(graft.functions.TextFunctions.md5Hash56(col("token"))))
+      .toAggregateExpression()).as("sk"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  test("CMS: estimate >= exact for every token, bounded overcount") {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val sketch = toks.agg(
+      exprColumn(graft.functions.CountMinAgg(
+        columnExpr(graft.functions.TextFunctions.md5Hash56(col("token"))))
+        .toAggregateExpression()).as("sk"))
+    val est = exprColumn(graft.functions.CountMin.Estimate(
+      columnExpr(col("sk")),
+      columnExpr(graft.functions.TextFunctions.md5Hash56(col("token")))))
+    val rows = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("n_exact"), est.as("est"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0), "CMS must never undercount")
+      assert(r.getLong(1) <= r.getLong(0) + n / 64,
+        s"overcount beyond loose bound: exact=${r.getLong(0)} est=${r.getLong(1)}")
+    }
+  }
+
+  test("CMS: sketch is layout-independent (partial merges commute)") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val a = sketchOf(toks.repartition(2))
+    val b = sketchOf(toks.repartition(7))
+    assert(a.toSeq === b.toSeq)
+    assert(a.sum > 0)
+  }
 }
