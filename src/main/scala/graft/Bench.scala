@@ -137,7 +137,10 @@ object Bench {
     // TPC-H throughput test has always been defined. No per-query sweeps
     // mid-run (a concurrent clearCache would evict another stream's
     // working set); one sweep at the end.
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "8").toInt
+    // streams A/B at sf0.1 (74-query suite, min-of-1): 8→11.1 s,
+    // 16→9.1 s, 24→9.4 s, 32→9.0 s — plateau from 16 on; 16 keeps the
+    // most headroom under the plateau
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "16").toInt
     def throughputPass(): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
       val t0 = System.nanoTime()

@@ -132,4 +132,28 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming SCD1 (latest state per key) — the streaming twin of
+    * `operators.Temporal.latestSnapshot`: one fixed-size state record per
+    * key holds the running max under (ts, event_id); each micro-batch
+    * re-emits the keys it touched with their current latest row, so late
+    * or replayed events can only CONFIRM the stored state, never regress
+    * it (spec-asserted against the batch operator on the same data).
+    *
+    * Update-mode `mapGroupsWithState`: state store growth is one record
+    * per distinct key — the bounded-dimension shape (users, devices), not
+    * per-event state. */
+  def latestState(events: Dataset[EventRow]): Dataset[EventRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EventRow, EventRow](GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[EventRow], state: GroupState[EventRow]) =>
+          def key(e: EventRow): (Long, Long) = (e.ts.getTime, e.event_id)
+          val best = (state.getOption.iterator ++ it)
+            .maxBy(key)(Ordering.Tuple2[Long, Long])
+          state.update(best)
+          best
+      }
+  }
 }

@@ -160,4 +160,41 @@ class StreamingAggSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("streaming latest-state equals batch latestSnapshot; late data never regresses") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.latestState(in.toDS())
+      .writeStream.format("memory").queryName("latest_state")
+      .outputMode(OutputMode.Update).start()
+
+    // batch 1: user 1 reaches ts 10:30; user 2 at 09:00
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "a"), ev(2, "2024-01-01 10:30:00", 1, "b"),
+      ev(3, "2024-01-01 09:00:00", 2, "x"))
+    // batch 2: user 1 gets only LATE data (ts before 10:30) — state must
+    // hold; user 2 legitimately advances
+    val b2 = Seq(
+      ev(4, "2024-01-01 09:45:00", 1, "stale"),
+      ev(5, "2024-01-01 11:00:00", 2, "y"))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val emitted = spark.table("latest_state").collect()
+      .map(r => (r.getLong(2), (r.getTimestamp(1).getTime, r.getLong(0), r.getString(3))))
+    q.stop()
+
+    // the late-arrival batch re-emitted user 1's UNCHANGED latest: every
+    // emission for user 1 is the same row (a regression would add a second)
+    assert(emitted.filter(_._1 == 1L).map(_._2).distinct.length === 1)
+    // final state per user (max emission) equals the batch operator
+    val finalPerUser = emitted.groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).max }
+    val batchTwin = graft.operators.Temporal.latestSnapshot(
+      (b1 ++ b2).toDF(), "user_id", "ts", Seq("event_id"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Timestamp]("ts").getTime, r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type")))).toMap
+    assert(finalPerUser === batchTwin)
+  }
 }
