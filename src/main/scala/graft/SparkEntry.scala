@@ -96,6 +96,8 @@ object SparkEntry {
     "q71_redact"              -> (CorpusQueries.redact(_, _)),
     "q72_weighted_sample"     -> (CorpusQueries.weightedSample(_, _)),
     "q73_cms_topk"            -> (CorpusQueries.cmsTopk(_, _)),
+    "q74_zorder"              -> (CorpusQueries.zorderProfile(_, _)),
+    "q75_incremental_dedup"   -> (CorpusQueries.incrementalDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -47,4 +47,31 @@ object Dedup {
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
+
+  /** Incremental (batch-vs-history) dedup: the daily-ingest shape — the
+    * new batch dedups against everything already ACCEPTED without ever
+    * touching the historical corpus itself, only its fingerprint table
+    * (one md5 per accepted document, the running state a pipeline
+    * persists between runs).
+    *
+    * Returns the batch rows that survive, `fingerprint` appended (the
+    * rows whose fingerprints the caller appends to the history table).
+    * Two steps, both batch-sized: keep-first inside the batch (min_by
+    * hash agg — a batch can carry internal dups), then a left-anti join
+    * against the fingerprint table. At 100 TB-of-history the anti join
+    * shuffles |batch| + |history fingerprints| hashes — never documents;
+    * a small batch against a huge history is exactly the shape Spark's
+    * broadcast/shuffled-hash anti join handles. */
+  def incrementalNew(batch: DataFrame, idCol: String, textCol: String,
+      historyFingerprints: DataFrame): DataFrame = {
+    val hist = historyFingerprints.select(col("fingerprint")).distinct()
+    keepFirst(batch.withColumn("fingerprint", md5(col(textCol))),
+        keys = Seq("fingerprint"), order = Seq(col(idCol)))
+      .join(hist, Seq("fingerprint"), "left_anti")
+  }
+
+  /** The fingerprint-table side of [[incrementalNew]]: one `fingerprint`
+    * row per distinct accepted content. */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("fingerprint")).distinct()
 }

@@ -458,6 +458,42 @@ object CorpusOracles {
          SELECT token, n_exact, TRUE AS est_ok
          FROM c ORDER BY n_exact DESC, token LIMIT 20""",
 
+    // X56: identical Morton shift/mask cascade (DuckDB lateral alias
+    // references keep it readable); all intermediates < 2^33
+    "q74_zorder" ->
+      """WITH base AS (
+           SELECT (o_custkey & 65535) AS a0,
+                  (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535) AS b0
+           FROM orders),
+         sp AS (
+           SELECT ((a0 | (a0 << 8)) & 16711935) AS a1,
+                  ((a1 | (a1 << 4)) & 252645135) AS a2,
+                  ((a2 | (a2 << 2)) & 858993459) AS a3,
+                  ((a3 | (a3 << 1)) & 1431655765) AS az,
+                  ((b0 | (b0 << 8)) & 16711935) AS b1,
+                  ((b1 | (b1 << 4)) & 252645135) AS b2,
+                  ((b2 | (b2 << 2)) & 858993459) AS b3,
+                  ((b3 | (b3 << 1)) & 1431655765) AS bz,
+                  (az | (bz << 1)) AS z
+           FROM base)
+         SELECT z >> 20 AS z_bucket, count(*) AS n, min(z) AS z_min, max(z) AS z_max
+         FROM sp GROUP BY 1 ORDER BY 1""",
+
+    // X57: keep-first inside the batch, then NOT EXISTS vs the history
+    // fingerprint set — the plain-SQL twin of the anti-join pipeline
+    "q75_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS fingerprint FROM documents
+                    WHERE doc_id % 5 = 0),
+         hist AS (SELECT DISTINCT md5(text) AS fingerprint FROM documents
+                  WHERE doc_id % 5 <> 0),
+         k AS (SELECT doc_id, fingerprint,
+                 row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+               FROM b)
+         SELECT doc_id, fingerprint FROM k
+         WHERE rn = 1 AND NOT EXISTS
+           (SELECT 1 FROM hist WHERE hist.fingerprint = k.fingerprint)
+         ORDER BY doc_id""",
+
     // X51: the bloom filter is invisible in the result — the oracle is
     // the plain EXISTS semi join
     "q70_bloom_semi" ->

@@ -511,6 +511,36 @@ object CorpusQueries {
       .orderBy(desc("n_exact"), col("token"))
   }
 
+  /** Z-order bucket profile (X56): Morton interleave of (customer,
+    * order-day) — the clustering key `Sinks.writeZOrdered` lays files
+    * out by. Bucket counts + extrema are hash-gated; DuckDB runs the
+    * identical shift/mask cascade (all intermediates < 2^33, exact in
+    * any 64-bit engine). */
+  def zorderProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1992-01-01").cast("date"))
+    o.select(graft.functions.ZOrder.zValue(col("o_custkey"), day).as("z"))
+      .groupBy(shiftright(col("z"), 20).as("z_bucket"))
+      .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"))
+      .orderBy("z_bucket")
+  }
+
+  /** Incremental batch-vs-history dedup (X57): docs with `doc_id % 5 = 0`
+    * play the incoming batch, the rest the accepted corpus; survivors =
+    * batch rows whose content is new to both the batch (keep-first) and
+    * the history fingerprint table. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val batch = d.where(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select("doc_id", "text")
+    val history = d.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
+    Dedup.incrementalNew(batch, "doc_id", "text",
+        Dedup.fingerprints(history, "text"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   /** Bloom-pruned semi join (X51): lineitems of high-value orders — the
     * bloom filter discards probe rows inside the scan stage, the exact
     * semi join re-verifies survivors, so the result equals the plain

@@ -84,6 +84,19 @@ object Sinks {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(mode).parquet(outDir)
 
+  /** Z-ordered layout: range-cluster on the Morton interleave of TWO
+    * keys, so file-level min/max stats stay narrow on BOTH — predicates
+    * on either dimension skip files, where linear clustering helps only
+    * its leading key. Same shuffle cost as `writeClustered` (one range
+    * exchange + local sort); the z column is dropped from the files. */
+  def writeZOrdered(df: DataFrame, outDir: String, colA: String, colB: String,
+      numFiles: Int, mode: String = "overwrite"): Unit =
+    df.withColumn("__z", graft.functions.ZOrder.zValue(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(outDir)
+
   /** CSV reader with the reference's null/quote semantics (S8/D5). */
   def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     csvOptions(spark.read).schema(schema).csv(dir)

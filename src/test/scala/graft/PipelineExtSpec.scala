@@ -284,4 +284,70 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
     assert(a.sum > 0)
   }
+
+  // ---------- Z-order (X56) ----------
+
+  test("zValue: exact Morton interleave on known bit patterns") {
+    val rows = Seq((0xFFFFL, 0L), (0L, 0xFFFFL), (3L, 1L), (0L, 0L),
+      (0x10000L, 0L)) // 17th bit masked off
+      .toDF("a", "b")
+      .select(graft.functions.ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(0x55555555L, 0xAAAAAAAAL, 7L, 0L, 0L))
+  }
+
+  /** Per-file (min,max) extents of `c` across the parquet files under dir. */
+  private def fileExtents(dir: String, c: String): Seq[(Long, Long)] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  test("writeZOrdered bounds BOTH dimensions per file; linear clustering only one") {
+    // deterministic uniform 16-bit pairs: x a Weyl sequence, y the BIT
+    // REVERSAL of x — any contiguous x interval contains all low-bit
+    // residues, so y sweeps its full range inside every x cluster
+    // (x and y genuinely unclusterable by a single sort key)
+    val df = (0 until 4096).map { i =>
+      val x = (i * 40503) & 0xFFFF
+      val y = (Integer.reverse(x) >>> 16) & 0xFFFF
+      (x.toLong, y.toLong)
+    }.toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString
+    graft.sources.Sinks.writeZOrdered(df, zDir, "x", "y", numFiles = 8)
+    graft.sources.Sinks.writeClustered(df, linDir, Seq("x"), numFiles = 8)
+
+    def meanWidth(ext: Seq[(Long, Long)]): Double =
+      ext.map { case (lo, hi) => (hi - lo).toDouble }.sum / ext.size
+    val global = 65535.0
+    // z layout: BOTH x and y extents are materially narrower than global
+    assert(meanWidth(fileExtents(zDir, "x")) < 0.7 * global)
+    assert(meanWidth(fileExtents(zDir, "y")) < 0.7 * global)
+    // linear-on-x layout: x razor sharp, y essentially unbounded per file
+    assert(meanWidth(fileExtents(linDir, "x")) < 0.3 * global)
+    assert(meanWidth(fileExtents(linDir, "y")) > 0.9 * global)
+  }
+
+  // ---------- incremental dedup (X57) ----------
+
+  test("incrementalNew: batch keep-first, history anti join, fingerprints appended") {
+    val history = Seq((100L, "seen before")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "fresh content"),
+      (2L, "fresh content"),  // batch-internal dup of 1 -> dropped
+      (3L, "seen before"),    // already in history -> dropped
+      (4L, "also new")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalNew(batch, "doc_id", "text",
+        graft.operators.Dedup.fingerprints(history, "text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 4L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("fresh content".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.head.getAs[String]("fingerprint") === md)
+  }
 }
