@@ -98,6 +98,8 @@ object SparkEntry {
     "q73_cms_topk"            -> (CorpusQueries.cmsTopk(_, _)),
     "q74_zorder"              -> (CorpusQueries.zorderProfile(_, _)),
     "q75_incremental_dedup"   -> (CorpusQueries.incrementalDedup(_, _)),
+    "q76_funnel"              -> (CorpusQueries.funnel(_, _)),
+    "q77_retention"           -> (CorpusQueries.retention(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -494,6 +494,34 @@ object CorpusOracles {
            (SELECT 1 FROM hist WHERE hist.fingerprint = k.fingerprint)
          ORDER BY doc_id""",
 
+    // X58: step-i time = earliest matching event strictly after step i-1
+    "q76_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT s1.user_id, t1, t2, t3,
+                CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                       + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS steps_completed
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+
+    // X59: cohort = week of first activity; offsets are whole weeks
+    "q77_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('week', ts) AS DATE) AS p
+                      FROM events),
+         first AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY 1)
+         SELECT cohort, date_diff('day', cohort, p) // 7 AS week_offset,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+         FROM act JOIN first USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // X51: the bloom filter is invisible in the result — the oracle is
     // the plain EXISTS semi join
     "q70_bloom_semi" ->

@@ -541,6 +541,23 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** view→click→purchase funnel (X58): earliest ordered completion times
+    * per user, conditional-min aggregates only — no per-key history sort. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(
+      Tables.load(spark, dir, "events"), "user_id", "ts",
+      steps = Seq(col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .orderBy("user_id")
+
+  /** Weekly cohort retention matrix (X59) over the events log. */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retention(
+      Tables.load(spark, dir, "events"), "user_id", "ts",
+      period = date_trunc("week", _))
+      .orderBy("cohort", "week_offset")
+
   /** Bloom-pruned semi join (X51): lineitems of high-value orders — the
     * bloom filter discards probe rows inside the scan stage, the exact
     * semi join re-verifies survivors, so the result equals the plain

@@ -332,6 +332,51 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(meanWidth(fileExtents(linDir, "y")) > 0.9 * global)
   }
 
+  // ---------- funnel / retention (X58, X59) ----------
+
+  test("funnel: steps must complete strictly in order") {
+    val ev = Seq(
+      // user 1: full funnel, but with an early click BEFORE the view that
+      // must not count — t2 is the click AFTER t1
+      (1L, "click", ts(5)), (1L, "view", ts(10)), (1L, "click", ts(20)),
+      (1L, "purchase", ts(30)),
+      // user 2: stalls after view (its only click precedes the view)
+      (2L, "click", ts(8)), (2L, "view", ts(12)),
+      // user 3: never views -> not in the funnel at all
+      (3L, "purchase", ts(50))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Funnel.funnel(ev, "user_id", "ts",
+      steps = Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .orderBy("user_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val u1 = out(0)
+    assert(u1.getTimestamp(1) === ts(10) && u1.getTimestamp(2) === ts(20) &&
+      u1.getTimestamp(3) === ts(30) && u1.getAs[Long]("steps_completed") === 3L)
+    val u2 = out(1)
+    assert(u2.getTimestamp(1) === ts(12) && u2.getTimestamp(2) === null &&
+      u2.getAs[Long]("steps_completed") === 1L)
+  }
+
+  test("retention: cohort by first week, offsets count distinct actives") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, d("2024-01-01 10:00:00")), (1L, d("2024-01-08 10:00:00")), // w0, w1
+      (2L, d("2024-01-02 10:00:00")),                                 // w0 only
+      (3L, d("2024-01-10 10:00:00")), (3L, d("2024-01-24 10:00:00"))  // w1, w3
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Funnel.retention(ev, "user_id", "ts",
+        period = date_trunc("week", _))
+      .orderBy("cohort", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 2L), // users 1,2 in the Jan-1 cohort week
+      ("2024-01-01", 1L, 1L), // user 1 returns in week 1
+      ("2024-01-08", 0L, 1L), // user 3's cohort
+      ("2024-01-08", 2L, 1L)  // user 3 returns two weeks later
+    ))
+  }
+
   // ---------- incremental dedup (X57) ----------
 
   test("incrementalNew: batch keep-first, history anti join, fingerprints appended") {
