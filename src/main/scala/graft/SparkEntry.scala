@@ -100,6 +100,7 @@ object SparkEntry {
     "q75_incremental_dedup"   -> (CorpusQueries.incrementalDedup(_, _)),
     "q76_funnel"              -> (CorpusQueries.funnel(_, _)),
     "q77_retention"           -> (CorpusQueries.retention(_, _)),
+    "q78_setsim_join"         -> (CorpusQueries.setsimJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

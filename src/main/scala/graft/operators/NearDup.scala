@@ -52,20 +52,61 @@ object NearDup {
     * shingles produce quadratic blowup and carry no signal). Pass
     * Int.MaxValue to disable (exact semantics, used by the oracle query).
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
-    // (doc_id, |shingles(doc)|, h) in one scan: the per-doc set size rides
-    // along with every shingle hash, so no separate size aggregate and no
-    // size-attach joins later — the whole operator is TWO shuffles
-    // (bucket-by-h, group-by-pair), nothing persisted.
+  /** (doc_id, n_sh, h) in one scan: each document's distinct hashed
+    * shingles with the set size riding along on every row — so consumers
+    * need no separate size aggregate and no size-attach joins later.
+    * Shared by the all-pairs join, the prefix-filter join
+    * ([[SetSimJoin]]), and the MinHash pipeline. */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val arr = exprColumn(NGramShingles(columnExpr(col(textCol)), n))
-    val sh = docs.select(
+    spreadDocs(docs).select(
         col(idCol).as("doc_id"),
         filter(arr, x => length(x) > 0).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("shingle"))
       .withColumn("h", shingleHash)
       .select(col("doc_id"), col("n_sh"), col("h"))
+  }
+
+  /** Exact-Jaccard verification of a candidate pair table: re-derive the
+    * hash SETS for just the candidate docs, intersect per pair, keep
+    * pairs at `jaccard >= threshold`. The corpus-wide stream never
+    * carries sets — only candidate docs pay the set materialization.
+    *
+    * `broadcastCand = true` (the LSH caller) pins broadcast joins —
+    * right when candidates are a provably tiny survivor set. Pass false
+    * when the candidate table's size is data-dependent (the prefix-filter
+    * join): the attach joins then hash-partition on doc_a/doc_b and AQE
+    * still broadcasts small sides at runtime, without wagering driver
+    * memory on a cardinality guess. */
+  def verifyJaccard(sh: DataFrame, cand: DataFrame, threshold: Double,
+      broadcastCand: Boolean = true): DataFrame = {
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val candSets = sh
+      .join(if (broadcastCand) broadcast(candDocs) else candDocs, Seq("doc_id"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
+    val setsA = candSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val setsB = candSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val attached =
+      if (broadcastCand) {
+        val j1 = setsA.join(broadcast(cand), Seq("doc_a"))
+        setsB.join(broadcast(j1), Seq("doc_b"))
+      } else cand.join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
+    attached
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
+    // the whole operator is TWO shuffles (bucket-by-h, group-by-pair),
+    // nothing persisted
+    val sh = hashedShingles(docs, idCol, textCol, n)
     // Pair generation: ONE shuffle groups each shingle's (doc, size) list,
     // then in-place combination expansion — versus the h ⋈ h self-join
     // this saves the join's second exchange. sort_array orders each bucket
@@ -180,24 +221,8 @@ object NearDup {
       .select(exprColumn(PairCombinations(columnExpr(col("ds"))))
         .as(Seq("doc_a", "doc_b")))
       .distinct()
-    // exact verification over the candidates only: re-derive the hash
-    // SETS for just the candidate docs (LSH-selected, tiny — broadcast
-    // the doc list into the stream scan, collect ~|cand docs| sets), then
-    // intersect per pair. The corpus-wide stream never carries sets.
-    val candDocs = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val candSets = sh.join(broadcast(candDocs), Seq("doc_id"))
-      .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
-    val j1 = candSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      .join(broadcast(cand), Seq("doc_a"))
-    candSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      .join(broadcast(j1), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    // exact verification over the candidates only (LSH-selected, tiny)
+    verifyJaccard(sh, cand, threshold)
   }
 
   /** Transitive near-duplicate groups: connected components over a pair

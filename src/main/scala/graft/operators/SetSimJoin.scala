@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+
+import graft.functions.PairCombinations
+
+/** Exact set-similarity self-join via prefix filtering (the
+  * SSJoin/All-Pairs family: Chaudhuri et al. ICDE'06, Bayardo et al.
+  * WWW'07) — the EXACT counterpart to MinHash+LSH for Jaccard joins.
+  *
+  * Where LSH trades recall for candidate volume, prefix filtering keeps
+  * recall 1 by a counting argument: order every document's shingle set by
+  * one global total order and call its first `n - ceil(t*n) + 1` elements
+  * the PREFIX. A pair with Jaccard >= t shares >= ceil(t*max(na,nb))
+  * elements, too many to hide entirely in both suffixes — so the two
+  * prefixes must collide on at least one element, and bucketing prefixes
+  * is a complete candidate generator.
+  *
+  * The global order is ascending document frequency (rarest first, ties
+  * by hash): prefixes then hold each document's RAREST shingles, so
+  * bucket sizes — and the quadratic pair expansion inside them — stay
+  * small exactly where the data is hottest (a stopword shingle lands in
+  * nobody's prefix unless a doc consists of nothing else).
+  *
+  * Plan shape, all hash-partitioned (100 TB audit):
+  *   1. df per shingle hash: one partial-aggregatable count shuffle,
+  *      O(|shingles|);
+  *   2. df joins back to the stream ON THE SAME KEY — reuses exchange 1;
+  *   3. per-doc prefix: one groupBy(doc) — per-group state is the doc's
+  *      own shingle list (bounded by doc length, never corpus-wide);
+  *   4. candidate buckets: one groupBy(prefix hash) + in-place ordered
+  *      combination expansion (the [[minhashLshPairs]] shape — no theta
+  *      self-join), with the size-ratio filter min >= t*max applied
+  *      before the distinct;
+  *   5. exact-Jaccard verify touches candidate docs only.
+  * Nothing is persisted; the driver sees no data.
+  */
+object SetSimJoin {
+
+  /** Exact Jaccard >= `threshold` pairs over word `n`-gram shingle sets.
+    * Equal by construction to [[NearDup.ngramJaccardPairs]] (all-pairs)
+    * at the same parameters; columns (doc_a, doc_b, jaccard).
+    *
+    * `bucketCap` drops prefix buckets larger than the cap — a documented
+    * recall valve for degenerate corpora (every doc sharing one rare
+    * shingle); disabled by default (exact semantics). */
+  def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, bucketCap: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"setsim threshold must be in (0,1], got $threshold")
+    val spread = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // (doc_id, n_sh, h): the hashed distinct-shingle stream with the set
+    // size riding along — one scan, no separate size aggregate
+    val sh = NearDup.hashedShingles(docs, idCol, textCol, n)
+
+    // 1+2. document frequency per shingle hash, joined straight back on
+    // the aggregation key (no second corpus exchange)
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val withDf = sh.join(dfreq, Seq("h"))
+
+    // 3. per-doc prefix under (df asc, h asc): sort_array on
+    // struct(df, h) orders rarest-first; slice keeps n - ceil(t*n) + 1
+    val prefixes = withDf
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_sh")).as("n_sh"),
+        sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
+      .select(col("doc_id"), col("n_sh"),
+        explode(transform(
+          slice(col("ordered"), lit(1),
+            (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1)).cast("int")),
+          s => s.getField("h"))).as("h"))
+
+    // 4. candidate pairs: bucket by prefix hash, ordered in-place
+    // expansion, length filter (J >= t forces min >= t*max), distinct.
+    // Same round-robin spread before the quadratic stage as the LSH/
+    // SimHash operators — the bucket table is byte-small and AQE would
+    // otherwise coalesce the expansion to one task.
+    val buckets = prefixes.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val capped =
+      if (bucketCap == Int.MaxValue) buckets
+      else buckets.filter(size(col("ds")) <= bucketCap)
+    val cand = capped
+      .repartition(spread)
+      .select(exprColumn(PairCombinations(columnExpr(col("ds")))).as(Seq("x", "y")))
+      .filter(least(col("x.n_sh"), col("y.n_sh")) >=
+        lit(threshold) * greatest(col("x.n_sh"), col("y.n_sh")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // 5. exact verification on candidates only (the minhashLshPairs
+    // tail): rebuild hash sets for just the candidate docs and intersect.
+    // No forced broadcast — the candidate count here is data-dependent
+    // (a dense-vocabulary corpus degrades prefix selectivity), so the
+    // attach joins stay hash-partitioned and AQE upgrades them when small.
+    NearDup.verifyJaccard(sh.select("doc_id", "h"), cand, threshold,
+      broadcastCand = false)
+  }
+}

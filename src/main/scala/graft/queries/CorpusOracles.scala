@@ -39,7 +39,10 @@ object CorpusOracles {
     * to ~1e-8). Applies the identical 55-bit md5 hash the Spark operator
     * joins on, so results are equal by construction even at collisions. */
   private def jaccardPairs(threshold: Double): String =
-    s"""WITH $shingleCte,
+    jaccardPairsN(3, threshold)
+
+  private def jaccardPairsN(n: Int, threshold: Double): String =
+    s"""WITH ${shingleCteN(n)},
        shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
              FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -493,6 +496,11 @@ object CorpusOracles {
          WHERE rn = 1 AND NOT EXISTS
            (SELECT 1 FROM hist WHERE hist.fingerprint = k.fingerprint)
          ORDER BY doc_id""",
+
+    // X60: prefix filtering is exact — the oracle is the same all-pairs
+    // Jaccard join the banded/LSH operators verify against, at the
+    // prefix join's own parameters (3-gram shingles, threshold 0.6)
+    "q78_setsim_join" -> jaccardPairsN(3, 0.6),
 
     // X58: step-i time = earliest matching event strictly after step i-1
     "q76_funnel" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, RangeJoin, RowIds, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -550,6 +550,17 @@ object CorpusQueries {
         col("event_type") === "click",
         col("event_type") === "purchase"))
       .orderBy("user_id")
+
+  /** Prefix-filter exact set-similarity self-join (X60): Jaccard ≥ 0.6
+    * over 3-gram shingles — recall 1 by the prefix-overlap argument,
+    * candidates from rarest-shingle buckets only. The exact-at-scale
+    * counterpart to q30's MinHash path (and a second, independent
+    * algorithm gated against the same all-pairs oracle family). */
+  def setsimJoin(spark: SparkSession, dir: String): DataFrame =
+    SetSimJoin.jaccardJoin(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.6)
+      .orderBy("doc_a", "doc_b")
 
   /** Weekly cohort retention matrix (X59) over the events log. */
   def retention(spark: SparkSession, dir: String): DataFrame =

@@ -258,6 +258,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(tight === tightExact)
   }
 
+  test("prefix-filter setsim join equals all-pairs jaccard; no theta join in the plan") {
+    import graft.operators.SetSimJoin
+    val exact = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = SetSimJoin.jaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.6)
+    val got = pf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicate documents")
+    assert(got === exact) // prefix filtering is complete: recall 1, sims bit-equal
+    assertNoNestedLoop(pf)
+    // a lower threshold lengthens prefixes (more candidates) — still exact
+    val loose = SetSimJoin.jaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val looseExact = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(loose === looseExact)
+  }
+
+  test("setsim bucketCap is a pure recall valve: capped result ⊆ exact") {
+    import graft.operators.SetSimJoin
+    val exact = SetSimJoin.jaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = SetSimJoin.jaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact), "cap must never invent pairs")
+  }
+
   test("banded simhash bucketCap is a pure recall valve: capped result ⊆ exact") {
     val exact = NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
