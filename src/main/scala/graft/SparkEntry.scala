@@ -101,6 +101,7 @@ object SparkEntry {
     "q76_funnel"              -> (CorpusQueries.funnel(_, _)),
     "q77_retention"           -> (CorpusQueries.retention(_, _)),
     "q78_setsim_join"         -> (CorpusQueries.setsimJoin(_, _)),
+    "q79_apply_changes"       -> (CorpusQueries.applyChanges(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -51,6 +51,48 @@ object Temporal {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Apply a CDC change log (MERGE semantics): reduce upserts and
+    * deletes to the final snapshot, with PARTIAL upserts — a null payload
+    * column on an upsert means "no change", so each surviving column
+    * carries its last non-null write after the key's last delete.
+    *
+    * One hash aggregate does everything (no per-key sort, no window):
+    * per payload column the aggregate tracks `max_by` value and seq over
+    * the column's non-null upserts, alongside the key's last delete seq
+    * and last upsert seq; the post-projection nulls any column whose
+    * last write predates the last delete, and the key survives iff some
+    * upsert follows the last delete. Every aggregate is
+    * partial-aggregatable, so the exchange carries one candidate row per
+    * (map task, key) — the log itself never shuffles. At 100 TB this is
+    * the same cost envelope as [[latestSnapshot]] regardless of how many
+    * columns the merge tracks.
+    *
+    * @param df       change log
+    * @param keyCol   entity key
+    * @param seqCol   total-order change sequence (CDC LSN); must be
+    *                 non-null and unique per key, values >= 0
+    * @param isDelete predicate marking delete records
+    * @param payload  tracked columns (partial-update semantics each) */
+  def applyChanges(df: DataFrame, keyCol: String, seqCol: String,
+      isDelete: Column, payload: Seq[String]): DataFrame = {
+    val ups = !isDelete
+    val noDel = lit(-1L) // sentinel below any real seq
+    val aggs =
+      max(when(isDelete, col(seqCol))).as("__last_del") +:
+        max(when(ups, col(seqCol))).as("__last_up") +:
+        payload.flatMap { c =>
+          val written = ups && col(c).isNotNull
+          Seq(
+            max_by(col(c), when(written, col(seqCol))).as(s"__v_$c"),
+            max(when(written, col(seqCol))).as(s"__o_$c"))
+        }
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.drop(1): _*)
+      .where(col("__last_up") > coalesce(col("__last_del"), noDel))
+      .select(col(keyCol) +: payload.map(c =>
+        when(col(s"__o_$c") > coalesce(col("__last_del"), noDel),
+          col(s"__v_$c")).as(c)): _*)
+  }
+
   /** Latest state per key (SCD type 1): the last log row under
     * (ts, tieCols) — a `max_by` hash aggregate, so the shuffle carries one
     * candidate per key from each map task, never the log. */

@@ -502,6 +502,39 @@ object CorpusOracles {
     // prefix join's own parameters (3-gram shingles, threshold 0.6)
     "q78_setsim_join" -> jaccardPairsN(3, 0.6),
 
+    // X61: per column, the last non-null write after the key's last
+    // delete; the key survives iff an upsert follows the last delete
+    "q79_apply_changes" ->
+      """WITH log AS (
+           SELECT user_id, event_id, event_type,
+                  CASE WHEN event_type <> 'view' THEN value END AS value,
+                  CASE WHEN event_type <> 'click' THEN props END AS props,
+                  event_type = 'error' AS is_del
+           FROM events),
+         agg AS (
+           SELECT user_id,
+             coalesce(max(event_id) FILTER (WHERE is_del), -1) AS last_del,
+             max(event_id) FILTER (WHERE NOT is_del) AS last_up,
+             arg_max(event_type, event_id)
+               FILTER (WHERE NOT is_del AND event_type IS NOT NULL) AS v_et,
+             max(event_id)
+               FILTER (WHERE NOT is_del AND event_type IS NOT NULL) AS o_et,
+             arg_max(value, event_id)
+               FILTER (WHERE NOT is_del AND value IS NOT NULL) AS v_val,
+             max(event_id)
+               FILTER (WHERE NOT is_del AND value IS NOT NULL) AS o_val,
+             arg_max(props, event_id)
+               FILTER (WHERE NOT is_del AND props IS NOT NULL) AS v_props,
+             max(event_id)
+               FILTER (WHERE NOT is_del AND props IS NOT NULL) AS o_props
+           FROM log GROUP BY 1)
+         SELECT user_id,
+           CASE WHEN o_et > last_del THEN v_et END AS event_type,
+           CASE WHEN o_val > last_del THEN v_val END AS value,
+           CASE WHEN o_props > last_del THEN v_props END AS props
+         FROM agg WHERE last_up > last_del
+         ORDER BY user_id""",
+
     // X58: step-i time = earliest matching event strictly after step i-1
     "q76_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -562,6 +562,22 @@ object CorpusQueries {
       n = 3, threshold = 0.6)
       .orderBy("doc_a", "doc_b")
 
+  /** CDC apply-changes / MERGE (X61): the events log replayed as a CDC
+    * stream on user state — `error` records delete the key, other events
+    * upsert, with PARTIAL payloads ('view' events carry no value,
+    * 'click' events no props) so per-column last-writer-wins is
+    * exercised. event_id plays the CDC sequence (LSN). */
+  def applyChanges(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        when(col("event_type") =!= "view", col("value")).as("value"),
+        when(col("event_type") =!= "click", col("props")).as("props"))
+    Temporal.applyChanges(log, "user_id", "event_id",
+        isDelete = col("event_type") === "error",
+        payload = Seq("event_type", "value", "props"))
+      .orderBy("user_id")
+  }
+
   /** Weekly cohort retention matrix (X59) over the events log. */
   def retention(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel.retention(

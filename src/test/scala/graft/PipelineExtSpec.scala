@@ -124,6 +124,42 @@ class PipelineExtSpec extends AnyFunSuite {
     }
   }
 
+  test("applyChanges: partial upserts, delete resets, per-column last write") {
+    val log = Seq(
+      // key 1: insert, partial update (name only), partial update (score only)
+      (1L, 10L, false, Some("ann"), Some(1.0)),
+      (1L, 11L, false, Some("anne"), None),
+      (1L, 12L, false, None, Some(2.0)),
+      // key 2: written, deleted, partially re-inserted — name must be NULL
+      (2L, 20L, false, Some("bob"), Some(5.0)),
+      (2L, 21L, true, None, None),
+      (2L, 22L, false, None, Some(9.0)),
+      // key 3: write then delete as the LAST op — key absent
+      (3L, 30L, false, Some("cat"), Some(7.0)),
+      (3L, 31L, true, None, None),
+      // key 4: deletes only — key absent
+      (4L, 40L, true, None, None)
+    ).toDF("k", "seq", "is_del", "name", "score")
+    val out = Temporal.applyChanges(log, "k", "seq",
+        isDelete = col("is_del"), payload = Seq("name", "score"))
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getString(1) === "anne" && out(0).getDouble(2) === 2.0)
+    assert(out(1).isNullAt(1), "pre-delete write must not survive the delete")
+    assert(out(1).getDouble(2) === 9.0)
+  }
+
+  test("applyChanges: aggregation is layout-independent") {
+    val log = Seq(
+      (1L, 1L, false, Some("a"), Some(1.0)), (1L, 2L, true, None, None),
+      (1L, 3L, false, Some("b"), None), (1L, 4L, false, None, Some(4.0))
+    ).toDF("k", "seq", "is_del", "name", "score")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Temporal.applyChanges(df, "k", "seq", col("is_del"), Seq("name", "score"))
+        .collect().map(_.toString).toSeq
+    assert(run(log.repartition(7)) === run(log.coalesce(1)))
+  }
+
   test("latestSnapshot: last row per key under (ts, tie) order") {
     val out = Temporal.latestSnapshot(changeLog, "user_id", "ts", Seq("event_id"))
       .orderBy("user_id").collect()
