@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, Md5Hash56, MinHashAgg, NGramShingles, SimHashAgg, VectorAvgAgg}
+import graft.functions.{DotProduct, Md5Hash56, MinHashAgg, NGramShingles, QDigest, QDigestAgg, SimHashAgg, VectorAvgAgg}
 
 /** Session extension wiring: makes graft's native expressions available
   * from SQL text — the full corpus-pipeline kernel set, e.g.
@@ -69,5 +69,11 @@ object GraftExtensions {
     },
     fn("vector_avg", classOf[VectorAvgAgg]) { c =>
       VectorAvgAgg(Cast(c(0), ArrayType(DoubleType)))
+    },
+    fn("qdigest_agg", classOf[QDigestAgg]) { c =>
+      QDigestAgg(c(0), intArg(c(1), "qdigest_agg"), intArg(c(2), "qdigest_agg"))
+    },
+    fn("qdigest_quantile", classOf[QDigest.Quantile]) { c =>
+      QDigest.Quantile(c(0), Cast(c(1), DoubleType), intArg(c(2), "qdigest_quantile"))
     })
 }

@@ -102,6 +102,7 @@ object SparkEntry {
     "q77_retention"           -> (CorpusQueries.retention(_, _)),
     "q78_setsim_join"         -> (CorpusQueries.setsimJoin(_, _)),
     "q79_apply_changes"       -> (CorpusQueries.applyChanges(_, _)),
+    "q80_quantile_sketch"     -> (CorpusQueries.quantileSketch(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+
+import graft.functions.{QDigest, QDigestAgg}
 
 /** Sketch aggregates — the mergeable-partial-state building block for
   * 100 TB rollups: per-partition/per-group sketches are tiny, exact to
@@ -34,6 +37,46 @@ object Sketches {
       .select(col(key), col(s"n_distinct_$value"),
         (abs(col("__est").cast("double") /
           col(s"n_distinct_$value").cast("double") - 1.0) <= tol).as("approx_ok"))
+
+  /** Per-group q-digest quantile sketch next to exact interpolated
+    * percentiles and a deterministic rank-error verdict — the
+    * oracle-gateable shape ([[approxDistinctChecked]]'s pattern): exact
+    * values and the verdict hash-match a SQL oracle, the sketch stays
+    * engine-internal.
+    *
+    * `vLong` must be an integer column in [0, 2^bits) (callers scale —
+    * e.g. price cents). For each requested fraction the sketch estimate's
+    * TRUE rank (recomputed against the data) must sit within the
+    * q-digest bound bits·n/σ of the target rank. */
+  def qdigestChecked(df: DataFrame, key: String, vLong: String,
+      fracs: Seq[(String, Double)], bits: Int = 24, sigma: Int = 2048): DataFrame = {
+    val sk = df.groupBy(col(key)).agg(
+      exprColumn(QDigestAgg(columnExpr(col(vLong)), bits, sigma).toAggregateExpression())
+        .as("__sk"),
+      count(lit(1)).as("__n"))
+    val ests = sk.select(
+      col(key) +: col("__n") +: fracs.map { case (nm, f) =>
+        exprColumn(QDigest.Quantile(columnExpr(col("__sk")), columnExpr(lit(f)), bits))
+          .as(s"__est_$nm")
+      }: _*)
+    // true rank of each estimate, from one conditional-agg pass over the
+    // data with the (|groups|-row) estimate table broadcast back in
+    val bound = (lit(bits.toDouble) * col("__n").cast("double") / lit(sigma.toDouble)) + lit(1.0)
+    val rankChecks = fracs.map { case (nm, f) =>
+      val rank = sum(when(col(vLong) <= col(s"__est_$nm"), 1L).otherwise(0L)).as(s"__rank_$nm")
+      (rank, (abs(col(s"__rank_$nm").cast("double") -
+        ceil(lit(f) * col("__n").cast("double"))) <= bound).as(s"__ok_$nm"))
+    }
+    val exact = Percentiles.exact(
+      df.select(col(key), col(vLong).cast("double").as("__v")), key, "__v", fracs)
+    df.join(broadcast(ests), Seq(key))
+      .groupBy(col(key))
+      .agg(max(col("__n")).as("__n"), rankChecks.map(_._1): _*)
+      .select(col(key) +: rankChecks.map(_._2): _*)
+      .join(exact, Seq(key))
+      .select(col(key) +: fracs.map { case (nm, _) => col(nm) } :+
+        fracs.map { case (nm, _) => col(s"__ok_$nm") }.reduce(_ && _).as("est_ok"): _*)
+  }
 
   /** Per-group HLL sketch blobs — the storable/mergeable form. */
   def hllSketches(df: DataFrame, key: String, value: String): DataFrame =

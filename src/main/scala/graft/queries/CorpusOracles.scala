@@ -535,6 +535,15 @@ object CorpusOracles {
          FROM agg WHERE last_up > last_del
          ORDER BY user_id""",
 
+    // X62: exact interpolated percentiles over price cents; the sketch
+    // estimate itself is engine-internal, its rank bound rides as est_ok
+    "q80_quantile_sketch" ->
+      """SELECT l_returnflag,
+                quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50,
+                quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90,
+                TRUE AS est_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     // X58: step-i time = earliest matching event strictly after step i-1
     "q76_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -578,6 +578,19 @@ object CorpusQueries {
       .orderBy("user_id")
   }
 
+  /** Mergeable quantile sketch (X62), gated like the HLL/CMS queries:
+    * exact interpolated p50/p90 of price cents per returnflag ride along
+    * (hash-comparable), and `est_ok` asserts the q-digest estimate's
+    * true rank sits within the deterministic bits·n/σ bound. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    Sketches.qdigestChecked(li, "l_returnflag", "cents",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .orderBy("l_returnflag")
+  }
+
   /** Weekly cohort retention matrix (X59) over the events log. */
   def retention(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel.retention(

@@ -167,5 +167,10 @@ class GraftPropertiesSpec extends AnyFunSuite {
       "SELECT vector_avg(v) AS m FROM (SELECT array(1.0D, 3.0D) AS v UNION ALL SELECT array(3.0D, 5.0D))")
       .head().getSeq[Double](0)
     assert(avg == Seq(2.0, 4.0))
+    val med = spark.sql(
+      "SELECT qdigest_quantile(qdigest_agg(h, 16, 64), 0.5, 16) AS med FROM hs")
+      .head().getLong(0)
+    // rank bound bits·n/σ = 16·100/64 = 25
+    assert(math.abs(med - 50L) <= 25L, s"qdigest median of 1..100 out of bound: $med")
   }
 }

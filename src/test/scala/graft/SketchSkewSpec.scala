@@ -62,6 +62,50 @@ class SketchSkewSpec extends AnyFunSuite {
     assert(twoPhase == direct)
   }
 
+  test("q-digest: rank error within bits·n/σ on every layout; deterministic") {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.{QDigest, QDigestAgg}
+    import spark.implicits._
+    // skewed synthetic values in [0, 2^16): squares cluster mass low
+    val vals = (0 until 20000).map(i => ((i.toLong * i) % 65536L))
+    val bits = 16; val sigma = 256
+    def estimate(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(exprColumn(
+          QDigestAgg(columnExpr(col("v")), bits, sigma).toAggregateExpression()).as("sk"))
+        .select(exprColumn(QDigest.Quantile(
+          columnExpr(col("sk")), columnExpr(lit(0.5)), bits)))
+        .head().getLong(0)
+    val sorted = vals.sorted
+    val n = vals.length
+    val bound = bits.toDouble * n / sigma + 1
+    for (parts <- Seq(1, 7, 32)) {
+      val est = estimate(vals.toDF("v").repartition(parts))
+      val rank = sorted.count(_ <= est)
+      assert(math.abs(rank - math.ceil(0.5 * n)) <= bound,
+        s"parts=$parts est=$est rank=$rank n=$n bound=$bound")
+    }
+    // same layout twice -> identical estimate (fully deterministic)
+    val df1 = vals.toDF("v").coalesce(1)
+    assert(estimate(df1) === estimate(df1))
+  }
+
+  test("q-digest: out-of-domain values clamp; constant column is exact") {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.{QDigest, QDigestAgg}
+    import spark.implicits._
+    val df = Seq.fill(100)(42L).toDF("v")
+    val est = df.agg(exprColumn(
+        QDigestAgg(columnExpr(col("v")), 16, 64).toAggregateExpression()).as("sk"))
+      .select(exprColumn(QDigest.Quantile(columnExpr(col("sk")), columnExpr(lit(0.5)), 16)))
+      .head().getLong(0)
+    assert(est === 42L)
+    val clamped = Seq(-5L, 70000L).toDF("v")
+      .agg(exprColumn(QDigestAgg(columnExpr(col("v")), 16, 64).toAggregateExpression()).as("sk"))
+      .select(exprColumn(QDigest.Quantile(columnExpr(col("sk")), columnExpr(lit(1.0)), 16)))
+      .head().getLong(0)
+    assert(clamped === 65535L, "values above the domain saturate at 2^bits - 1")
+  }
+
   test("HLL approx distinct within rsd tolerance of exact") {
     val approx = Sketches.approxDistinct(lineitem, "l_returnflag", "l_suppkey")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
