@@ -103,6 +103,8 @@ object SparkEntry {
     "q78_setsim_join"         -> (CorpusQueries.setsimJoin(_, _)),
     "q79_apply_changes"       -> (CorpusQueries.applyChanges(_, _)),
     "q80_quantile_sketch"     -> (CorpusQueries.quantileSketch(_, _)),
+    "q81_inverted_index"      -> (CorpusQueries.invertedIndex(_, _)),
+    "q82_curate"              -> (CorpusQueries.curate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

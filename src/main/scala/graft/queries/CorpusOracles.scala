@@ -57,6 +57,14 @@ object CorpusOracles {
   private val meanTokLen =
     s"((length(text) - ($tokenCount - 1))::DOUBLE / $tokenCount)"
 
+  /** Twin of TextFunctions.qualityScore — shared by q27 and the q82
+    * curation chain. */
+  private lazy val qualityExpr =
+    s"""(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END)
+        * (1.0 - least(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE * 10.0, 1.0))
+        * (CASE WHEN $meanTokLen >= 3.0 AND $meanTokLen <= 10.0 THEN 1.0 ELSE 0.5 END)"""
+
   /** Per-lang marker-hit sums + argmax — twin of TextFunctions.langId. */
   private val langIdSql: String = {
     val markers = graft.functions.TextFunctions.langMarkers
@@ -114,12 +122,7 @@ object CorpusOracles {
     "q26_lang_id" -> langIdSql,
 
     "q27_quality_score" ->
-      s"""SELECT doc_id,
-          (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END)
-          * (1.0 - least(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
-                         / length(text)::DOUBLE * 10.0, 1.0))
-          * (CASE WHEN $meanTokLen >= 3.0 AND $meanTokLen <= 10.0 THEN 1.0 ELSE 0.5 END)
-          AS quality
+      s"""SELECT doc_id, $qualityExpr AS quality
           FROM documents ORDER BY doc_id""",
 
     "q28_fingerprint" ->
@@ -543,6 +546,76 @@ object CorpusOracles {
                 quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90,
                 TRUE AS est_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // X63: postings encoded doc_id*128 + pos (0-based); head = 20
+    // smallest encodings per token
+    "q81_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         p AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)+1),
+                   i -> struct_pack(tok := w[i], enc := doc_id*128 + (i-1)))) AS u
+               FROM toks),
+         f AS (SELECT u.tok AS token, u.enc AS enc FROM p)
+         SELECT token,
+                count(DISTINCT enc // 128) AS n_docs,
+                count(*) AS n_occ,
+                array_to_string(list_sort(list(enc))[1:20], ',') AS postings_head
+         FROM f GROUP BY 1 HAVING count(DISTINCT enc // 128) >= 25
+         ORDER BY 1""",
+
+    // X64: the full curation chain — each stage the already-gated twin
+    // (quality q27, repetition q58, keep-first q24, decontamination q57,
+    // token budget q69), composed as one CTE pipeline
+    "q82_curate" ->
+      s"""WITH base AS (SELECT doc_id, text, source,
+                        ${md5h56("doc_id::VARCHAR")} AS dh FROM documents),
+         corpus AS (SELECT * FROM base WHERE dh % 20 <> 0),
+         ev     AS (SELECT * FROM base WHERE dh % 20 = 0),
+         q AS (SELECT * FROM corpus WHERE $qualityExpr >= 0.5),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM q),
+         tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         da AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS max_cnt
+                FROM tc GROUP BY 1),
+         wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM q),
+         bg AS (SELECT doc_id,
+                  len(list_filter(
+                    list_distinct(list_transform(range(0, greatest(len(w)-2,0)+1),
+                      i -> array_to_string(w[i+1:i+2], ' '))),
+                    s -> length(s) > 0))::BIGINT AS nb_distinct,
+                  (greatest(len(w)-2,0)+1)::BIGINT AS nb_total
+                FROM wq),
+         rep AS (SELECT da.doc_id FROM da JOIN bg USING (doc_id)
+                 WHERE max_cnt::DOUBLE / n_tokens <= 0.125
+                   AND 1.0 - nb_distinct::DOUBLE / nb_total <= 0.05),
+         qr AS (SELECT q.* FROM q JOIN rep USING (doc_id)),
+         fp AS (SELECT doc_id, source, text,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+                FROM qr),
+         keepers AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+         dd AS (SELECT fp.* FROM fp JOIN keepers USING (f, doc_id)),
+         evw AS (SELECT string_split(text, ' ') AS w FROM ev),
+         evsh AS (SELECT DISTINCT ${md5h56("shingle")} AS h FROM (
+                    SELECT unnest(list_transform(range(0, greatest(len(w)-4,0)+1),
+                      i -> array_to_string(w[i+1:i+4], ' '))) AS shingle FROM evw)
+                  WHERE length(shingle) > 0),
+         ddw AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+         ddsh AS (SELECT DISTINCT doc_id, ${md5h56("shingle")} AS h FROM (
+                    SELECT doc_id,
+                      unnest(list_transform(range(0, greatest(len(w)-4,0)+1),
+                        i -> array_to_string(w[i+1:i+4], ' '))) AS shingle FROM ddw)
+                  WHERE length(shingle) > 0),
+         contaminated AS (SELECT DISTINCT doc_id FROM ddsh JOIN evsh USING (h)),
+         clean AS (SELECT dd.* FROM dd
+                   WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+                                     WHERE c.doc_id = dd.doc_id)),
+         t AS (SELECT doc_id, source, $tokenCount::BIGINT AS n_tok,
+                 ${md5h56("doc_id::VARCHAR")} AS h FROM clean),
+         cum AS (SELECT source, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM t)
+         SELECT source, count(*) AS n_docs_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept
+         FROM cum WHERE cum - n_tok < 512 GROUP BY 1 ORDER BY 1""",
 
     // X58: step-i time = earliest matching event strictly after step i-1
     "q76_funnel" ->

@@ -343,8 +343,13 @@ object CorpusQueries {
     * decision. Token stats via two-level partial-aggregatable counts (the
     * 100 TB shape — docs can be arbitrarily long); bigram stats via the
     * single-pass shingle expression (distinct count vs positional total). */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val d = spread(Tables.load(spark, dir, "documents"))
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(spread(Tables.load(spark, dir, "documents")))
+      .orderBy("doc_id")
+
+  /** Per-doc Gopher repetition metrics + keep decision over any
+    * (doc_id, text) stream — shared by q58 and the q82 curation chain. */
+  private def repetitionMetrics(d: DataFrame): DataFrame = {
     val tcnt = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
     val docAgg = tcnt.groupBy("doc_id").agg(
@@ -359,7 +364,6 @@ object CorpusQueries {
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         topFrac.as("top_tok_frac"), dupFrac.as("dup_bigram_frac"),
         when(topFrac <= 0.125 && dupFrac <= 0.05, 1L).otherwise(0L).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Token-budget sequence packing (X39): 256-token bins over 8 hash
@@ -589,6 +593,66 @@ object CorpusQueries {
     Sketches.qdigestChecked(li, "l_returnflag", "cents",
         Seq("p50" -> 0.5, "p90" -> 0.9))
       .orderBy("l_returnflag")
+  }
+
+  /** Inverted-index build (X63): token → (df, total occurrences, first
+    * 20 postings), postings encoded doc_id·128 + position (max 100
+    * tokens/doc). The posting-list head is per-token top-k — written as
+    * the row_number idiom so the native TopKPerKey rewrite bounds the
+    * exchange to 20 rows per (mapper, token) instead of collecting every
+    * occurrence of a stopword token into one aggregation buffer; the
+    * stats agg and the postings agg share the token exchange. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "token")))
+      .withColumn("enc", col("doc_id") * lit(128L) + col("pos"))
+    val stats = toks.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 25)
+    val heads = toks
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("token").orderBy("enc")))
+      .where(col("rn") <= 20)
+      .groupBy("token")
+      .agg(array_join(sort_array(collect_list(col("enc"))), ",").as("postings_head"))
+    stats.join(heads, Seq("token"))
+      .orderBy("token")
+  }
+
+  /** End-to-end curation chain (X64) — the integration query proving the
+    * stages compose the way a production training-data pipeline runs
+    * them, each stage the already-gated operator:
+    *   quality filter (q27) → Gopher repetition filter (q58) → exact
+    *   dedup keep-first (q24/q7) → eval-set decontamination (q57) →
+    *   per-source token budget (q69),
+    * reduced to a per-source admission summary. Every stage is
+    * scan+hash-agg shaped; the only window is the per-source running
+    * total over the already-curated (small) stream. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = spread(Tables.load(spark, dir, "documents"))
+    val corpus = d.filter(!isEvalDoc)
+    val evalSet = d.filter(isEvalDoc)
+    val q = corpus.filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+    val kept = repetitionMetrics(q).where(col("keep") === 1L).select("doc_id")
+    val qr = q.join(kept, Seq("doc_id"))
+    val dd = Dedup.keepFirst(
+      qr.withColumn("fp", TextFunctions.fingerprint(col("text"))),
+      keys = Seq("fp"), order = Seq(col("doc_id")))
+    val clean = Contamination.decontaminate(dd, evalSet, "doc_id", "text", n = 4)
+    val t = clean.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).as("n_tok"),
+      TextFunctions.md5Hash56(col("doc_id").cast("string")).as("h"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum("n_tok").over(w))
+      .where(col("cum") - col("n_tok") < 512L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum("n_tok").as("tok_kept"))
+      .orderBy("source")
   }
 
   /** Weekly cohort retention matrix (X59) over the events log. */

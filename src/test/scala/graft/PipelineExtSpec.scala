@@ -160,6 +160,16 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(run(log.repartition(7)) === run(log.coalesce(1)))
   }
 
+  test("inverted index: postings-head pruning runs through native TopKPerKey") {
+    org.apache.spark.sql.graftsql.installTopK(spark)
+    val plan = graft.queries.CorpusQueries.invertedIndex(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"),
+      s"postings head should be rewritten to the native top-k operator:\n$plan")
+    assert(plan.contains("TopKPerKeyPartial"),
+      "per-mapper prune missing: every stopword occurrence would reach the exchange")
+  }
+
   test("latestSnapshot: last row per key under (ts, tie) order") {
     val out = Temporal.latestSnapshot(changeLog, "user_id", "ts", Seq("event_id"))
       .orderBy("user_id").collect()
