@@ -68,33 +68,24 @@ object NearDup {
       .select(col("doc_id"), col("n_sh"), col("h"))
   }
 
-  /** Exact-Jaccard verification of a candidate pair table: re-derive the
-    * hash SETS for just the candidate docs, intersect per pair, keep
-    * pairs at `jaccard >= threshold`. The corpus-wide stream never
-    * carries sets — only candidate docs pay the set materialization.
-    *
-    * `broadcastCand = true` (the LSH caller) pins broadcast joins —
-    * right when candidates are a provably tiny survivor set. Pass false
-    * when the candidate table's size is data-dependent (the prefix-filter
-    * join): the attach joins then hash-partition on doc_a/doc_b and AQE
-    * still broadcasts small sides at runtime, without wagering driver
-    * memory on a cardinality guess. */
-  def verifyJaccard(sh: DataFrame, cand: DataFrame, threshold: Double,
-      broadcastCand: Boolean = true): DataFrame = {
+  /** Exact-Jaccard verification of a small candidate pair table (the LSH
+    * survivor set): re-derive the hash SETS for just the candidate docs
+    * (broadcast the doc list into the stream scan), intersect per pair.
+    * The corpus-wide stream never carries sets — only candidate docs pay
+    * the set materialization. For DATA-DEPENDENT candidate volumes use
+    * the count formulation instead ([[pairCommonCounts]] over the
+    * candidate docs' shingles — see [[SetSimJoin]]): attaching set
+    * arrays to both sides of a large pair stream is quadratic bytes. */
+  def verifyJaccard(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val candSets = sh
-      .join(if (broadcastCand) broadcast(candDocs) else candDocs, Seq("doc_id"))
+    val candSets = sh.join(broadcast(candDocs), Seq("doc_id"))
       .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
-    val setsA = candSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val setsB = candSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val attached =
-      if (broadcastCand) {
-        val j1 = setsA.join(broadcast(cand), Seq("doc_a"))
-        setsB.join(broadcast(j1), Seq("doc_b"))
-      } else cand.join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
-    attached
+    val j1 = candSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(broadcast(cand), Seq("doc_a"))
+    candSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .join(broadcast(j1), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -102,37 +93,46 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
-    // the whole operator is TWO shuffles (bucket-by-h, group-by-pair),
-    // nothing persisted
-    val sh = hashedShingles(docs, idCol, textCol, n)
-    // Pair generation: ONE shuffle groups each shingle's (doc, size) list,
-    // then in-place combination expansion — versus the h ⋈ h self-join
-    // this saves the join's second exchange. sort_array orders each bucket
-    // by doc_id (struct compares field-wise, doc_id leads), so emitted
-    // pairs satisfy doc_a < doc_b like the join formulation. Per-bucket
-    // memory is O(df(h)); dfCap bounds it (and the quadratic emission) at
-    // scale — stopword shingles carry no near-dup signal.
-    // (A/B'd round 3: the h ⋈ h self-join formulation measured ~20%
-    // SLOWER at sf0.1 — the saved exchange beats the object-agg cost.)
+  /** (doc_a, doc_b, size_a, size_b, n_common) for every doc pair sharing
+    * ≥1 shingle hash in `sh` — ONE bucket-grouping shuffle plus the
+    * pair-count aggregate; the core of the exact-Jaccard joins. `dfCap`
+    * drops buckets larger than the cap (stopword-shingle quadratics). */
+  private[operators] def pairCommonCounts(sh: DataFrame, dfCap: Int): DataFrame = {
+    val spread = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val buckets = sh.groupBy("h")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
       .filter(size(col("ds")) > 1)
     val capped =
       if (dfCap == Int.MaxValue) buckets else buckets.filter(size(col("ds")) <= dfCap)
-    // round-robin spread before the quadratic expansion: the bucket table
-    // is byte-small, so AQE would coalesce the stage that does the real
-    // work (pair emission + map-side pair-count aggregation) down to a
-    // task or two — same reasoning as simhashPairs, measured ~25% off the
-    // whole operator at sf0.1
-    val spread = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // round-robin spread before the quadratic expansion (see scaladoc in
+    // ngramJaccardPairs below)
     capped
       .repartition(spread)
       .select(exprColumn(PairCombinations(columnExpr(col("ds")))).as(Seq("x", "y")))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n_sh").as("size_a"), col("y.n_sh").as("size_b"))
       .agg(count(lit(1)).as("n_common"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
+    // the whole operator is TWO shuffles (bucket-by-h, group-by-pair),
+    // nothing persisted
+    // Pair generation ([[pairCommonCounts]]): ONE shuffle groups each
+    // shingle's (doc, size) list, then in-place combination expansion —
+    // versus the h ⋈ h self-join this saves the join's second exchange.
+    // sort_array orders each bucket by doc_id (struct compares
+    // field-wise, doc_id leads), so emitted pairs satisfy doc_a < doc_b
+    // like the join formulation. Per-bucket memory is O(df(h)); dfCap
+    // bounds it (and the quadratic emission) at scale — stopword
+    // shingles carry no near-dup signal.
+    // (A/B'd round 3: the h ⋈ h self-join formulation measured ~20%
+    // SLOWER at sf0.1 — the saved exchange beats the object-agg cost.
+    // The round-robin spread before the quadratic expansion exists
+    // because the bucket table is byte-small: AQE would coalesce the
+    // stage doing the real work down to a task or two — measured ~25%
+    // off the whole operator at sf0.1.)
+    pairCommonCounts(hashedShingles(docs, idCol, textCol, n), dfCap)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")))

@@ -53,7 +53,12 @@ object SetSimJoin {
     val spread = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
     // (doc_id, n_sh, h): the hashed distinct-shingle stream with the set
-    // size riding along — one scan, no separate size aggregate
+    // size riding along — one scan, no separate size aggregate. NOT
+    // persisted although three consumers read it: A/B'd at sf0.1, the
+    // pinned 260k-row stream measured ~40% SLOWER than recomputing the
+    // fused scan+shingle+md5 projection (cached partitions defeat AQE's
+    // stage coalescing — the same arithmetic that rejected the bench
+    // hot-table cache).
     val sh = NearDup.hashedShingles(docs, idCol, textCol, n)
 
     // 1+2. document frequency per shingle hash, joined straight back on
@@ -84,20 +89,35 @@ object SetSimJoin {
     val capped =
       if (bucketCap == Int.MaxValue) buckets
       else buckets.filter(size(col("ds")) <= bucketCap)
+    // no distinct here: the verify's semi-join collapses duplicate
+    // candidates for free, and candDocs below dedups doc ids itself —
+    // a distinct would be one more full exchange of the pair stream
     val cand = capped
       .repartition(spread)
       .select(exprColumn(PairCombinations(columnExpr(col("ds")))).as(Seq("x", "y")))
       .filter(least(col("x.n_sh"), col("y.n_sh")) >=
         lit(threshold) * greatest(col("x.n_sh"), col("y.n_sh")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
 
-    // 5. exact verification on candidates only (the minhashLshPairs
-    // tail): rebuild hash sets for just the candidate docs and intersect.
-    // No forced broadcast — the candidate count here is data-dependent
-    // (a dense-vocabulary corpus degrades prefix selectivity), so the
-    // attach joins stay hash-partitioned and AQE upgrades them when small.
-    NearDup.verifyJaccard(sh.select("doc_id", "h"), cand, threshold,
-      broadcastCand = false)
+    // 5. exact verification via the COUNT formulation, restricted to
+    // candidate docs: re-bucket just their shingles and count common
+    // hashes per pair (the [[NearDup.pairCommonCounts]] shape), then
+    // semi-join against the candidate pair set. This ships one long per
+    // shared shingle instead of materializing a full hash-set array on
+    // BOTH sides of every candidate pair — A/B'd at sf0.1: the
+    // set-attach verify moved ~260 MB of arrays through two joins and
+    // cost 4.5 s; the count verify is ~6× cheaper.
+    // left_semi: no distinct pass over the exploded id stream needed —
+    // the semi join neither duplicates nor cares about build-side dups
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    NearDup.pairCommonCounts(candSh, Int.MaxValue)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 }

@@ -502,8 +502,8 @@ object CorpusOracles {
 
     // X60: prefix filtering is exact — the oracle is the same all-pairs
     // Jaccard join the banded/LSH operators verify against, at the
-    // prefix join's own parameters (3-gram shingles, threshold 0.6)
-    "q78_setsim_join" -> jaccardPairsN(3, 0.6),
+    // prefix join's own parameters (4-gram shingles, threshold 0.6)
+    "q78_setsim_join" -> jaccardPairsN(4, 0.6),
 
     // X61: per column, the last non-null write after the key's last
     // delete; the key survives iff an upsert follows the last delete

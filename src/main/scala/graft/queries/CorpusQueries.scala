@@ -556,14 +556,17 @@ object CorpusQueries {
       .orderBy("user_id")
 
   /** Prefix-filter exact set-similarity self-join (X60): Jaccard ≥ 0.6
-    * over 3-gram shingles — recall 1 by the prefix-overlap argument,
+    * over 4-gram shingles — recall 1 by the prefix-overlap argument,
     * candidates from rarest-shingle buckets only. The exact-at-scale
     * counterpart to q30's MinHash path (and a second, independent
-    * algorithm gated against the same all-pairs oracle family). */
+    * algorithm gated against the same all-pairs oracle family). 4-gram
+    * shingles are where prefix filtering pays: the shingle space is
+    * selective (df_p99 = 3 at sf0.1), so prefixes prune candidates to
+    * near the true pair set. */
   def setsimJoin(spark: SparkSession, dir: String): DataFrame =
     SetSimJoin.jaccardJoin(
       Tables.load(spark, dir, "documents"), "doc_id", "text",
-      n = 3, threshold = 0.6)
+      n = 4, threshold = 0.6)
       .orderBy("doc_a", "doc_b")
 
   /** CDC apply-changes / MERGE (X61): the events log replayed as a CDC
