@@ -590,9 +590,13 @@ object CorpusQueries {
     * (hash-comparable), and `est_ok` asserts the q-digest estimate's
     * true rank sits within the deterministic bits·n/σ bound. */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    // spread before the sketch aggregate: the update loop is imperative
+    // (object agg, no codegen) and the single-row-group scan would run
+    // every partial in ONE task — one cheap exchange of (flag, cents)
+    // buys numPartitions-way parallel sketching (measured ~2× on q80)
+    val li = spread(Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        round(col("l_extendedprice") * 100).cast("long").as("cents")))
     Sketches.qdigestChecked(li, "l_returnflag", "cents",
         Seq("p50" -> 0.5, "p90" -> 0.9))
       .orderBy("l_returnflag")
