@@ -105,6 +105,10 @@ object SparkEntry {
     "q80_quantile_sketch"     -> (CorpusQueries.quantileSketch(_, _)),
     "q81_inverted_index"      -> (CorpusQueries.invertedIndex(_, _)),
     "q82_curate"              -> (CorpusQueries.curate(_, _)),
+    "q83_bm25_topk"           -> (CorpusQueries.bm25TopK(_, _)),
+    "q84_bigram_lm"           -> (CorpusQueries.bigramLm(_, _)),
+    "q85_kmv_distinct"        -> (CorpusQueries.kmvDistinct(_, _)),
+    "q86_gram_matrix"         -> (CorpusQueries.gramMatrix(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -654,5 +654,114 @@ object CorpusOracles {
          WHERE EXISTS (SELECT 1 FROM orders o
                        WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
          GROUP BY 1 ORDER BY 1""",
+
+    // X65: BM25 with the un-logged RSJ idf (ln is libm-dependent; the
+    // odds ratio is IEEE-exact); per-doc totals are a FIXED left-assoc
+    // sum over the constant term list, not an order-dependent reduction
+    "q83_bm25_topk" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         b2 AS (SELECT doc_id, len(w)::BIGINT AS len, w FROM b),
+         stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM b2),
+         tok AS (SELECT doc_id, len, unnest(w) AS token FROM b2),
+         tf AS (SELECT doc_id, len, token, count(*) AS tf FROM tok
+                WHERE token IN ('join','hash','vector','window','stream','filter')
+                GROUP BY 1, 2, 3),
+         dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         s AS (SELECT doc_id, token,
+                 (((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) *
+                 ((tf::DOUBLE * 2.2) /
+                  (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+                    (len::DOUBLE / (sum_len::DOUBLE / n_docs::DOUBLE))))) AS s
+               FROM tf JOIN dfreq USING (token) CROSS JOIN stats),
+         piv AS (SELECT doc_id,
+                   max(s) FILTER (token = 'join')   AS s_join,
+                   max(s) FILTER (token = 'hash')   AS s_hash,
+                   max(s) FILTER (token = 'vector') AS s_vector,
+                   max(s) FILTER (token = 'window') AS s_window,
+                   max(s) FILTER (token = 'stream') AS s_stream,
+                   max(s) FILTER (token = 'filter') AS s_filter
+                 FROM s GROUP BY 1),
+         sc AS (SELECT doc_id,
+                  coalesce(s_join, 0.0) + coalesce(s_hash, 0.0) +
+                  coalesce(s_vector, 0.0) + coalesce(s_window, 0.0) +
+                  coalesce(s_stream, 0.0) + coalesce(s_filter, 0.0) AS score
+                FROM piv)
+         SELECT doc_id, score,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // X66: add-one-smoothed bigram LM trained on the corpus itself;
+    // mean probability (not log-prob — ln is libm-dependent), per-doc
+    // sum folded in position order exactly like the Spark aggregate
+    "q84_bigram_lm" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+                    i -> struct_pack(pos := i, w1 := w[i + 1], w2 := w[i + 2]))) AS u
+                FROM b WHERE len(w) >= 2),
+         pr0 AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM bg),
+         uni AS (SELECT t, count(*) AS c1 FROM
+                   (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                 GROUP BY 1),
+         voc AS (SELECT count(*) AS v FROM uni),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr0 GROUP BY 1, 2),
+         p AS (SELECT doc_id, pos,
+                 (c12 + 1)::DOUBLE / (c1 + v)::DOUBLE AS p
+               FROM pr0 JOIN c12 USING (w1, w2)
+               JOIN uni ON pr0.w1 = uni.t CROSS JOIN voc),
+         d AS (SELECT doc_id, count(*) AS n_bigrams,
+                 list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                     list_transform(list_sort(list(struct_pack(pos := pos, p := p))),
+                       s -> s.p)),
+                   (a, x) -> a + x) AS sum_p
+               FROM p GROUP BY 1)
+         SELECT doc_id, n_bigrams, sum_p / n_bigrams::DOUBLE AS mean_p,
+                sum_p / n_bigrams::DOUBLE >= 0.0335 AS keep
+         FROM d ORDER BY doc_id""",
+
+    // X67: the KMV estimate is one division on the 256th-smallest
+    // distinct hash — the oracle replays the ENTIRE estimator, not just
+    // a verdict; 255·2^56 is an exactly-representable double
+    "q85_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+                       ${md5h56("user_id::VARCHAR")} AS h FROM events),
+          r AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM h),
+          g AS (SELECT event_type, count(*) AS nd,
+                  max(CASE WHEN rn = 256 THEN h END) AS hk
+                FROM r GROUP BY 1),
+          e AS (SELECT event_type, nd,
+                  CASE WHEN nd < 256 THEN nd::DOUBLE
+                       ELSE 255.0 * 7.2057594037927936e16 / hk::DOUBLE END AS est
+                FROM g)
+          SELECT event_type, nd::BIGINT AS n_exact, est,
+                 abs(est / nd::DOUBLE - 1.0) <= 0.2 AS est_ok
+          FROM e ORDER BY event_type""",
+
+    // X68: integer-scaled products make the Gram reduction associative —
+    // any grouping order gives the same longs; covariance is derived
+    // per cell with the identical op sequence
+    "q86_gram_matrix" ->
+      """WITH e AS (SELECT embedding AS v FROM embeddings),
+         cells AS (SELECT i, j FROM range(0, 64) t1(i), range(0, 64) t2(j)
+                   WHERE j >= i),
+         prods AS (SELECT i, j,
+                     CAST(round(v[i + 1]::DOUBLE * v[j + 1]::DOUBLE *
+                                1000000000.0) AS BIGINT) AS x
+                   FROM e, cells),
+         g AS (SELECT i, j, CAST(sum(x) AS BIGINT) AS gram_scaled,
+                 count(*) AS n FROM prods GROUP BY 1, 2),
+         s1 AS (SELECT i,
+                  CAST(sum(CAST(round(v[i + 1]::DOUBLE * 1000000000.0) AS BIGINT))
+                    AS BIGINT) AS s
+                FROM e, range(0, 64) t(i) GROUP BY 1)
+         SELECT g.i, g.j, n, gram_scaled,
+                (gram_scaled::DOUBLE / 1000000000.0) / n::DOUBLE -
+                ((si.s::DOUBLE / 1000000000.0) / n::DOUBLE) *
+                ((sj.s::DOUBLE / 1000000000.0) / n::DOUBLE) AS cov
+         FROM g JOIN s1 si ON si.i = g.i JOIN s1 sj ON sj.i = g.j
+         ORDER BY g.i, g.j""",
   )
 }

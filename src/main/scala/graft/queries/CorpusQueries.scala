@@ -684,4 +684,146 @@ object CorpusQueries {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** BM25-style top-10 retrieval (X65) for a fixed query-term set,
+    * scored over the inverted-index statistics (df per term, per-doc tf
+    * and length, corpus avg length). The idf uses the RSJ odds ratio
+    * `(N − df + 0.5)/(df + 0.5)` UN-LOGGED — monotone in the standard
+    * BM25 idf, and (unlike `ln`, whose last-ulp behavior differs across
+    * libm implementations) exactly reproducible in any IEEE-754 engine,
+    * so the oracle hash-matches bit-for-bit. Per-doc totals are a fixed
+    * left-assoc sum over the (constant) term list — no order-dependent
+    * float reduction. Scale shape: the corpus-sized stream is filtered
+    * to query-term hits BEFORE any shuffle; df/stats are broadcast
+    * scalars; the final top-10 is a sort-limit, not a global window. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("join", "hash", "vector", "window", "stream", "filter")
+    val base = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("len"), col("w"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+    val tf = base.select(col("doc_id"), col("len"), explode(col("w")).as("token"))
+      .where(col("token").isin(terms: _*))
+      .groupBy("doc_id", "len", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    val avglen = col("sum_len").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    // k1 = 1.2, b = 0.75: tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+    val s = idf * ((col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / avglen))))
+    val perTerm = tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"), s.as("s"))
+    val pivotCols = terms.map(t => max(when(col("token") === t, col("s"))).as(s"__s_$t"))
+    val byDoc = perTerm.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
+    val score = terms.map(t => coalesce(col(s"__s_$t"), lit(0.0))).reduceLeft(_ + _)
+    // top-10 via sort-limit; rnk assigned on the 10 survivors only (the
+    // partitionless window touches 10 rows, not the corpus)
+    byDoc.select(col("doc_id"), score.as("score"))
+      .orderBy(desc("score"), col("doc_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+      .orderBy("rnk")
+  }
+
+  /** Corpus-trained bigram language-model quality score (X66) — the
+    * CCNet/KenLM-style "perplexity filter" shape: train add-one-smoothed
+    * bigram statistics on the corpus itself, score each document by its
+    * mean bigram probability `avg((c(w1,w2)+1)/(c(w1)+V))`, and gate on
+    * a threshold. Mean probability (not log-prob) keeps every operation
+    * IEEE-exact across engines (ln is libm-dependent); the per-doc sum
+    * folds in position order via `aggregate(array_sort(...))`, mirrored
+    * by the oracle's `list_reduce(list_sort(...))`. Scale shape: the
+    * corpus stream joins two COUNT TABLES that are O(V)/O(V²) — tiny,
+    * auto-broadcast — and the only per-doc state is the doc's own
+    * bigram list. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val base = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+    val pairs = base.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w) - 2),
+             i -> struct(i AS pos, element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))"""))
+        .as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = base.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val p = pairs.join(c12, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("t", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        ((col("c12") + lit(1L)).cast("double") / (col("c1") + col("v")).cast("double")).as("p"))
+    val perDoc = p.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      expr("""aggregate(array_sort(collect_list(struct(pos, p))),
+                        cast(0.0 AS double), (acc, x) -> acc + x.p)""").as("__sum_p"))
+    val meanP = col("__sum_p") / col("n_bigrams").cast("double")
+    perDoc.select(col("doc_id"), col("n_bigrams"), meanP.as("mean_p"),
+        (meanP >= lit(0.0335)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** KMV bottom-k distinct sketch (X67) over per-event-type users: the
+    * oracle-gateable sketch shape where even the ESTIMATE hash-matches —
+    * the whole estimator is one division on the k-th smallest distinct
+    * hash, which DuckDB replays exactly (unlike HLL register internals,
+    * q44, where only the verdict is gateable). k=256 exercises BOTH
+    * paths across the test SFs: sf0.01 has 150 users/type (< k → the
+    * buffer IS the distinct set, exact), sf0.1 has 1500 (> k →
+    * estimator branch, measured 6.5% error). */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinctChecked(
+      Tables.load(spark, dir, "events")
+        .select(col("event_type"),
+          TextFunctions.md5Hash56(col("user_id").cast("string")).as("h")),
+      "event_type", "h", k = 256, tol = 0.2)
+
+  /** One-pass Gram + covariance matrix over the embedding columns (X68)
+    * — the distributed-GEMM / PCA-prep reduction: each row contributes a
+    * 2080-cell vector of integer-scaled pair products (upper triangle of
+    * 64×64), [[graft.functions.LongVecSumAgg]] folds them elementwise
+    * (one 2080-long buffer per map task on the exchange — the cells
+    * NEVER shuffle row-wise), and the closed-form covariance
+    * `G/n − mean_i·mean_j` is derived per cell afterwards. Products are
+    * scaled to integers (×1e9, rounded) so the reduction is associative
+    * and layout-independent — exactly reproducible in any engine, where
+    * a double sum would depend on partition order. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.LongVecSumAgg
+    val e = spread(Tables.load(spark, dir, "embeddings"))
+    val vecs = e.select(
+      expr("""flatten(transform(sequence(0, 63), i ->
+                transform(sequence(i, 63), j ->
+                  cast(round(cast(element_at(embedding, i + 1) AS double) *
+                             cast(element_at(embedding, j + 1) AS double) *
+                             1000000000.0) AS bigint))))""").as("pr"),
+      expr("""transform(sequence(0, 63), i ->
+                cast(round(cast(element_at(embedding, i + 1) AS double) *
+                           1000000000.0) AS bigint))""").as("s1"))
+    val agged = vecs.agg(
+      exprColumn(LongVecSumAgg(columnExpr(col("pr"))).toAggregateExpression()).as("g"),
+      exprColumn(LongVecSumAgg(columnExpr(col("s1"))).toAggregateExpression()).as("s"),
+      count(lit(1)).as("n"))
+    // 2080-cell index grid (i ≤ j); flat offset i·64 − i·(i−1)/2 + (j−i)
+    val grid = spark.range(0, 64).select(col("id").as("i"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("j")))
+      .where(col("j") >= col("i"))
+    val gram = element_at(col("g"),
+      expr("cast(i * 64 - i * (i - 1) div 2 + (j - i) + 1 AS int)"))
+    val meanI = (element_at(col("s"), expr("cast(i + 1 AS int)")).cast("double") /
+      lit(1000000000.0)) / col("n").cast("double")
+    val meanJ = (element_at(col("s"), expr("cast(j + 1 AS int)")).cast("double") /
+      lit(1000000000.0)) / col("n").cast("double")
+    grid.crossJoin(broadcast(agged))
+      .select(col("i"), col("j"), col("n"), gram.as("gram_scaled"),
+        ((gram.cast("double") / lit(1000000000.0)) / col("n").cast("double") -
+          meanI * meanJ).as("cov"))
+      .orderBy("i", "j")
+  }
 }
