@@ -109,6 +109,9 @@ object SparkEntry {
     "q84_bigram_lm"           -> (CorpusQueries.bigramLm(_, _)),
     "q85_kmv_distinct"        -> (CorpusQueries.kmvDistinct(_, _)),
     "q86_gram_matrix"         -> (CorpusQueries.gramMatrix(_, _)),
+    "q87_sliding_chunks"      -> (CorpusQueries.slidingChunks(_, _)),
+    "q88_strata_sample"       -> (CorpusQueries.strataSample(_, _)),
+    "q89_mad_outliers"        -> (CorpusQueries.madOutliers(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

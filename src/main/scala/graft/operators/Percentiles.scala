@@ -95,4 +95,39 @@ object Percentiles {
       .agg(aggs.head, aggs.tail: _*)
       .select(outCols: _*)
   }
+
+  /** Exact interpolated percentiles over a PRE-COMPRESSED
+    * (key, value, count) table — the right shape when the value domain
+    * is low-cardinality (integer token counts, ratings, codes): the
+    * corpus-sized stream is reduced ONCE by a map-side-combinable hash
+    * agg and every subsequent step touches only O(|keys|·|domain|)
+    * rows, with no per-row ranking windows at all. A (key, v) row
+    * covers global ranks (cum−c, cum]; the bracketing ranks
+    * floor/ceil((n−1)·p)+1 each land in exactly one row. Interpolation
+    * is the same `v_lo·(1−f) + v_hi·f` expression as [[exact]] — the
+    * form `quantile_cont` evaluates, bit-for-bit. */
+  def exactWeighted(cnts: DataFrame, key: String, value: String, cnt: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val base = cnts.select(col(key), col(value).cast("double").as("__v"),
+      col(cnt).cast("long").as("__c"))
+    val w = Window.partitionBy(key).orderBy("__v")
+    val cum = base
+      .withColumn("__end", sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(key)))
+      .withColumn("__start", col("__end") - col("__c"))
+    def pos(p: Double): Column = (col("__n") - 1) * p
+    val aggs = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      val lo = floor(pos(p)) + 1
+      val hi = ceil(pos(p)) + 1
+      Seq(
+        max(when(col("__start") < lo && lo <= col("__end"), col("__v"))).as(s"__lo$i"),
+        max(when(col("__start") < hi && hi <= col("__end"), col("__v"))).as(s"__hi$i"),
+        max(pos(p) - floor(pos(p))).as(s"__f$i"))
+    }
+    val outCols = col(key) +: ps.zipWithIndex.map { case ((name, _), i) =>
+      (col(s"__lo$i") * (lit(1.0) - col(s"__f$i")) + col(s"__hi$i") * col(s"__f$i")).as(name)
+    }
+    cum.groupBy(col(key)).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
+  }
 }

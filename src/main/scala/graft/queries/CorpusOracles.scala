@@ -763,5 +763,42 @@ object CorpusOracles {
                 ((sj.s::DOUBLE / 1000000000.0) / n::DOUBLE) AS cov
          FROM g JOIN s1 si ON si.i = g.i JOIN s1 sj ON sj.i = g.j
          ORDER BY g.i, g.j""",
+
+    // X69: 20-token windows at stride 10; DuckDB's inclusive slice
+    // w[s+1 : s+20] is the 20-element twin of Spark's slice(w, s+1, 20)
+    "q87_sliding_chunks" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 1),
+         c AS (SELECT doc_id, len(w)::BIGINT AS l, unnest(range(0, len(w), 10)) AS s, w
+               FROM b)
+         SELECT doc_id, s // 10 AS chunk_idx, s AS start_tok,
+                least(20, l - s) AS n_tok,
+                md5(array_to_string(w[s + 1 : s + 20], ' ')) AS fp
+         FROM c ORDER BY doc_id, chunk_idx""",
+
+    // X70: exactly-k-per-stratum deterministic sample — the k smallest
+    // content-stable hashes per source
+    "q88_strata_sample" ->
+      s"""WITH h AS (SELECT source, doc_id,
+                       ${md5h56("doc_id::VARCHAR")} AS h FROM documents),
+          r AS (SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+                FROM h)
+          SELECT source, doc_id, CAST(rn AS BIGINT) AS rnk
+          FROM r WHERE rn <= 20 ORDER BY source, rnk""",
+
+    // X71: median/MAD robust outliers; quantile_cont is the proven twin
+    // of the bracketing-bucket exact percentile operator (q47)
+    "q89_mad_outliers" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokenCount::BIGINT AS n_tok
+                     FROM documents),
+          med AS (SELECT source, quantile_cont(n_tok::DOUBLE, 0.5) AS med
+                  FROM t GROUP BY 1),
+          d AS (SELECT doc_id, source, n_tok,
+                  abs(n_tok::DOUBLE - med) AS dev
+                FROM t JOIN med USING (source)),
+          mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+          SELECT doc_id, source, n_tok, dev, dev > mad * 3.0 AS is_outlier
+          FROM d JOIN mad USING (source) ORDER BY doc_id""",
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, Percentiles, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -825,5 +825,78 @@ object CorpusQueries {
         ((gram.cast("double") / lit(1000000000.0)) / col("n").cast("double") -
           meanI * meanJ).as("cov"))
       .orderBy("i", "j")
+  }
+
+  /** Overlapping sliding-window chunker (X69) — the RAG/retrieval
+    * chunking shape, distinct from X48's disjoint dedup chunks: windows
+    * of 20 tokens at stride 10, each with its span and content
+    * fingerprint. One generate per doc, no shuffle at all until the
+    * presentation sort — at 100 TB this is a pure map stage that
+    * pipelines into whatever consumes the chunks. */
+  def slidingChunks(spark: SparkSession, dir: String): DataFrame = {
+    val win = 20
+    val stride = 10
+    val base = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 1)
+    base.select(col("doc_id"), size(col("w")).as("__len"), explode(expr(
+        s"""transform(sequence(0, size(w) - 1, $stride),
+              s -> struct(CAST(s AS bigint) AS start_tok,
+                          array_join(slice(w, s + 1, $win), ' ') AS chunk))"""))
+        .as("c"))
+      .select(col("doc_id"),
+        expr(s"c.start_tok div $stride").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"),
+        least(lit(win.toLong), col("__len").cast("long") - col("c.start_tok")).as("n_tok"),
+        md5(col("c.chunk")).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic fixed-size per-stratum sample (X70): the k smallest
+    * content-stable hashes per source — "reservoir of exactly k per
+    * group" with cross-run/cross-engine reproducibility (vs q56's
+    * rate-based Bernoulli keep and q72's weighted keep). Written as the
+    * row_number idiom so the native TopKPerKey rewrite bounds the
+    * exchange to k rows per (mapper, source) — the full stratum never
+    * shuffles. */
+  def strataSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = spread(Tables.load(spark, dir, "documents"))
+      .select(col("source"), col("doc_id"),
+        TextFunctions.md5Hash56(col("doc_id").cast("string")).as("h"))
+    d.withColumn("rnk",
+        row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")).cast("long"))
+      .where(col("rnk") <= 20)
+      .select("source", "doc_id", "rnk")
+      .orderBy("source", "rnk")
+  }
+
+  /** Robust per-source outlier flagging (X71): median/MAD on token
+    * counts — `|x − med| > 3·MAD`. Token counts are a low-cardinality
+    * integer domain, so BOTH medians come from ONE count-compression of
+    * the corpus (`Percentiles.exactWeighted`): the (source, n_tok,
+    * count) table is O(|sources|·|domain|), the MAD's deviation counts
+    * are DERIVED from it (no second corpus pass), and the corpus stream
+    * is touched exactly twice — once to count, once to flag against the
+    * broadcast med/mad stats. The robust twin of z-score trimming:
+    * median and MAD are insensitive to the very outliers being
+    * flagged. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+    val cnts = t.groupBy("source", "n_tok").agg(count(lit(1)).as("c"))
+    val med = Percentiles.exactWeighted(cnts, "source", "n_tok", "c",
+      Seq("med" -> 0.5))
+    val devCnts = cnts.join(broadcast(med), Seq("source"))
+      .select(col("source"), abs(col("n_tok").cast("double") - col("med")).as("dev"),
+        col("c"))
+    val mad = Percentiles.exactWeighted(devCnts, "source", "dev", "c",
+      Seq("mad" -> 0.5))
+    t.join(broadcast(med), Seq("source")).join(broadcast(mad), Seq("source"))
+      .withColumn("dev", abs(col("n_tok").cast("double") - col("med")))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("dev"),
+        (col("dev") > col("mad") * lit(3.0)).as("is_outlier"))
+      .orderBy("doc_id")
   }
 }
