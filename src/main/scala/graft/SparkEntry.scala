@@ -112,6 +112,10 @@ object SparkEntry {
     "q87_sliding_chunks"      -> (CorpusQueries.slidingChunks(_, _)),
     "q88_strata_sample"       -> (CorpusQueries.strataSample(_, _)),
     "q89_mad_outliers"        -> (CorpusQueries.madOutliers(_, _)),
+    "q90_group_regression"    -> (CorpusQueries.groupRegression(_, _)),
+    "q91_equidepth_hist"      -> (CorpusQueries.equiDepthHist(_, _)),
+    "q92_novelty"             -> (CorpusQueries.noveltyScore(_, _)),
+    "q93_quantize_int8"       -> (CorpusQueries.quantizeInt8(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

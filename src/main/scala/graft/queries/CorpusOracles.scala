@@ -800,5 +800,62 @@ object CorpusOracles {
           mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
           SELECT doc_id, source, n_tok, dev, dev > mad * 3.0 AS is_outlier
           FROM d JOIN mad USING (source) ORDER BY doc_id""",
+
+    // X72: integer moment sums (exact in any engine), closed-form
+    // slope/intercept/r² with one division each
+    "q90_group_regression" ->
+      s"""WITH t AS (SELECT source, $tokenCount::BIGINT AS x, n_chars AS y
+                     FROM documents),
+          m AS (SELECT source, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                FROM t GROUP BY 1)
+          SELECT source, n,
+                 (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope,
+                 (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE /
+                                (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+                   / n::DOUBLE AS intercept,
+                 ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE) /
+                 ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE) AS r2
+          FROM m ORDER BY source""",
+
+    // X73: octile boundaries from quantile_cont (the proven twin of the
+    // exact percentile operator); bucket = count of boundaries <= v
+    "q91_equidepth_hist" ->
+      s"""WITH b AS (SELECT l_returnflag,
+                  ${(1 to 7).map(i => s"quantile_cont(l_extendedprice, ${i / 8.0}) AS b$i").mkString(", ")}
+                FROM lineitem GROUP BY 1)
+          SELECT l_returnflag,
+                 CAST(${(1 to 7).map(i => s"(CASE WHEN l_extendedprice >= b$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket,
+                 count(*) AS n,
+                 min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+          FROM lineitem JOIN b USING (l_returnflag)
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // X74: distinct 4-gram shingle hashes per doc; novelty = share of
+    // shingles with corpus doc-frequency 1
+    "q92_novelty" ->
+      s"""WITH ${shingleCteN(4)},
+          shh AS (SELECT doc_id, ${md5h56("shingle")} AS h FROM sh),
+          dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM shh GROUP BY 1)
+          SELECT doc_id, count(*) AS n_shingles,
+                 CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                 CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE /
+                   count(*)::DOUBLE AS novelty
+          FROM shh JOIN dfreq USING (h)
+          GROUP BY 1 ORDER BY 1""",
+
+    // X75: global per-dim affine int8 quantization + dequant error,
+    // identical op order in both engines
+    "q93_quantize_int8" ->
+      """WITH cells AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+                        FROM embeddings, range(1, 65) t(i)),
+         stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM cells GROUP BY 1)
+         SELECT vec_id, dim,
+                CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT) AS q,
+                abs((CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT)::DOUBLE
+                       + 127.0) / 254.0 * (mx - mn) + mn - v) AS err
+         FROM cells JOIN stats USING (dim)
+         ORDER BY vec_id, dim""",
   )
 }

@@ -899,4 +899,99 @@ object CorpusQueries {
         (col("dev") > col("mad") * lit(3.0)).as("is_outlier"))
       .orderBy("doc_id")
   }
+
+  /** Per-group OLS regression (X72) of chars on tokens — the grouped
+    * closed-form analytics kernel: ONE map-side-combinable hash agg of
+    * integer moment sums (n, Σx, Σy, Σx², Σy², Σxy — exact long
+    * arithmetic, associative, layout-independent), then slope /
+    * intercept / r² derived per group with a fixed sequence of double
+    * ops. The distributed-OLS shape: nothing but the |groups|-row moment
+    * table ever leaves the mappers, and the moment algebra is the same
+    * trick that makes q86's Gram reduction oracle-exact. */
+  def groupRegression(spark: SparkSession, dir: String): DataFrame = {
+    val t = spread(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("x"), col("n_chars").as("y"))
+    val m = t.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    // integer numerators/denominators, ONE division each — IEEE-exact
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = num.cast("double") / den.cast("double")
+    m.select(col("source"), col("n"), slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"),
+        ((num.cast("double") * num.cast("double")) /
+          (den.cast("double") * deny.cast("double"))).as("r2"))
+      .orderBy("source")
+  }
+
+  /** Per-group equi-depth histogram (X73): 7 exact interpolated octile
+    * boundaries (the q47 bracketing-bucket operator) broadcast back onto
+    * the stream; bucket id = count of boundaries ≤ v (a fixed left-assoc
+    * indicator sum, tie goes up in both engines). The optimizer-statistics
+    * shape: boundary table is |groups|·7, the assignment pass is one
+    * map-side-combinable count agg. */
+  def equiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val fracs = (1 to 7).map(i => (s"b$i", i / 8.0))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = Percentiles.exact(li, "l_returnflag", "l_extendedprice", fracs)
+    val bucket = fracs.map { case (nm, _) =>
+      when(col("l_extendedprice") >= col(nm), lit(1L)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
+  /** Corpus novelty score (X74): the fraction of a document's distinct
+    * 4-gram shingles that occur NOWHERE else in the corpus — the
+    * self-containment / memorization-risk metric a curation pipeline
+    * reads next to the dup-rate. One corpus-wide (hash → doc-frequency)
+    * agg over the same hashed-shingle stream the dedup/decontamination
+    * operators use, joined back to the per-doc stream; both sides are
+    * O(total shingles) with map-side combine, no quadratic stage. */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = NearDup.shingles(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", n = 4)
+      .select(col("doc_id"), TextFunctions.md5Hash56(col("shingle")).as("h"))
+    val dfreq = sh.groupBy("h").agg(count_distinct(col("doc_id")).as("df"))
+    sh.join(dfreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-dimension int8 quantization (X75) of the embedding table — the
+    * PQ-lite compression pass an ANN system runs before indexing: global
+    * per-dim (min, max) from one tiny agg (64 rows out of the mappers),
+    * affine map to [−127, 127], dequantization error alongside. Stats
+    * broadcast back onto the stream; the quantization itself is a pure
+    * map. Emitted as (vec, dim) rows so the oracle can hash every cell. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val cells = spread(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val stats = cells.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    val q = round((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(254.0)
+      - lit(127.0)).cast("long")
+    val dq = (q.cast("double") + lit(127.0)) / lit(254.0) *
+      (col("mx") - col("mn")) + col("mn")
+    cells.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"), q.as("q"), abs(dq - col("v")).as("err"))
+      .orderBy("vec_id", "dim")
+  }
 }

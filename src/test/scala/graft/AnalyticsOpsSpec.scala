@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.CorpusQueries
+
+/** Specs for the grouped-analytics operators: OLS regression (X72),
+  * equi-depth histograms (X73), corpus novelty (X74) and int8 vector
+  * quantization (X75). Cross-engine exactness is the oracle gate
+  * (q90–q93, both SFs); these pin the math against independent
+  * driver-side recomputation and the semantic invariants.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("group regression matches driver-side OLS on every source") {
+    val out = CorpusQueries.groupRegression(spark, sf).collect()
+    val rows = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("x"),
+        col("n_chars").as("y"))
+      .collect().groupBy(_.getString(0))
+    assert(out.map(_.getString(0)).toSet == rows.keySet)
+    out.foreach { r =>
+      val xs = rows(r.getString(0)).map(x => (x.getLong(1), x.getLong(2)))
+      val n = xs.length.toLong
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(r.getDouble(2) == slope, s"slope mismatch for ${r.getString(0)}")
+      assert(r.getDouble(3) ==
+        (sy.toDouble - slope * sx.toDouble) / n.toDouble, "intercept")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "r2 out of [0,1]")
+    }
+  }
+
+  test("equi-depth histogram: 8 near-equal buckets that partition each group") {
+    val out = CorpusQueries.equiDepthHist(spark, sf).collect()
+    out.groupBy(_.getString(0)).foreach { case (flag, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (0L to 7L), s"$flag buckets")
+      val counts = rows.map(_.getLong(2))
+      val total = counts.sum
+      counts.foreach(c => assert(
+        c >= total / 16 && c <= total * 3 / 16,
+        s"$flag bucket count $c not equi-depth for total $total"))
+      // buckets tile the value range in order
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { w =>
+        assert(w(0).getDouble(4) <= w(1).getDouble(3), s"$flag overlap")
+      }
+    }
+  }
+
+  test("novelty: shared shingles are never counted unique") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),     // shares the a-b-c-d window with doc 1
+      (1L, "a b c d x y"),
+      (2L, "p q r s t u")      // fully novel
+    ).toDF("doc_id", "text")
+    val sh = graft.operators.NearDup.shingles(docs, "doc_id", "text", n = 4)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.md5Hash56(col("shingle")).as("h"))
+    val dfreq = sh.groupBy("h").agg(count_distinct(col("doc_id")).as("df"))
+    val out = sh.join(dfreq, Seq("h")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_u"))
+      .orderBy("doc_id").collect()
+    // each doc has 3 4-gram shingles; "a b c d" is shared by docs 0 and 1
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 3L, 2L), (1L, 3L, 2L), (2L, 3L, 3L)))
+    val corpus = CorpusQueries.noveltyScore(spark, sf).collect()
+    corpus.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("int8 quantization: codes in [-127,127], error within a half step") {
+    val out = CorpusQueries.quantizeInt8(spark, sf)
+    val stats = out.groupBy("dim").agg(
+      min("q").as("qmn"), max("q").as("qmx"), max("err").as("emax")).collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      assert(r.getLong(1) >= -127L && r.getLong(2) <= 127L)
+    }
+    // per-dim error bound: half a quantization step of that dim's range
+    val ranges = Tables.load(spark, sf, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg((max(col("v").cast("double")) -
+        min(col("v").cast("double"))).as("range"))
+      .collect().map(r => r.getInt(0).toLong -> r.getDouble(1)).toMap
+    stats.foreach { r =>
+      val halfStep = ranges(r.getLong(0)) / 254.0 * 0.5 + 1e-12
+      assert(r.getDouble(3) <= halfStep,
+        s"dim ${r.getLong(0)} err ${r.getDouble(3)} > $halfStep")
+    }
+  }
+}
