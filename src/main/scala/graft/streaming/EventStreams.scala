@@ -34,6 +34,21 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Content dedup with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): duplicates whose event times
+    * fall within `watermarkDelay` of each other collapse to the first
+    * arrival, and — unlike [[dedupStream]], which keeps every key until
+    * ITS OWN event-time watermark expiry — a key that recurs after the
+    * watermark has passed its first sighting is ADMITTED AGAIN. That
+    * re-admission is the point: on an unbounded corpus stream "drop
+    * re-crawls of the last N minutes" keeps state O(recent window)
+    * regardless of corpus age — the streaming analogue of the
+    * batch-vs-recent-history incremental dedup (X57). */
+  def dedupWithinWatermark(rows: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermarkDelay: String = "10 minutes"): DataFrame =
+    rows.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked sliding-window counts per event type. */
   def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
       windowLen: String = "1 hour", slide: String = "30 minutes"): DataFrame =

@@ -197,4 +197,33 @@ class StreamingAggSpec extends AnyFunSuite {
           r.getAs[String]("event_type")))).toMap
     assert(finalPerUser === batchTwin)
   }
+
+  test("dedupWithinWatermark: dedups inside the horizon, re-admits after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    // key on event_type — standing in for a content fingerprint column
+    val out = EventStreams.dedupWithinWatermark(in.toDF(),
+      keyCols = Seq("event_type"), watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append).start()
+
+    // two same-key records 1 minute apart: the second is a duplicate
+    in.addData(ev(1, "2024-01-01 10:00:00", 1, "fpA"),
+      ev(2, "2024-01-01 10:01:00", 2, "fpA"))
+    q.processAllAvailable()
+    // a different key passes through; it also advances the max event time
+    in.addData(ev(3, "2024-01-01 11:00:00", 3, "fpB"))
+    q.processAllAvailable()
+    // watermark (11:00 − 10 min) is now past fpA's expiry → re-admitted
+    in.addData(ev(4, "2024-01-01 11:05:00", 4, "fpA"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_wm")
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set((1L, "fpA"), (3L, "fpB"), (4L, "fpA")),
+      s"expected in-horizon dedup of id 2 and re-admission of id 4, got $got")
+    // contrast: dedupStream (global key memory) would have dropped id 4 —
+    // the bounded-state semantics are what scale to an unbounded corpus
+  }
 }
