@@ -116,6 +116,8 @@ object SparkEntry {
     "q91_equidepth_hist"      -> (CorpusQueries.equiDepthHist(_, _)),
     "q92_novelty"             -> (CorpusQueries.noveltyScore(_, _)),
     "q93_quantize_int8"       -> (CorpusQueries.quantizeInt8(_, _)),
+    "q94_token_pagerank"      -> (CorpusQueries.tokenPagerank(_, _)),
+    "q95_snapshot_diff"       -> (CorpusQueries.snapshotDiff(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank in integer fixed-point arithmetic — the iterative
+  * propagate-join-aggregate (Pregel-on-DataFrame) pattern, deterministic
+  * enough for a SQL oracle to replay bit-for-bit.
+  *
+  * Every quantity is a scaled long (SCALE = 10^12): an edge (s → d, w)
+  * sends `rank(s)·w div W(s)` (W = s's total out-weight), and
+  * `rank' = (15·(SCALE div N)) div 100 + (85·inflow) div 100` — all
+  * truncating integer division and associative long sums, so the result
+  * is independent of partitioning, merge order, and engine (a float
+  * PageRank's per-node `sum(double)` would differ run to run). Rounding
+  * mass loss per node per iteration is < 2 units of 10^-12 — far below
+  * any ranking-relevant scale.
+  *
+  * Scale shape: each of the fixed `iters` rounds is ONE equi-join of the
+  * edge table with the |V|-row rank table (broadcast when small,
+  * shuffle-partitioned by src at web scale — the same exchange is
+  * reusable every round since edges never change) and one map-side
+  * combinable sum per dst. Nodes with no inbound edges keep receiving
+  * only the teleport term via the left join from the node list. Dangling
+  * mass (nodes without out-edges) is dropped, not redistributed — at
+  * token-graph density there are none; documented rather than hidden.
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // 10^12 fixed-point
+
+  /** `edges`: (src, dst, w) with positive long weights. Returns
+    * (node, rank_scaled) after `iters` rounds, every node from either
+    * endpoint present. */
+  def weighted(edges: DataFrame, iters: Int = 10, damping: Int = 85): DataFrame = {
+    require(iters >= 1 && damping >= 0 && damping <= 100)
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // out-weight per src, pinned once — every iteration reuses it
+    val out = e.groupBy("src").agg(sum("w").as("outw"))
+    val ew = e.join(out, Seq("src")).persist()
+    val nNodes = nodes.count() // |V|: control-plane scalar, one job
+    val teleport = (100L - damping) * (Scale / nNodes) / 100L
+
+    var ranks = nodes.select(col("node"), lit(Scale / nNodes).as("rank_scaled"))
+    for (_ <- 1 to iters) {
+      val inflow = ew
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        // `div`, not `/`: truncating integer division (== DuckDB `//`
+        // on positives), NOT the double division `/` would produce
+        .select(col("dst"), expr("(rank_scaled * w) div outw").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($damping * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_scaled"))
+      // bound lineage growth across iterations (same pattern as
+      // NearDup.dupGroups): localCheckpoint keeps the plan O(1)
+      ranks = ranks.localCheckpoint(eager = false)
+    }
+    ranks
+  }
+}

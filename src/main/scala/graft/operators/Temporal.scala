@@ -105,4 +105,22 @@ object Temporal {
       .select(df.columns.toSeq.map(c =>
         if (c == keyCol) col(c) else col("__last").getField(c).as(c)): _*)
   }
+
+  /** Snapshot diff — the dataset-versioning audit between two corpus
+    * snapshots: one full outer join on the key classifies every id as
+    * added / removed / changed / unchanged (content compared by md5, so
+    * the join carries a fixed-width digest, not the documents). The
+    * shuffle is one exchange per side keyed by id; at equal bucketing
+    * of both snapshots it degrades to a zero-shuffle sort-merge. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val l = a.select(col(idCol).as("id"), md5(col(contentCol)).as("__ha"))
+    val r = b.select(col(idCol).as("id"), md5(col(contentCol)).as("__hb"))
+    l.join(r, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -845,6 +845,54 @@ object CorpusOracles {
           FROM shh JOIN dfreq USING (h)
           GROUP BY 1 ORDER BY 1""",
 
+    // X77: 10 unrolled PageRank rounds in integer fixed-point — all
+    // truncating `//` on positives (== Spark `div`) and exact long sums,
+    // so every round replays bit-for-bit
+    "q94_token_pagerank" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (SELECT nodes.node,
+              CAST((15 * (1000000000000 // n)) // 100 +
+                   (85 * coalesce(inf.s, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes CROSS JOIN nn LEFT JOIN (
+              SELECT e.dst, sum((r${i - 1}.rank * e.w) // outw.W) AS s
+              FROM e JOIN outw USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+              GROUP BY 1) inf
+            ON inf.dst = nodes.node)"""
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT string_split(text, ' ') AS w FROM documents
+                     WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+                  i -> struct_pack(src := w[i + 1], dst := w[i + 2]))) AS u
+                FROM b),
+         e AS (SELECT u.src AS src, u.dst AS dst, count(*) AS w FROM bg GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         outw AS (SELECT src, sum(w) AS W FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank
+                FROM nodes CROSS JOIN nn),
+         $rounds
+         SELECT node, rank AS rank_scaled FROM r10
+         ORDER BY rank_scaled DESC, node"""
+    },
+
+    // X78: full-outer digest-join snapshot diff over the simulated
+    // old/new corpus versions (hash splits mirror the Spark query)
+    "q95_snapshot_diff" ->
+      s"""WITH d AS (SELECT doc_id, text,
+                       ${md5h56("doc_id::VARCHAR")} AS dh FROM documents),
+          olds AS (SELECT doc_id AS id, md5(text) AS ha FROM d WHERE dh % 11 <> 0),
+          news AS (SELECT doc_id AS id,
+                     md5(CASE WHEN dh % 7 = 0 THEN text || ' v2' ELSE text END) AS hb
+                   FROM d WHERE dh % 13 <> 0),
+          j AS (SELECT coalesce(olds.id, news.id) AS id,
+                  CASE WHEN ha IS NULL THEN 'added'
+                       WHEN hb IS NULL THEN 'removed'
+                       WHEN ha <> hb THEN 'changed'
+                       ELSE 'unchanged' END AS status
+                FROM olds FULL OUTER JOIN news ON olds.id = news.id)
+          SELECT status, count(*) AS n, min(id) AS first_id, max(id) AS last_id
+          FROM j GROUP BY 1 ORDER BY 1""",
+
     // X75: global per-dim affine int8 quantization + dequant error,
     // identical op order in both engines
     "q93_quantize_int8" ->

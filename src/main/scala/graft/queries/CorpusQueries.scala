@@ -994,4 +994,46 @@ object CorpusQueries {
       .select(col("vec_id"), col("dim"), q.as("q"), abs(dq - col("v")).as("err"))
       .orderBy("vec_id", "dim")
   }
+
+  /** Weighted PageRank over the token-transition graph (X77): nodes =
+    * vocabulary, edge (w1 → w2) weighted by bigram count, 10 rounds of
+    * [[graft.operators.PageRank.weighted]] — the iterative
+    * propagate-join-aggregate pattern in integer fixed-point, so the
+    * DuckDB oracle replays all 10 rounds bit-for-bit as unrolled CTEs.
+    * The graph here is |V|=31; the operator's per-round plan (edge ⋈
+    * rank join + per-dst sum) is the web-scale shape. */
+  def tokenPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val base = spread(Tables.load(spark, dir, "documents"))
+      .select(TextFunctions.tokens(col("text")).as("w"))
+    val pairs = base.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(w) - 2),
+             i -> struct(element_at(w, i + 1) AS src, element_at(w, i + 2) AS dst))"""))
+        .as("b"))
+      .select(col("b.src").as("src"), col("b.dst").as("dst"))
+    val edges = pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.operators.PageRank.weighted(edges, iters = 10)
+      .orderBy(desc("rank_scaled"), col("node"))
+  }
+
+  /** Snapshot diff (X78): simulate two corpus versions from the one
+    * documents table with deterministic hash splits — the old snapshot
+    * misses `dh % 11 = 0` docs (→ added), the new one misses
+    * `dh % 13 = 0` (→ removed) and rewrites `dh % 7 = 0` texts
+    * (→ changed) — then classify every id with one full-outer digest
+    * join and reduce to the audit counts. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.md5Hash56(col("doc_id").cast("string")).as("dh"))
+    val oldSnap = d.where(pmod(col("dh"), lit(11L)) =!= 0L)
+    val newSnap = d.where(pmod(col("dh"), lit(13L)) =!= 0L)
+      .select(col("doc_id"),
+        when(pmod(col("dh"), lit(7L)) === 0L, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Temporal.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("id").as("first_id"), max("id").as("last_id"))
+      .orderBy("status")
+  }
 }

@@ -98,4 +98,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"dim ${r.getLong(0)} err ${r.getDouble(3)} > $halfStep")
     }
   }
+
+  test("pagerank: conserves mass (minus truncation), favors inbound weight") {
+    import spark.implicits._
+    // star graph: everything points at 'hub' (weight 9), plus one
+    // side edge — hub must outrank everything; spokes with identical
+    // in-profiles must tie exactly (determinism)
+    val edges = Seq(
+      ("a", "hub", 9L), ("b", "hub", 9L), ("c", "hub", 9L),
+      ("hub", "a", 1L), ("hub", "b", 1L), ("hub", "c", 1L))
+      .toDF("src", "dst", "w")
+    val out = graft.operators.PageRank.weighted(edges, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("hub", "a", "b", "c"))
+    assert(out("hub") > out("a"))
+    assert(out("a") == out("b") && out("b") == out("c"), "symmetric spokes must tie")
+    // total mass stays within truncation loss of SCALE: <= 2 units lost
+    // per node per round -> 4 nodes * 10 rounds * 2
+    val total = out.values.sum
+    val scale = graft.operators.PageRank.Scale
+    assert(total <= scale && total >= scale - 4 * 10 * 2 - 100,
+      s"mass $total vs $scale")
+    // layout independence: same result from a repartitioned edge table
+    val out2 = graft.operators.PageRank.weighted(edges.repartition(7), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == out2)
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val b = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
+    val out = graft.operators.Temporal.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
