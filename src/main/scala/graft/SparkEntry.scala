@@ -118,6 +118,8 @@ object SparkEntry {
     "q93_quantize_int8"       -> (CorpusQueries.quantizeInt8(_, _)),
     "q94_token_pagerank"      -> (CorpusQueries.tokenPagerank(_, _)),
     "q95_snapshot_diff"       -> (CorpusQueries.snapshotDiff(_, _)),
+    "q96_corpus_profile"      -> (CorpusQueries.corpusProfile(_, _)),
+    "q97_incremental_rollup"  -> (CorpusQueries.incrementalRollup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -893,6 +893,68 @@ object CorpusOracles {
           SELECT status, count(*) AS n, min(id) AS first_id, max(id) AS last_id
           FROM j GROUP BY 1 ORDER BY 1""",
 
+    // X79: the data-card profile — every stat the already-gated kernel
+    // (counts, weighted median, fingerprints, KMV), composed; the KMV
+    // estimator is replayed on the 256th-smallest distinct fp hash
+    "q96_corpus_profile" -> {
+      val fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+      s"""WITH t AS (SELECT source, $tokenCount::BIGINT AS n_tok,
+                       ${md5h56(fp)} AS fph FROM documents),
+          a AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+                  count(DISTINCT fph) AS ndf FROM t GROUP BY 1),
+          m AS (SELECT source, quantile_cont(n_tok::DOUBLE, 0.5) AS med_tok
+                FROM t GROUP BY 1),
+          h AS (SELECT DISTINCT source, fph FROM t),
+          r AS (SELECT source, fph,
+                  row_number() OVER (PARTITION BY source ORDER BY fph) AS rn
+                FROM h),
+          g AS (SELECT source, count(*) AS nd,
+                  max(CASE WHEN rn = 256 THEN fph END) AS hk FROM r GROUP BY 1),
+          e AS (SELECT source,
+                  CASE WHEN nd < 256 THEN nd::DOUBLE
+                       ELSE 255.0 * 7.2057594037927936e16 / hk::DOUBLE END AS est
+                FROM g)
+          SELECT source, n_docs, tok_total, med_tok,
+                 CAST(n_docs - ndf AS BIGINT) AS n_dups,
+                 abs(est / ndf::DOUBLE - 1.0) <= 0.2 AS fp_est_ok
+          FROM a JOIN m USING (source) JOIN e USING (source)
+          ORDER BY source"""
+    },
+
+    // X80: the merge algebra in plain SQL — counts/sums add, extrema
+    // fold through coalesce pairs, KMV union = sort(distinct(concat))
+    // truncated to k; gate proves merged state == direct aggregation
+    "q97_incremental_rollup" ->
+      s"""WITH d AS (SELECT source, doc_id, $tokenCount::BIGINT AS n_tok,
+                       ${md5h56("doc_id::VARCHAR")} AS dh FROM documents),
+          hist AS (SELECT source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tok,
+                     min(n_tok) AS mn, max(n_tok) AS mx,
+                     (list_sort(list(DISTINCT dh)))[1:256] AS sk
+                   FROM d WHERE dh % 5 <> 0 GROUP BY 1),
+          batch AS (SELECT source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tok,
+                      min(n_tok) AS mn, max(n_tok) AS mx,
+                      (list_sort(list(DISTINCT dh)))[1:256] AS sk
+                    FROM d WHERE dh % 5 = 0 GROUP BY 1),
+          direct AS (SELECT source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tok,
+                       min(n_tok) AS mn, max(n_tok) AS mx,
+                       (list_sort(list(DISTINCT dh)))[1:256] AS sk
+                     FROM d GROUP BY 1),
+          merged AS (SELECT coalesce(h.source, b.source) AS source,
+                       coalesce(h.n, 0) + coalesce(b.n, 0) AS n,
+                       coalesce(h.tok, 0) + coalesce(b.tok, 0) AS tok,
+                       least(coalesce(h.mn, b.mn), coalesce(b.mn, h.mn)) AS mn,
+                       greatest(coalesce(h.mx, b.mx), coalesce(b.mx, h.mx)) AS mx,
+                       (list_sort(list_distinct(list_concat(
+                          coalesce(h.sk, []), coalesce(b.sk, [])))))[1:256] AS sk
+                     FROM hist h FULL OUTER JOIN batch b ON h.source = b.source)
+          SELECT m.source AS source, CAST(m.n AS BIGINT) AS n, m.tok AS tok,
+                 m.mn AS mn, m.mx AS mx,
+                 (m.n = d.n AND m.tok = d.tok AND m.mn = d.mn AND m.mx = d.mx
+                  AND m.sk = d.sk) AS merge_exact
+          FROM merged m JOIN direct d ON m.source = d.source
+          ORDER BY m.source""",
+
     // X75: global per-dim affine int8 quantization + dequant error,
     // identical op order in both engines
     "q93_quantize_int8" ->

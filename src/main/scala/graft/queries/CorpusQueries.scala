@@ -1036,4 +1036,86 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n"), min("id").as("first_id"), max("id").as("last_id"))
       .orderBy("status")
   }
+
+  /** One-pass per-source corpus profile (X79) — the "data card" a
+    * curation pipeline publishes next to a shipped corpus: doc/token
+    * totals, median doc length, exact dup rate (docs minus distinct
+    * fingerprints) and the KMV distinct-fingerprint estimate gated
+    * against it, all from ONE scan + one compressed-stats pass. Every
+    * stat is the already-gated kernel (X10 counts, X71's weighted
+    * median, X1's fingerprints, X67's KMV), composed. */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.KmvAgg
+    val k = 256
+    val t = spread(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.md5Hash56(TextFunctions.fingerprint(col("text"))).as("fph"))
+    val agg = t.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("tok_total"),
+      count_distinct(col("fph")).as("n_distinct_fp"),
+      exprColumn(KmvAgg(columnExpr(col("fph")), k).toAggregateExpression()).as("__sk"))
+    val est = when(size(col("__sk")) < k, size(col("__sk")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(7.2057594037927936e16) /
+        element_at(col("__sk"), k).cast("double"))
+    val med = Percentiles.exactWeighted(
+      t.groupBy("source", "n_tok").agg(count(lit(1)).as("c")),
+      "source", "n_tok", "c", Seq("med_tok" -> 0.5))
+    agg.join(broadcast(med), Seq("source"))
+      .select(col("source"), col("n_docs"), col("tok_total"), col("med_tok"),
+        (col("n_docs") - col("n_distinct_fp")).as("n_dups"),
+        (abs(est / col("n_distinct_fp").cast("double") - lit(1.0)) <= lit(0.2))
+          .as("fp_est_ok"))
+      .orderBy("source")
+  }
+
+  /** Incremental rollup maintenance (X80): merge yesterday's per-source
+    * aggregate state with a new batch's partials WITHOUT rescanning
+    * history — the mergeable-state algebra written in plain column
+    * functions so any engine can replay it: counts/sums add, mins/maxes
+    * fold, and the KMV sketch union is
+    * `slice(array_sort(array_union(a, b)), 1, k)` — set-union +
+    * retruncate, exactly [[graft.functions.KmvAgg]]'s merge. The gate
+    * proves merged state == direct aggregation of the full corpus,
+    * including the sketch (bit-for-bit array compare via its distinct
+    * estimate). History here is docs with `dh % 5 ≠ 0`; the batch is
+    * the rest. */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.KmvAgg
+    val k = 256
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        TextFunctions.md5Hash56(col("doc_id").cast("string")).as("dh"))
+    def state(part: DataFrame): DataFrame = part.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("n_tok").as("tok"),
+      min("n_tok").as("mn"), max("n_tok").as("mx"),
+      exprColumn(KmvAgg(columnExpr(col("dh")), k).toAggregateExpression()).as("sk"))
+    val history = state(d.where(pmod(col("dh"), lit(5L)) =!= 0L))
+    val batch = state(d.where(pmod(col("dh"), lit(5L)) === 0L))
+    val merged = history.alias("h").join(batch.alias("b"), Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("h.n"), lit(0L)) + coalesce(col("b.n"), lit(0L))).as("n"),
+        (coalesce(col("h.tok"), lit(0L)) + coalesce(col("b.tok"), lit(0L))).as("tok"),
+        // coalesce-wrapped, not bare least/greatest: null-skipping
+        // semantics differ between engines, this form is identical
+        least(coalesce(col("h.mn"), col("b.mn")),
+          coalesce(col("b.mn"), col("h.mn"))).as("mn"),
+        greatest(coalesce(col("h.mx"), col("b.mx")),
+          coalesce(col("b.mx"), col("h.mx"))).as("mx"),
+        slice(array_sort(array_union(
+          coalesce(col("h.sk"), array().cast("array<bigint>")),
+          coalesce(col("b.sk"), array().cast("array<bigint>")))), 1, k).as("sk"))
+    val direct = state(d)
+    merged.alias("m").join(direct.alias("d"), Seq("source"))
+      .select(col("source"), col("m.n").as("n"), col("m.tok").as("tok"),
+        col("m.mn").as("mn"), col("m.mx").as("mx"),
+        (col("m.n") === col("d.n") && col("m.tok") === col("d.tok") &&
+          col("m.mn") === col("d.mn") && col("m.mx") === col("d.mx") &&
+          col("m.sk") === col("d.sk")).as("merge_exact"))
+      .orderBy("source")
+  }
 }

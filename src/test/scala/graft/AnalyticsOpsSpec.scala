@@ -134,4 +134,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("incremental rollup merge is lossless on every source and split") {
+    val out = CorpusQueries.incrementalRollup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getBoolean(5),
+      s"merge != direct for source ${r.getString(0)}"))
+    // the merged totals must also reconcile with the profile's totals
+    val prof = CorpusQueries.corpusProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      assert(prof(r.getString(0)) == ((r.getLong(1), r.getLong(2))),
+        s"rollup/profile totals disagree for ${r.getString(0)}")
+    }
+  }
 }
