@@ -120,6 +120,8 @@ object SparkEntry {
     "q95_snapshot_diff"       -> (CorpusQueries.snapshotDiff(_, _)),
     "q96_corpus_profile"      -> (CorpusQueries.corpusProfile(_, _)),
     "q97_incremental_rollup"  -> (CorpusQueries.incrementalRollup(_, _)),
+    "q98_distribution_drift"  -> (CorpusQueries.distributionDrift(_, _)),
+    "q99_skew_report"         -> (CorpusQueries.skewReport(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -955,6 +955,44 @@ object CorpusOracles {
           FROM merged m JOIN direct d ON m.source = d.source
           ORDER BY m.source""",
 
+    // X81: two-sample chi-square drift between hash halves; the total
+    // folds per-token terms in token order (ordered-fold pattern)
+    "q98_distribution_drift" ->
+      s"""WITH d AS (SELECT text,
+                       (${md5h56("doc_id::VARCHAR")}) % 2 AS half FROM documents),
+          tok AS (SELECT half, unnest(string_split(text, ' ')) AS t FROM d),
+          cnt AS (SELECT t,
+                    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                  FROM tok GROUP BY 1),
+          tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                    CAST(sum(cb) AS BIGINT) AS nb FROM cnt),
+          p AS (SELECT t, ca, cb,
+                  (ca::DOUBLE - (ca + cb)::DOUBLE * (na::DOUBLE / (na + nb)::DOUBLE)) *
+                  (ca::DOUBLE - (ca + cb)::DOUBLE * (na::DOUBLE / (na + nb)::DOUBLE)) /
+                  ((ca + cb)::DOUBLE * (na::DOUBLE / (na + nb)::DOUBLE)) +
+                  (cb::DOUBLE - (ca + cb)::DOUBLE * (nb::DOUBLE / (na + nb)::DOUBLE)) *
+                  (cb::DOUBLE - (ca + cb)::DOUBLE * (nb::DOUBLE / (na + nb)::DOUBLE)) /
+                  ((ca + cb)::DOUBLE * (nb::DOUBLE / (na + nb)::DOUBLE)) AS chi2_term
+                FROM cnt CROSS JOIN tot),
+          s AS (SELECT list_reduce(
+                  list_prepend(0.0::DOUBLE,
+                    list_transform(list_sort(list(struct_pack(t := t, x := chi2_term))),
+                      u -> u.x)),
+                  (a, x) -> a + x) AS chi2_total FROM p)
+          SELECT t, ca, cb, chi2_term, chi2_total
+          FROM p CROSS JOIN s ORDER BY t""",
+
+    // X82: per-key probe-side counts, top-10 heavy keys, max/mean skew
+    "q99_skew_report" ->
+      """WITH cnt AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+         stats AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+                     max(n) AS max_n FROM cnt)
+         SELECT l_suppkey, n, n::DOUBLE / total::DOUBLE AS share, n_keys,
+                max_n::DOUBLE / (total::DOUBLE / n_keys::DOUBLE) AS skew_factor
+         FROM cnt CROSS JOIN stats
+         ORDER BY n DESC, l_suppkey LIMIT 10""",
+
     // X75: global per-dim affine int8 quantization + dequant error,
     // identical op order in both engines
     "q93_quantize_int8" ->

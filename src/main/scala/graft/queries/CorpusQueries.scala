@@ -1118,4 +1118,60 @@ object CorpusQueries {
           col("m.sk") === col("d.sk")).as("merge_exact"))
       .orderBy("source")
   }
+
+  /** Token-distribution drift (X81): two-sample chi-square between two
+    * corpus snapshots (hash halves of `documents`) — the
+    * distribution-shift alarm a data pipeline runs between crawls. Per
+    * token: observed counts (cA, cB), expected under homogeneity, the
+    * chi-square contribution; the total statistic is folded over tokens
+    * IN TOKEN ORDER (the X66 ordered-fold pattern) so even the float
+    * total is engine-exact. Counts are one wordcount per half; the
+    * per-token table is O(V). */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+      .select(col("text"),
+        pmod(TextFunctions.md5Hash56(col("doc_id").cast("string")), lit(2L)).as("half"))
+    val cnt = d.select(col("half"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("cb"))
+    val totals = cnt.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val rowTot = (col("ca") + col("cb")).cast("double")
+    val grand = (col("na") + col("nb")).cast("double")
+    val ea = rowTot * (col("na").cast("double") / grand)
+    val eb = rowTot * (col("nb").cast("double") / grand)
+    val term = (col("ca").cast("double") - ea) * (col("ca").cast("double") - ea) / ea +
+      (col("cb").cast("double") - eb) * (col("cb").cast("double") - eb) / eb
+    val perTok = cnt.crossJoin(broadcast(totals))
+      .select(col("t"), col("ca"), col("cb"), term.as("chi2_term"))
+    val total = perTok.agg(
+      expr("""aggregate(array_sort(collect_list(struct(t, chi2_term))),
+                        cast(0.0 AS double), (acc, x) -> acc + x.chi2_term)""")
+        .as("chi2_total"))
+    perTok.crossJoin(broadcast(total))
+      .select(col("t"), col("ca"), col("cb"), col("chi2_term"), col("chi2_total"))
+      .orderBy("t")
+  }
+
+  /** Join-skew diagnostics (X82): the pre-flight report that decides
+    * between a plain, broadcast, or salted join — per-key counts of the
+    * probe side, the max/mean skew factor, and the top-10 heaviest keys
+    * with their row share. One map-side-combinable count agg; the
+    * summary is a broadcast scalar row. (X21/X35 are the mitigations
+    * this report routes to.) */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val stats = cnt.agg(count(lit(1)).as("n_keys"), sum("n").as("total"),
+      max("n").as("max_n"))
+    val top = cnt.orderBy(desc("n"), col("l_suppkey")).limit(10)
+    top.crossJoin(broadcast(stats))
+      .select(col("l_suppkey"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"),
+        col("n_keys"),
+        (col("max_n").cast("double") /
+          (col("total").cast("double") / col("n_keys").cast("double")))
+          .as("skew_factor"))
+      .orderBy(desc("n"), col("l_suppkey"))
+  }
 }

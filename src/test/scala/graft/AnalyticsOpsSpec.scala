@@ -148,4 +148,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"rollup/profile totals disagree for ${r.getString(0)}")
     }
   }
+
+  test("distribution drift: nonnegative terms folding to the reported total") {
+    val out = CorpusQueries.distributionDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(3) >= 0.0, s"negative chi2 term at ${r.getString(0)}"))
+    val total = out.head.getDouble(4)
+    assert(out.forall(_.getDouble(4) == total))
+    // identical fold order as the query: term sum in token order
+    val folded = out.sortBy(_.getString(0)).map(_.getDouble(3))
+      .foldLeft(0.0)(_ + _)
+    assert(folded == total, s"fold $folded != reported $total")
+  }
+
+  test("skew report: shares and skew factor are consistent") {
+    val out = CorpusQueries.skewReport(spark, sf).collect()
+    assert(out.length == 10)
+    val counts = out.map(_.getLong(1))
+    assert(counts.sorted.reverse.toSeq == counts.toSeq, "not ordered by count")
+    assert(out.map(_.getDouble(2)).sum <= 1.0 + 1e-12)
+    out.foreach(r => assert(r.getDouble(4) >= 1.0, "max/mean skew below 1"))
+  }
 }
