@@ -45,7 +45,7 @@ object PageRank {
     val teleport = (100L - damping) * (Scale / nNodes) / 100L
 
     var ranks = nodes.select(col("node"), lit(Scale / nNodes).as("rank_scaled"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         // `div`, not `/`: truncating integer division (== DuckDB `//`
@@ -58,9 +58,12 @@ object PageRank {
           (lit(teleport) +
             expr(s"($damping * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
             .as("rank_scaled"))
-      // bound lineage growth across iterations (same pattern as
-      // NearDup.dupGroups): localCheckpoint keeps the plan O(1)
-      ranks = ranks.localCheckpoint(eager = false)
+      // bound lineage growth (same pattern as NearDup.dupGroups), but
+      // only every few rounds: each localCheckpoint is a full
+      // materialization job, and a 5-round plan is still trivially
+      // optimizable — at tiny SF this halves the per-round job-floor
+      // count, at scale it halves the checkpoint I/O
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }
