@@ -12,6 +12,9 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // same extensions as Verify/Bench so the audited plans show the
+      // native operators (TopKPerKey etc.), not the stock fallbacks
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
