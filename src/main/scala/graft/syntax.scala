@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, Dedup, NearDup, Percentiles, RangeJoin, Sampling, Sessionize, Sketches, Skew}
+import graft.operators.{AnnSearch, AsOfJoin, Dedup, NearDup, PageRank, Percentiles, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -97,6 +97,24 @@ object syntax {
 
     def approxDistinct(key: String, value: String): DataFrame =
       Sketches.approxDistinct(df, key, value)
+
+    def exactWeightedPercentiles(key: String, value: String, cnt: String,
+        ps: Seq[(String, Double)]): DataFrame =
+      Percentiles.exactWeighted(df, key, value, cnt, ps)
+
+    def kmvDistinctChecked(key: String, hashCol: String, k: Int = 64,
+        tol: Double = 0.35): DataFrame =
+      Sketches.kmvDistinctChecked(df, key, hashCol, k, tol)
+
+    // ---- versioning / graph ----
+    /** this = older snapshot; classifies every id vs `newer`. */
+    def snapshotDiffAgainst(newer: DataFrame, idCol: String,
+        contentCol: String): DataFrame =
+      Temporal.snapshotDiff(df, newer, idCol, contentCol)
+
+    /** this = weighted edge list (src, dst, w). */
+    def pageRank(iters: Int = 10, damping: Int = 85): DataFrame =
+      PageRank.weighted(df, iters, damping)
 
     // ---- layout sinks ----
     def shardedTo(outDir: String, idCol: String, numShards: Int): Unit =

@@ -46,4 +46,23 @@ class SyntaxSpec extends AnyFunSuite {
       .exactPercentiles("l_returnflag", "l_extendedprice", Seq("p50" -> 0.5))
     assert(p.count() == 3 && p.columns.toSeq == Seq("l_returnflag", "p50"))
   }
+
+  test("versioning + graph + sketch paths forward correctly") {
+    import spark.implicits._
+    val older = Seq((1L, "x"), (2L, "y")).toDF("id", "c")
+    val newer = Seq((2L, "y2"), (3L, "z")).toDF("id", "c")
+    val diff = older.snapshotDiffAgainst(newer, "id", "c")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
+    val pr = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+      .pageRank(iters = 2)
+    assert(pr.count() == 2)
+    val kmv = Seq(("g", 7L), ("g", 7L), ("g", 9L)).toDF("k", "h")
+      .kmvDistinctChecked("k", "h")
+    assert(kmv.head().getLong(1) == 2L)
+    val wp = Seq(("g", 1L, 3L), ("g", 5L, 1L)).toDF("k", "v", "c")
+      .exactWeightedPercentiles("k", "v", "c", Seq("p50" -> 0.5))
+    // values 1,1,1,5 -> pos 1.5 -> 1.0*(0.5)+1.0*0.5 = 1.0
+    assert(wp.head().getDouble(1) == 1.0)
+  }
 }
