@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, Md5Hash56, MinHashAgg, NGramShingles, QDigest, QDigestAgg, SimHashAgg, VectorAvgAgg}
+import graft.functions.{DotProduct, KmvAgg, LongVecSumAgg, Md5Hash56, MinHashAgg, NGramShingles, QDigest, QDigestAgg, SimHashAgg, VectorAvgAgg}
 
 /** Session extension wiring: makes graft's native expressions available
   * from SQL text — the full corpus-pipeline kernel set, e.g.
@@ -75,5 +75,12 @@ object GraftExtensions {
     },
     fn("qdigest_quantile", classOf[QDigest.Quantile]) { c =>
       QDigest.Quantile(c(0), Cast(c(1), DoubleType), intArg(c(2), "qdigest_quantile"))
+    },
+    fn("kmv_agg", classOf[KmvAgg]) { c =>
+      KmvAgg(Cast(c(0), org.apache.spark.sql.types.LongType),
+        intArg(c(1), "kmv_agg"))
+    },
+    fn("vec_sum_long", classOf[LongVecSumAgg]) { c =>
+      LongVecSumAgg(Cast(c(0), ArrayType(org.apache.spark.sql.types.LongType)))
     })
 }

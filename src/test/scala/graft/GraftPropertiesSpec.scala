@@ -172,5 +172,29 @@ class GraftPropertiesSpec extends AnyFunSuite {
       .head().getLong(0)
     // rank bound bits·n/σ = 16·100/64 = 25
     assert(math.abs(med - 50L) <= 25L, s"qdigest median of 1..100 out of bound: $med")
+    // KMV bottom-k: 1..100 distinct with k=16 keeps exactly 1..16
+    val kmv = spark.sql("SELECT kmv_agg(h, 16) AS sk FROM hs").head().getSeq[Long](0)
+    assert(kmv == (1L to 16L))
+    val vs = spark.sql(
+      "SELECT vec_sum_long(v) AS s FROM (SELECT array(1L, 10L) AS v UNION ALL SELECT array(2L, 20L))")
+      .head().getSeq[Long](0)
+    assert(vs == Seq(3L, 30L))
+  }
+
+  test("KMV buffer property: k smallest distinct values on any layout") {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    val gen = for {
+      vals <- Gen.listOfN(120, Gen.choose(0L, 60L)) // dense dups
+      k <- Gen.choose(2, 40)
+      parts <- Gen.choose(1, 9)
+    } yield (vals, k, parts)
+    check("kmv", Prop.forAll(gen) { case (vals, k, parts) =>
+      val got = spark.createDataset(vals).toDF("v").repartition(parts)
+        .agg(exprColumn(
+          graft.functions.KmvAgg(columnExpr(col("v")), k).toAggregateExpression())
+          .as("sk"))
+        .head().getSeq[Long](0)
+      got == vals.distinct.sorted.take(k)
+    })
   }
 }
