@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xmx is a cap, not a reservation: default to the measurement
+  // method's heap (BASELINE.md, 128 GiB box) so driver-run benches
+  // match the recorded numbers without needing the env var set
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "96g")}",
 )
