@@ -34,7 +34,6 @@ object PageRank {
     * endpoint present. */
   def weighted(edges: DataFrame, iters: Int = 10, damping: Int = 85): DataFrame = {
     require(iters >= 1 && damping >= 0 && damping <= 100)
-    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

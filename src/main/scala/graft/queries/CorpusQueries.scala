@@ -737,9 +737,10 @@ object CorpusQueries {
     * IEEE-exact across engines (ln is libm-dependent); the per-doc sum
     * folds in position order via `aggregate(array_sort(...))`, mirrored
     * by the oracle's `list_reduce(list_sort(...))`. Scale shape: the
-    * corpus stream joins two COUNT TABLES that are O(V)/O(V²) — tiny,
-    * auto-broadcast — and the only per-doc state is the doc's own
-    * bigram list. */
+    * count tables are bounded by DISTINCT OBSERVED unigrams/bigrams —
+    * tiny here (V=31, auto-broadcast), wordcount-shaped shuffle joins
+    * at web vocabulary sizes (the planner falls back by size stats);
+    * the only per-doc state is the doc's own bigram list. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     val base = spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
