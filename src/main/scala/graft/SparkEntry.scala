@@ -122,6 +122,7 @@ object SparkEntry {
     "q97_incremental_rollup"  -> (CorpusQueries.incrementalRollup(_, _)),
     "q98_distribution_drift"  -> (CorpusQueries.distributionDrift(_, _)),
     "q99_skew_report"         -> (CorpusQueries.skewReport(_, _)),
+    "q100_nfc_dedup"          -> (CorpusQueries.nfcDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -149,4 +149,18 @@ object TextFunctions {
     import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
     exprColumn(Md5Hash56(columnExpr(c)))
   }
+
+  /** Unicode NFC canonicalization (run BEFORE content-hash dedup — see
+    * [[NfcNormalize]]); oracle twin: DuckDB `nfc_normalize`. */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    exprColumn(NfcNormalize(columnExpr(c)))
+  }
+
+  /** Deflate compression ratio — the Gopher-family repetition/noise
+    * signal ([[CompressionRatio]]); engine-internal, spec-gated. */
+  def compressionRatio(c: Column): Column = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    exprColumn(CompressionRatio(columnExpr(c)))
+  }
 }

@@ -983,6 +983,22 @@ object CorpusOracles {
           SELECT t, ca, cb, chi2_term, chi2_total
           FROM p CROSS JOIN s ORDER BY t""",
 
+    // X83: NFC collapses composed/decomposed spellings — 2 raw
+    // fingerprints, 1 normalized, per doc; nfc_normalize is the
+    // Unicode-standard twin of java.text.Normalizer
+    "q100_nfc_dedup" ->
+      """WITH v AS (SELECT doc_id,
+                      unnest([text || ' caf' || chr(233),
+                              text || ' cafe' || chr(769)]) AS raw
+                    FROM documents),
+         f AS (SELECT doc_id, md5(raw) AS raw_fp,
+                 md5(nfc_normalize(raw)) AS norm_fp FROM v)
+         SELECT doc_id,
+                CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_fps,
+                CAST(count(DISTINCT norm_fp) AS BIGINT) AS n_norm_fps,
+                min(norm_fp) AS norm_fp
+         FROM f GROUP BY 1 ORDER BY 1""",
+
     // X82: per-key probe-side counts, top-10 heavy keys, max/mean skew
     "q99_skew_report" ->
       """WITH cnt AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),

@@ -1154,6 +1154,33 @@ object CorpusQueries {
       .orderBy("t")
   }
 
+  /** Unicode NFC canonicalization before dedup (X83): every document is
+    * expanded into two spelling variants of the same canonical text —
+    * one with a COMPOSED `é` suffix, one DECOMPOSED (`e` + U+0301) —
+    * whose raw fingerprints differ but whose NFC fingerprints collapse;
+    * the per-doc distinct-fingerprint counts (2 raw vs 1 normalized)
+    * are the gate. NFC is a Unicode-standard algorithm, so
+    * `java.text.Normalizer` and DuckDB's `nfc_normalize` produce
+    * identical bytes — the whole operator hash-matches. Pure map
+    * (codegen'd expression) + one per-doc agg. */
+  def nfcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val composed = " caf\u00e9"    // e-acute as ONE code point
+    val decomposed = " cafe\u0301" // e + combining acute accent
+    val variants = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(array(
+          concat(col("text"), lit(composed)),
+          concat(col("text"), lit(decomposed)))).as("raw"))
+    variants
+      .select(col("doc_id"), md5(col("raw")).as("raw_fp"),
+        md5(TextFunctions.nfcNormalize(col("raw"))).as("norm_fp"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("raw_fp")).as("n_raw_fps"),
+        count_distinct(col("norm_fp")).as("n_norm_fps"),
+        min("norm_fp").as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Join-skew diagnostics (X82): the pre-flight report that decides
     * between a plain, broadcast, or salted join — per-key counts of the
     * probe side, the max/mean skew factor, and the top-10 heaviest keys

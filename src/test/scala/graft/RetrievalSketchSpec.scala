@@ -156,6 +156,37 @@ class RetrievalSketchSpec extends AnyFunSuite {
       .orderBy("doc_id")
   }
 
+  test("NFC normalize: composed == normalized(decomposed); already-NFC is identity") {
+    import spark.implicits._
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val rows = Seq(decomposed, composed, "plain ascii", "")
+      .toDF("s")
+      .select(col("s"), TextFunctions.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows(decomposed) == composed) // decomposed -> composed
+    assert(rows(composed) == composed)   // identity on NFC input
+    assert(rows("plain ascii") == "plain ascii")
+    assert(rows("") == "")
+  }
+
+  test("compression ratio: repetitive text compresses below noise, ratio sane") {
+    import spark.implicits._
+    val rep = "spark " * 200
+    val noisy = (1 to 120).map(i => s"${i * 2654435761L}").mkString(" ")
+    val out = Seq(("rep", rep), ("noise", noisy))
+      .toDF("k", "s")
+      .select(col("k"), TextFunctions.compressionRatio(col("s")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("rep") < 0.1, s"repetitive ratio ${out("rep")} not small")
+    assert(out("noise") > out("rep") * 3, s"noise ${out("noise")} vs rep ${out("rep")}")
+    assert(out.values.forall(r => r > 0.0 && r < 1.5))
+    // deterministic across evaluations
+    val again = Seq(("rep", rep)).toDF("k", "s")
+      .select(TextFunctions.compressionRatio(col("s"))).head().getDouble(0)
+    assert(again == out("rep"))
+  }
+
   test("bigram LM on the corpus: all docs scored, mean_p in (0, 1)") {
     val out = CorpusQueries.bigramLm(spark, sf).collect()
     val nDocs = Tables.load(spark, sf, "documents")
