@@ -123,6 +123,7 @@ object SparkEntry {
     "q98_distribution_drift"  -> (CorpusQueries.distributionDrift(_, _)),
     "q99_skew_report"         -> (CorpusQueries.skewReport(_, _)),
     "q100_nfc_dedup"          -> (CorpusQueries.nfcDedup(_, _)),
+    "q101_pq_ann"             -> (CorpusQueries.pqAnn(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -999,6 +999,37 @@ object CorpusOracles {
                 min(norm_fp) AS norm_fp
          FROM f GROUP BY 1 ORDER BY 1""",
 
+    // X85: the full quantized-retrieval evaluation replayed — quantize,
+    // dequantize, fold-ordered cosine, both rankings, agreement join
+    "q101_pq_ann" ->
+      s"""WITH cells AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+                         FROM embeddings, range(1, 65) t(i)),
+          stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM cells GROUP BY 1),
+          dqv AS (SELECT vec_id, dim,
+                    (CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT)::DOUBLE
+                       + 127.0) / 254.0 * (mx - mn) + mn AS dq
+                  FROM cells JOIN stats USING (dim)),
+          vecs AS (SELECT vec_id, list(dq ORDER BY dim) AS v FROM dqv GROUP BY 1),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+          c AS (SELECT vec_id, v FROM vecs WHERE vec_id >= 10),
+          s AS (SELECT query_id, vec_id, ${cosine("qv", "v")} AS sim FROM c, q),
+          r AS (SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk FROM s),
+          fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 10),
+          fc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+          fs AS (SELECT query_id, vec_id, ${cosine("qv", "embedding")} AS sim
+                 FROM fc, fq),
+          fr AS (SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rnk FROM fs)
+          SELECT r.query_id, CAST(r.rnk AS BIGINT) AS rnk, r.vec_id,
+                 r.sim AS sim_q8, r.vec_id = fr.vec_id AS same_as_float
+          FROM r JOIN fr ON r.query_id = fr.query_id AND r.rnk = fr.rnk
+          WHERE r.rnk <= 5
+          ORDER BY r.query_id, rnk""",
+
     // X82: per-key probe-side counts, top-10 heavy keys, max/mean skew
     "q99_skew_report" ->
       """WITH cnt AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),

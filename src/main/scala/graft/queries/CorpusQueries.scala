@@ -1181,6 +1181,46 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Quantized retrieval end-to-end (X85): brute-force cosine top-5
+    * over the int8-DEQUANTIZED vectors (X75's arithmetic), with a
+    * per-rank agreement column against the float ranking — proving the
+    * 4×-smaller index is load-bearing, not write-only. Every step
+    * (quantize, dequantize, fold-ordered cosine, both rankings, the
+    * agreement join) is deterministic, so the WHOLE evaluation
+    * hash-matches the oracle — unlike IVF/LSH (q35/q49) where only the
+    * recall verdict is gateable. Scale shape: the dequantized corpus is
+    * rebuilt by one (vec, dim)-keyed agg; ranking reuses the X34-
+    * rewritten brute-force path. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(Tables.load(spark, dir, "embeddings"))
+    val cells = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val stats = cells.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    val q = round((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(254.0)
+      - lit(127.0)).cast("long")
+    val dq = (q.cast("double") + lit(127.0)) / lit(254.0) *
+      (col("mx") - col("mn")) + col("mn")
+    val dqVecs = cells.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"), dq.as("dq"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, dq))), s -> s.dq)")
+        .as("embedding"))
+    val q8 = AnnSearch.bruteForceTopK(
+      dqVecs.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+      dqVecs.where(col("vec_id") >= 10), k = 5)
+    val ef = Tables.load(spark, dir, "embeddings")
+    val fl = AnnSearch.bruteForceTopK(
+      ef.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+      ef.filter(col("vec_id") >= 10).select("vec_id", "embedding"), k = 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("float_vec_id"))
+    q8.join(fl, Seq("query_id", "rnk"))
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("sim").as("sim_q8"),
+        (col("vec_id") === col("float_vec_id")).as("same_as_float"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Join-skew diagnostics (X82): the pre-flight report that decides
     * between a plain, broadcast, or salted join — per-key counts of the
     * probe side, the max/mean skew factor, and the top-10 heaviest keys

@@ -187,6 +187,16 @@ class RetrievalSketchSpec extends AnyFunSuite {
     assert(again == out("rep"))
   }
 
+  test("quantized retrieval agrees with float ranking on the large majority") {
+    val out = CorpusQueries.pqAnn(spark, sf).collect()
+    assert(out.length == 50)
+    val agree = out.count(_.getBoolean(4))
+    assert(agree >= 40, s"int8 ranking agrees on only $agree/50 ranks")
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L), s"query $qid ranks")
+    }
+  }
+
   test("bigram LM on the corpus: all docs scored, mean_p in (0, 1)") {
     val out = CorpusQueries.bigramLm(spark, sf).collect()
     val nDocs = Tables.load(spark, sf, "documents")
