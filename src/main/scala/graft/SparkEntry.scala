@@ -124,6 +124,7 @@ object SparkEntry {
     "q99_skew_report"         -> (CorpusQueries.skewReport(_, _)),
     "q100_nfc_dedup"          -> (CorpusQueries.nfcDedup(_, _)),
     "q101_pq_ann"             -> (CorpusQueries.pqAnn(_, _)),
+    "q102_span_excise"        -> (CorpusQueries.spanExcise(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -82,6 +82,80 @@ object ChunkDedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Duplicate-SPAN excision — the sliding-window counterpart of
+    * `dedupChunks`. Chunk dedup removes whole fixed-grid chunks; a
+    * duplicated passage that straddles a chunk boundary survives it. Here
+    * every `win`-token window at `stride`-token steps is fingerprinted,
+    * a window whose fingerprint occurs at least `minCount` times
+    * corpus-wide is flagged, and each document's flagged windows are
+    * merged into maximal spans whose token positions are excised — the
+    * standard exact-substring dedup treatment for training corpora
+    * (fixed-length window fingerprints stand in for the suffix-array
+    * match step, which has no bounded-memory distributed form).
+    *
+    * Plan shape: window construction is expression work (one explode of
+    * (start, fp) pairs — the window TEXT never leaves the map stage, only
+    * its md5); the duplicate set is one hash agg on fp; flagging joins on
+    * the fp key the agg just partitioned by; per-doc flagged starts
+    * aggregate to a sorted array (bounded by doc length); the single join
+    * that touches document text again is on the doc key, and the excision
+    * itself is a pure `filter` HOF over the token array. At 100 TB every
+    * shuffle carries fingerprints or start offsets except the final
+    * doc-keyed join, which carries the corpus once — the same envelope as
+    * any rewrite-the-text dedup pass.
+    *
+    * Only FULL windows are flaggable (a short document tail would match
+    * other tails trivially); documents shorter than `win` pass through
+    * unchanged. Output per input document: original token count, flagged
+    * window count, merged span count, tokens removed, and the md5 of the
+    * cleaned (space-rejoined) text. */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+      win: Int, stride: Int, minCount: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(win > 0 && stride > 0, s"win=$win stride=$stride must be positive")
+    require(minCount >= 2, s"minCount=$minCount must be >= 2")
+
+    val base = df.select(col(idCol).cast("long").as("id"),
+      split(col(textCol), " ").as("w"))
+
+    val wins = base
+      .where(size(col("w")) >= win)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $win, $stride),
+              s -> struct(CAST(s AS BIGINT) AS start,
+                          md5(array_join(slice(w, s + 1, $win), ' ')) AS fp))"""))
+        .as("c"))
+      .select(col("id"), col("c.start").as("start"), col("c.fp").as("fp"))
+
+    val dup = wins.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount).select("fp")
+    val flagged = wins.join(dup, "fp").select("id", "start")
+
+    // merged-span count: starts are ascending per doc, so a new span opens
+    // exactly when this window starts past the previous window's end
+    val byDoc = Window.partitionBy("id").orderBy("start")
+    val perDoc = flagged
+      .withColumn("ni", when(
+        col("start") > coalesce(lag(col("start"), 1).over(byDoc) + lit(win.toLong),
+          lit(-1L)), lit(1L)).otherwise(lit(0L)))
+      .groupBy("id").agg(
+        sort_array(collect_list(col("start"))).as("starts"),
+        count(lit(1)).as("n_flagged"),
+        sum("ni").as("n_spans"))
+
+    base.join(perDoc, Seq("id"), "left")
+      .withColumn("starts_c",
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("cw",
+        expr(s"filter(w, (t, i) -> NOT exists(starts_c, s -> i >= s AND i < s + $win))"))
+      .select(col("id").as(idCol),
+        size(col("w")).cast("long").as("n_tok"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (size(col("w")) - size(col("cw"))).cast("long").as("n_removed"),
+        md5(array_join(col("cw"), " ")).as("clean_fp"))
+  }
+
   /** `ceil(n_tokens / size)` fixed-size chunks of the token stream as a
     * pure expression — fuses into the scan stage, no explode needed to
     * build the chunks themselves. `floor` over the double quotient is

@@ -1030,6 +1030,35 @@ object CorpusOracles {
           WHERE r.rnk <= 5
           ORDER BY r.query_id, rnk""",
 
+    // X86: duplicate-span excision — window fingerprints, corpus-wide
+    // duplicate flagging, merged-span islands, positional token excision
+    "q102_span_excise" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wn AS (SELECT doc_id, unnest(range(0, len(w) - 20 + 1, 10)) AS s, w
+                FROM b WHERE len(w) >= 20),
+         f AS (SELECT doc_id, s,
+                 md5(array_to_string(w[s + 1 : s + 20], ' ')) AS fp FROM wn),
+         dup AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+         fl AS (SELECT doc_id, s FROM f JOIN dup USING (fp)),
+         il AS (SELECT doc_id, s,
+                  CASE WHEN s > coalesce(lag(s) OVER (PARTITION BY doc_id
+                                                      ORDER BY s) + 20, -1)
+                       THEN 1 ELSE 0 END AS ni
+                FROM fl),
+         ag AS (SELECT doc_id, list_sort(list(s)) AS starts,
+                  count(*) AS nf, sum(ni) AS ns FROM il GROUP BY 1),
+         fin AS (SELECT b.doc_id, len(b.w)::BIGINT AS n_tok,
+                   coalesce(nf, 0)::BIGINT AS n_flagged_windows,
+                   coalesce(ns, 0)::BIGINT AS n_spans,
+                   list_filter(b.w, (t, i) ->
+                     len(list_filter(coalesce(starts, CAST([] AS BIGINT[])),
+                         s -> i - 1 >= s AND i - 1 < s + 20)) = 0) AS cw
+                 FROM b LEFT JOIN ag USING (doc_id))
+         SELECT doc_id, n_tok, n_flagged_windows, n_spans,
+                (n_tok - len(cw))::BIGINT AS n_removed,
+                md5(coalesce(array_to_string(cw, ' '), '')) AS clean_fp
+         FROM fin ORDER BY doc_id""",
+
     // X82: per-key probe-side counts, top-10 heavy keys, max/mean skew
     "q99_skew_report" ->
       """WITH cnt AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),

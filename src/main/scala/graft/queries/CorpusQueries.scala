@@ -1221,6 +1221,20 @@ object CorpusQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Duplicate-span excision (X86): sliding-window fingerprints flag
+    * passages repeated `minCount`+ times corpus-wide, overlapping flagged
+    * windows merge into maximal spans, and the spans' token positions are
+    * excised from the document — exact-substring dedup at the span grain
+    * (vs X48's fixed-grid whole-chunk removal, which a straddling
+    * duplicate survives). See `ChunkDedup.exciseDupSpans` for the plan
+    * shape; the whole evaluation, including the cleaned-text md5, is
+    * deterministic and oracle-replayed. */
+  def spanExcise(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+    ChunkDedup.exciseDupSpans(d, "doc_id", "text", win = 20, stride = 10, minCount = 2)
+      .orderBy("doc_id")
+  }
+
   /** Join-skew diagnostics (X82): the pre-flight report that decides
     * between a plain, broadcast, or salted join — per-key counts of the
     * probe side, the max/mean skew factor, and the top-10 heaviest keys

@@ -441,4 +441,48 @@ class PipelineExtSpec extends AnyFunSuite {
       .digest("fresh content".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out.head.getAs[String]("fingerprint") === md)
   }
+
+  // ---------- duplicate-span excision (X86) ----------
+
+  private def md5hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def spanFixture = Seq(
+    (0L, "a b c d e"),            // shares "a b" with the others
+    (1L, "x y a b z"),            // same passage mid-document
+    (2L, "a b q q q a b"),        // touching windows merge into ONE span
+    (3L, "a b m1 m2 m3 m4 a b"),  // two SEPARATED dup spans, middle survives
+    (4L, "short")                 // shorter than win -> untouched
+  ).toDF("doc_id", "text")
+
+  test("span excision: cross-doc flags, island merge, separated spans, short docs") {
+    val out = ChunkDedup.exciseDupSpans(spanFixture, "doc_id", "text",
+        win = 2, stride = 1, minCount = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.toSeq === Seq(
+      (0L, 5L, 1L, 1L, 2L, md5hex("c d e")),
+      (1L, 5L, 1L, 1L, 2L, md5hex("x y z")),
+      (2L, 7L, 4L, 1L, 7L, md5hex("")),          // fully excised
+      (3L, 8L, 2L, 2L, 4L, md5hex("m1 m2 m3 m4")),
+      (4L, 1L, 0L, 0L, 0L, md5hex("short"))))
+  }
+
+  test("span excision: layout-independent (result survives repartitioning)") {
+    val a = ChunkDedup.exciseDupSpans(spanFixture, "doc_id", "text", 2, 1, 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = ChunkDedup.exciseDupSpans(spanFixture.repartition(7), "doc_id", "text", 2, 1, 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("span excision: stride wider than 1 leaves unflagged grid positions alone") {
+    // win=2 stride=2: only even starts fingerprint; "b c" never becomes a
+    // window, so the shared bigram at an odd offset is NOT excised
+    val df = Seq((0L, "a b c d"), (1L, "z b c w")).toDF("doc_id", "text")
+    val out = ChunkDedup.exciseDupSpans(df, "doc_id", "text", 2, 2, 2)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(4) == 0L)) // nothing removed
+  }
 }
