@@ -125,6 +125,8 @@ object SparkEntry {
     "q100_nfc_dedup"          -> (CorpusQueries.nfcDedup(_, _)),
     "q101_pq_ann"             -> (CorpusQueries.pqAnn(_, _)),
     "q102_span_excise"        -> (CorpusQueries.spanExcise(_, _)),
+    "q103_bpe_train"          -> (CorpusQueries.bpeTrain(_, _)),
+    "q104_bpe_tokenize"       -> (CorpusQueries.bpeTokenize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

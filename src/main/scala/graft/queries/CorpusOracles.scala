@@ -106,6 +106,33 @@ object CorpusOracles {
               h % 640 + 64 AS width, h % 480 + 64 AS height, h % 30 + 1 AS n_frames
        FROM h ORDER BY doc_id"""
 
+  /** Shared by q103/q104: wordcount + 5 unrolled BPE merge rounds. Each
+    * round counts adjacent symbol pairs, picks the deterministic argmax,
+    * and applies the merge as a chr(31)-delimited string fold — greedy
+    * left-to-right, non-overlapping (a freshly merged tail l||r can never
+    * equal l, so the fold cannot re-consume its own output). */
+  private def bpeTrainingCtes: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""pc$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(wc) AS n
+             FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i
+                   FROM w${i - 1}) GROUP BY 1, 2),
+         b$i AS (SELECT l, r, n FROM pc$i ORDER BY n DESC, l, r LIMIT 1),
+         w$i AS (SELECT list_filter(string_split(
+                   list_reduce(list_concat([''], syms), (acc, s) ->
+                     CASE WHEN (string_split(acc, chr(31)))[-1] = b$i.l
+                               AND s = b$i.r
+                          THEN left(acc, len(acc) - len(b$i.l)) || b$i.l || b$i.r
+                          ELSE acc || chr(31) || s END),
+                   chr(31)), x -> x <> '') AS syms, wc
+               FROM w${i - 1}, b$i)"""
+    }.mkString(",\n")
+    s"""toks AS (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+       w0 AS (SELECT string_split(word, '') AS syms, count(*) AS wc
+              FROM toks WHERE word <> '' GROUP BY word),
+       $rounds"""
+  }
+
   val sql: Map[String, String] = Map(
     "q24_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
@@ -1058,6 +1085,36 @@ object CorpusOracles {
                 (n_tok - len(cw))::BIGINT AS n_removed,
                 md5(coalesce(array_to_string(cw, ' '), '')) AS clean_fp
          FROM fin ORDER BY doc_id""",
+
+    // X87: BPE training — the 5 learned merges + the resulting top-20
+    // subword vocabulary (see bpeTrainingCtes)
+    "q103_bpe_train" -> {
+      val mergeUnion = (1 to 5).map { i =>
+        s"""SELECT 'merge' AS kind, CAST($i AS BIGINT) AS rnk, l AS left_sym,
+                   r AS right_sym, CAST(n AS BIGINT) AS weight FROM b$i"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $bpeTrainingCtes,
+         vs AS (SELECT unnest(syms) AS sym, wc FROM w5),
+         vocab AS (SELECT sym, sum(wc) AS f FROM vs GROUP BY 1),
+         topv AS (SELECT 'symbol' AS kind,
+                    CAST(row_number() OVER (ORDER BY f DESC, sym) AS BIGINT) AS rnk,
+                    sym AS left_sym, '' AS right_sym, CAST(f AS BIGINT) AS weight
+                  FROM vocab ORDER BY f DESC, sym LIMIT 20)
+         SELECT * FROM ($mergeUnion UNION ALL SELECT * FROM topv)
+         ORDER BY kind, rnk"""
+    },
+
+    // X88: the learned merges applied corpus-wide — word-type lookup
+    // join, per-doc word/subword counts
+    "q104_bpe_tokenize" ->
+      s"""WITH $bpeTrainingCtes,
+         lut AS (SELECT array_to_string(syms, '') AS word,
+                   len(syms)::BIGINT AS n_sub FROM w5),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+         SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords
+         FROM dw JOIN lut USING (word)
+         WHERE word <> '' GROUP BY 1 ORDER BY 1""",
 
     // X82: per-key probe-side counts, top-10 heavy keys, max/mean skew
     "q99_skew_report" ->

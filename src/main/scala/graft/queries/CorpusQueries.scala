@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, Percentiles, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, Percentiles, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -1232,6 +1232,51 @@ object CorpusQueries {
   def spanExcise(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(Tables.load(spark, dir, "documents"))
     ChunkDedup.exciseDupSpans(d, "doc_id", "text", win = 20, stride = 10, minCount = 2)
+      .orderBy("doc_id")
+  }
+
+  /** BPE tokenizer training (X87): 5 merge rounds learned from the
+    * corpus plus the resulting top-20 subword vocabulary — the corpus is
+    * scanned once (wordcount), every round runs on the word-type table,
+    * and the per-round driver sync is one scalar triple. The merge pick
+    * is deterministic (count desc, pair asc), so the oracle replays all
+    * 5 rounds as unrolled CTEs bit-for-bit. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = spread(Tables.load(spark, dir, "documents"))
+    val (merges, words) = BpeTrain.train(d, "text", rounds = 5)
+    val mdf = spark.createDataFrame(
+        merges.map(m => ("merge", m.round.toLong, m.left, m.right, m.weight)))
+      .toDF("kind", "rnk", "left_sym", "right_sym", "weight")
+    val byFreq = Window.orderBy(desc("f"), asc("sym"))
+    val vocab = words
+      .select(explode(col("syms")).as("sym"), col("wc"))
+      .groupBy("sym").agg(sum("wc").as("f"))
+      .orderBy(desc("f"), asc("sym")).limit(20)
+      .select(lit("symbol").as("kind"),
+        row_number().over(byFreq).cast("long").as("rnk"),
+        col("sym").as("left_sym"), lit("").as("right_sym"),
+        col("f").as("weight"))
+    mdf.union(vocab).orderBy("kind", "rnk")
+  }
+
+  /** BPE corpus tokenization (X88): apply the 5 learned merges (X87) to
+    * every document via a word → subword-count lookup join — the
+    * train-then-tokenize round trip a pipeline runs at 100 TB. The
+    * lookup table is the word-TYPE table (Heaps'-law sublinear), so the
+    * planner broadcasts it while it fits and falls back to a word-keyed
+    * shuffle join beyond that; either way the corpus is scanned once and
+    * nothing but (word, count) pairs move. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+    val (_, words) = BpeTrain.train(d, "text", rounds = 5)
+    val lut = words.select(array_join(col("syms"), "").as("word"),
+      size(col("syms")).cast("long").as("n_sub"))
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .join(lut, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
       .orderBy("doc_id")
   }
 

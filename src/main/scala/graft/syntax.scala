@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, Dedup, NearDup, PageRank, Percentiles, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Dedup, NearDup, PageRank, Percentiles, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -47,6 +47,18 @@ object syntax {
       * this or any pair source. */
     def dupGroupsFrom(pairs: DataFrame, maxIters: Int = 20): DataFrame =
       NearDup.dupGroups(pairs, maxIters)
+
+    def dedupChunks(idCol: String, textCol: String, size: Int): DataFrame =
+      ChunkDedup.dedupChunks(df, idCol, textCol, size)
+
+    /** Excise corpus-repeated spans (exact-substring dedup). */
+    def exciseDupSpans(idCol: String, textCol: String, win: Int = 20,
+        stride: Int = 10, minCount: Int = 2): DataFrame =
+      ChunkDedup.exciseDupSpans(df, idCol, textCol, win, stride, minCount)
+
+    /** Learn `rounds` BPE merges from this corpus's `textCol`. */
+    def bpeTrain(textCol: String, rounds: Int): (Seq[BpeTrain.Merge], DataFrame) =
+      BpeTrain.train(df, textCol, rounds)
 
     // ---- similarity search (this = corpus with vec_id/embedding) ----
     def cosineNearDupPairs(threshold: Double): DataFrame =

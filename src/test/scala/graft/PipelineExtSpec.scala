@@ -477,6 +477,63 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---------- BPE tokenizer training (X87) ----------
+
+  test("BPE training matches the hand-computed merge sequence") {
+    val docs = Seq("the cat sat on the mat", "the cats eat the fish",
+      "a cat and a mat", "fish eat the cat").toDF("text")
+    val (merges, words) = graft.operators.BpeTrain.train(docs, "text", rounds = 5)
+    assert(merges.map(m => (m.round, m.left, m.right, m.weight)) === Seq(
+      (1, "a", "t", 9L),   // a+t in cat/sat/mat/cats/eat, weighted by wordcount
+      (2, "h", "e", 5L),
+      (3, "t", "he", 5L),
+      (4, "c", "at", 4L),
+      (5, "e", "at", 2L)))
+    val vocab = words.select(explode(col("syms")).as("s"), col("wc"))
+      .groupBy("s").agg(sum("wc").as("f")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab("the") === 5L && vocab("cat") === 4L && vocab("eat") === 2L)
+  }
+
+  test("BPE training is layout-independent") {
+    val docs = Seq("aa ab aa ba", "ab aa bb aa").toDF("text")
+    val a = graft.operators.BpeTrain.train(docs, "text", 3)._1
+    val b = graft.operators.BpeTrain.train(docs.repartition(5), "text", 3)._1
+    assert(a === b)
+  }
+
+  test("BPE tokenize: subword counts shrink with merges, never below 1 per word") {
+    val docs = Seq((0L, "the cat sat"), (1L, "the the fish")).toDF("doc_id", "text")
+    val (_, words) = graft.operators.BpeTrain.train(docs, "text", 5)
+    val lut = words.select(array_join(col("syms"), "").as("word"),
+      org.apache.spark.sql.functions.size(col("syms")).cast("long").as("n_sub"))
+    val out = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(lut, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .orderBy("doc_id").collect()
+    val (w0, s0) = (out(0).getLong(1), out(0).getLong(2))
+    val (w1, s1) = (out(1).getLong(1), out(1).getLong(2))
+    assert(w0 === 3L && w1 === 3L)
+    // every word tokenizes to at least 1 and at most len(word) subwords
+    assert(s0 >= w0 && s0 <= "thecatsat".length)
+    assert(s1 >= w1 && s1 <= "thethefish".length)
+    // "the" occurs 3x corpus-wide so (t,h)/(h,e) merges fire: strictly
+    // fewer subwords than characters
+    assert(s1 < "thethefish".length)
+  }
+
+  test("BPE training stops early when every word is one symbol") {
+    val docs = Seq("ab ab cd").toDF("text")
+    // round 1 merges (a,b) or (c,d)... after at most 2 rounds nothing pairs
+    val (merges, words) = graft.operators.BpeTrain.train(docs, "text", 10)
+    assert(merges.size === 2)
+    assert(merges.map(m => (m.left, m.right)).toSet === Set("a" -> "b", "c" -> "d"))
+    val syms = words.select(col("syms")).collect().map(_.getSeq[String](0))
+    assert(syms.forall(_.size == 1))
+  }
+
   test("span excision: stride wider than 1 leaves unflagged grid positions alone") {
     // win=2 stride=2: only even starts fingerprint; "b c" never becomes a
     // window, so the shared bigram at an odd offset is NOT excised
