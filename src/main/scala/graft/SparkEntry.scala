@@ -127,6 +127,7 @@ object SparkEntry {
     "q102_span_excise"        -> (CorpusQueries.spanExcise(_, _)),
     "q103_bpe_train"          -> (CorpusQueries.bpeTrain(_, _)),
     "q104_bpe_tokenize"       -> (CorpusQueries.bpeTokenize(_, _)),
+    "q105_canonical_keeper"   -> (CorpusQueries.canonicalKeeper(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

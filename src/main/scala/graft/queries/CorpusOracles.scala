@@ -106,6 +106,30 @@ object CorpusOracles {
               h % 640 + 64 AS width, h % 480 + 64 AS height, h % 30 + 1 AS n_frames
        FROM h ORDER BY doc_id"""
 
+  /** Shared by q50/q105: min-reachable-label connected components over
+    * the 0.5-Jaccard pair graph, as a recursive reachability CTE (UNION
+    * dedup ⇒ guaranteed fixpoint; dup components are tiny so the reach
+    * set stays small). Use under `WITH RECURSIVE`; exposes `r` with
+    * (node, reach). */
+  private def dupGroupCtes: String =
+    s"""$shingleCte,
+       shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+             FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+       pr AS (SELECT doc_a, doc_b
+              FROM p JOIN sz sa ON doc_a = sa.doc_id
+                     JOIN sz sb ON doc_b = sb.doc_id
+              WHERE nc::DOUBLE/(sa.n + sb.n - nc) >= 0.5),
+       e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+             UNION ALL SELECT doc_b, doc_a FROM pr),
+       nodes AS (SELECT DISTINCT src AS node FROM e),
+       r AS (SELECT node, node AS reach FROM nodes
+             UNION
+             SELECT e.src AS node, r.reach
+             FROM e JOIN r ON r.node = e.dst)"""
+
   /** Shared by q103/q104: wordcount + 5 unrolled BPE merge rounds. Each
     * round counts adjacent symbol pairs, picks the deterministic argmax,
     * and applies the merge as a chr(31)-delimited string fold — greedy
@@ -267,31 +291,26 @@ object CorpusOracles {
                 array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppkeys
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
-    "q50_dup_groups" -> {
-      // min-reachable-label connected components over the 0.5-Jaccard
-      // pair graph, as a recursive reachability CTE (UNION dedup ⇒
-      // guaranteed fixpoint; dup components are tiny so the reach set
-      // stays small)
-      s"""WITH RECURSIVE $shingleCte,
-         shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
-         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
-               FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-         sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
-         pr AS (SELECT doc_a, doc_b
-                FROM p JOIN sz sa ON doc_a = sa.doc_id
-                       JOIN sz sb ON doc_b = sb.doc_id
-                WHERE nc::DOUBLE/(sa.n + sb.n - nc) >= 0.5),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-               UNION ALL SELECT doc_b, doc_a FROM pr),
-         nodes AS (SELECT DISTINCT src AS node FROM e),
-         r AS (SELECT node, node AS reach FROM nodes
-               UNION
-               SELECT e.src AS node, r.reach
-               FROM e JOIN r ON r.node = e.dst)
+    "q50_dup_groups" ->
+      s"""WITH RECURSIVE $dupGroupCtes
          SELECT node AS doc_id, min(reach) AS group_id
-         FROM r GROUP BY node ORDER BY doc_id"""
-    },
+         FROM r GROUP BY node ORDER BY doc_id""",
+
+    // X89: canonical keeper per near-dup cluster — keep the BEST doc
+    // (quality argmax, doc_id tiebreak), not the arbitrary first
+    "q105_canonical_keeper" ->
+      s"""WITH RECURSIVE $dupGroupCtes,
+         g AS (SELECT node AS doc_id, min(reach) AS group_id
+               FROM r GROUP BY node),
+         q AS (SELECT doc_id, $qualityExpr AS quality FROM documents),
+         j AS (SELECT g.group_id, g.doc_id, q.quality,
+                 row_number() OVER (PARTITION BY g.group_id
+                                    ORDER BY q.quality DESC, g.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY g.group_id) AS group_size
+               FROM g JOIN q USING (doc_id))
+         SELECT group_id, doc_id AS keeper_id, quality,
+                CAST(group_size AS BIGINT) AS group_size
+         FROM j WHERE rn = 1 ORDER BY group_id""",
 
     "q53_hash_split" ->
       s"""WITH b AS (SELECT lang,

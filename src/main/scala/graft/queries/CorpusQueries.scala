@@ -1280,6 +1280,30 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Canonical keeper per near-dup cluster (X89): dedup that keeps the
+    * BEST document — quality-score argmax per connected component,
+    * doc_id tiebreak — instead of the arbitrary first. Composes the
+    * already-gated pieces: X2 pair generation, X26 components, X9
+    * quality. The window runs on the dup-doc subset only (components
+    * table), never the full corpus. */
+  def canonicalKeeper(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val groups = NearDup.dupGroups(
+      NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+    val quality = spread(docs).select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val byGroup = Window.partitionBy("group_id")
+    groups.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(
+        byGroup.orderBy(desc("quality"), asc("doc_id"))))
+      .withColumn("group_size", count(lit(1)).over(byGroup))
+      .where(col("rn") === 1)
+      .select(col("group_id"), col("doc_id").as("keeper_id"), col("quality"),
+        col("group_size").cast("long").as("group_size"))
+      .orderBy("group_id")
+  }
+
   /** Join-skew diagnostics (X82): the pre-flight report that decides
     * between a plain, broadcast, or salted join — per-key counts of the
     * probe side, the max/mean skew factor, and the top-10 heaviest keys

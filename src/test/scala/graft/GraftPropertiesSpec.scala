@@ -197,4 +197,51 @@ class GraftPropertiesSpec extends AnyFunSuite {
       got == vals.distinct.sorted.take(k)
     })
   }
+
+  test("BPE training == imperative reference on random corpora") {
+    // Reference implementation: per-position pair counts weighted by
+    // wordcount, argmax (count desc, pair asc), greedy left-to-right
+    // non-overlapping merge application — the textbook algorithm.
+    def refBpe(texts: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+      val wc = scala.collection.mutable.Map.empty[String, Long]
+      texts.flatMap(_.split(' ')).filter(_.nonEmpty)
+        .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1)
+      var words: Map[String, (List[String], Long)] =
+        wc.toMap.map { case (w, c) => w -> (w.toList.map(_.toString), c) }
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+      var r = 1
+      var stop = false
+      while (r <= rounds && !stop) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.values.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+        }
+        if (pc.isEmpty) stop = true
+        else {
+          val ((l, rt), n) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((r, l, rt, n))
+          words = words.map { case (w, (syms, c)) =>
+            val merged = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+                merged += (l + rt); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            w -> (merged.toList, c)
+          }
+          r += 1
+        }
+      }
+      out.toList
+    }
+    val genWord = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genCorpus = Gen.listOfN(8, Gen.listOfN(4, genWord).map(_.mkString(" ")))
+    check("bpe", Prop.forAll(genCorpus) { texts =>
+      val got = graft.operators.BpeTrain.train(texts.toDF("text"), "text", 3)
+        ._1.map(m => (m.round, m.left, m.right, m.weight))
+      got == refBpe(texts, 3)
+    }, cases = 8)
+  }
 }
