@@ -128,6 +128,7 @@ object SparkEntry {
     "q103_bpe_train"          -> (CorpusQueries.bpeTrain(_, _)),
     "q104_bpe_tokenize"       -> (CorpusQueries.bpeTokenize(_, _)),
     "q105_canonical_keeper"   -> (CorpusQueries.canonicalKeeper(_, _)),
+    "q106_semdedup"           -> (CorpusQueries.semDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

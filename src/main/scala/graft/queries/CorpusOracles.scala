@@ -312,6 +312,35 @@ object CorpusOracles {
                 CAST(group_size AS BIGINT) AS group_size
          FROM j WHERE rn = 1 ORDER BY group_id""",
 
+    // X90: SemDeDup — deterministic seed centroids (8 lowest vec_ids),
+    // nearest-centroid assignment (csim desc, centroid_id tiebreak),
+    // within-cluster pairs at cosine >= 0.4, verdict per vector
+    "q106_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+         sc AS (SELECT e.vec_id, c.centroid_id,
+                  ${cosine("c.cvec", "e.embedding")} AS csim
+                FROM embeddings e CROSS JOIN cents c),
+         asg AS (SELECT vec_id, centroid_id FROM (
+                   SELECT vec_id, centroid_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, centroid_id) AS rn
+                   FROM sc) WHERE rn = 1),
+         pe AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  ${cosine("ea.embedding", "eb.embedding")} AS cos_sim
+                FROM asg a JOIN asg b
+                  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         doms AS (SELECT vec_b AS vec_id, min(vec_a) AS dup_of,
+                    count(*) AS n_dominators
+                  FROM pe WHERE cos_sim >= 0.4 GROUP BY 1)
+         SELECT asg.vec_id, asg.centroid_id,
+                doms.dup_of IS NOT NULL AS is_dup, doms.dup_of,
+                coalesce(doms.n_dominators, 0)::BIGINT AS n_dominators
+         FROM asg LEFT JOIN doms ON asg.vec_id = doms.vec_id
+         ORDER BY asg.vec_id""",
+
     "q53_hash_split" ->
       s"""WITH b AS (SELECT lang,
             (${md5h56("doc_id::VARCHAR")}) % 100 AS bucket FROM documents)

@@ -1304,6 +1304,15 @@ object CorpusQueries {
       .orderBy("group_id")
   }
 
+  /** SemDeDup verdicts (X90): semantic dedup by cluster-then-compare —
+    * deterministic seed centroids, within-cluster cosine pairs at the
+    * q33 threshold (0.4 on these near-orthogonal synthetic embeddings;
+    * production ~0.9), one keeper verdict per corpus vector. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    AnnSearch.semDedupVerdicts(Tables.load(spark, dir, "embeddings"),
+      numClusters = 8, threshold = 0.4)
+      .orderBy("vec_id")
+
   /** Join-skew diagnostics (X82): the pre-flight report that decides
     * between a plain, broadcast, or salted join — per-key counts of the
     * probe side, the max/mean skew factor, and the top-10 heaviest keys

@@ -338,4 +338,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH near-dup recall collapsed: $recall")
     assertNoNestedLoop(AnnSearch.cosineNearDupPairsLsh(corpus, 0.9))
   }
+
+  test("SemDeDup verdicts: known clusters, lowest-id keepers, equi-join pair-gen") {
+    // three well-separated clusters whose lowest ids (0,1,2) are one per
+    // cluster, so the deterministic seed centroids land one in each:
+    // A = {0, 10, 11} near e1, B = {1, 20, 21} near e2, C = {2} near e3
+    def axis(i: Int, eps: Float, at: Int*): Array[Float] = {
+      val v = Array.fill(8)(eps)
+      at.foreach(j => v(j) = 1f)
+      v
+    }
+    val corpus = Seq(
+      (0L, axis(0, 0.00f, 0)), (10L, axis(0, 0.01f, 0)), (11L, axis(0, 0.02f, 0)),
+      (1L, axis(1, 0.00f, 1)), (20L, axis(1, 0.01f, 1)), (21L, axis(1, 0.02f, 1)),
+      (2L, axis(2, 0.00f, 2))
+    ).toDF("vec_id", "embedding")
+    val out = AnnSearch.semDedupVerdicts(corpus, numClusters = 3, threshold = 0.9)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.size == 7)
+    // keepers: the lowest id of each cluster, zero dominators
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(rows(id)._2 == false && rows(id)._4 == 0L, s"keeper $id: ${rows(id)}")
+    }
+    // dups: dominated by the cluster's lowest id; the second copy is
+    // also dominated by the first copy (two dominators)
+    assert(rows(10L) == ((0L, true, 0L, 1L)))
+    assert(rows(11L) == ((0L, true, 0L, 2L)))
+    assert(rows(20L) == ((1L, true, 1L, 1L)))
+    assert(rows(21L) == ((1L, true, 1L, 2L)))
+    // the cluster-bounded pair-gen must stay an equi-join: no cartesian
+    // (the one BroadcastNestedLoopJoin is the k-row centroid assignment)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    out.sparkSession.sharedState.cacheManager.clearCache()
+  }
 }
