@@ -129,6 +129,7 @@ object SparkEntry {
     "q104_bpe_tokenize"       -> (CorpusQueries.bpeTokenize(_, _)),
     "q105_canonical_keeper"   -> (CorpusQueries.canonicalKeeper(_, _)),
     "q106_semdedup"           -> (CorpusQueries.semDedup(_, _)),
+    "q107_incremental_neardup" -> (CorpusQueries.incrementalNearDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -140,6 +140,42 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental (cross-snapshot) near-dup verdicts: each NEW-batch doc
+    * probed against an already-INDEXED corpus by hashed n-gram shingles —
+    * the ingest-time dedup a growing 100 TB corpus runs on every
+    * snapshot, where re-running the full self-join would rescan history.
+    *
+    * Shape: a two-sided equi-join on the 55-bit shingle hash (batch
+    * stream ⋈ index stream), so the work is |batch shingles| +
+    * |matching index shingles| — never index², never a self-join. In
+    * production the index side is written bucketed by `h`, making this a
+    * shuffle-free colocated join; the batch side is the small new
+    * snapshot. Output is one verdict per batch doc: is_dup at `threshold`
+    * Jaccard, the lowest matching index doc, the match count, and the
+    * best (max) Jaccard among matches (null for clean docs). */
+  def incrementalDedupVerdicts(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
+    val bs = hashedShingles(batch, idCol, textCol, n)
+      .select(col("doc_id").as("batch_id"), col("n_sh").as("nb"), col("h"))
+    val is = hashedShingles(index, idCol, textCol, n)
+      .select(col("doc_id").as("index_id"), col("n_sh").as("ni"), col("h"))
+    val verdicts = bs.join(is, Seq("h"))
+      .groupBy("batch_id", "index_id", "nb", "ni")
+      .agg(count(lit(1)).as("nc"))
+      .withColumn("jaccard",
+        col("nc").cast("double") / (col("nb") + col("ni") - col("nc")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(min(col("index_id")).as("dup_of"),
+        count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_jaccard"))
+  }
+
   /** (doc_id, sig: array<long>) MinHash signatures from word n-gram
     * shingles. One explode + one groupBy: the agg is numHashes parallel
     * min()s, all partial-aggregatable.

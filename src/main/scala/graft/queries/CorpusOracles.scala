@@ -341,6 +341,30 @@ object CorpusOracles {
          FROM asg LEFT JOIN doms ON asg.vec_id = doms.vec_id
          ORDER BY asg.vec_id""",
 
+    // X91: incremental cross-snapshot dedup — new snapshot (src10+)
+    // probed against the indexed corpus (src0–src9) on hashed shingles
+    "q107_incremental_neardup" ->
+      s"""WITH $shingleCte,
+         shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         srcn AS (SELECT doc_id, replace(source, 'src', '')::INT AS sn FROM documents),
+         bsh AS (SELECT shh.doc_id, h FROM shh JOIN srcn USING (doc_id) WHERE sn >= 10),
+         ish AS (SELECT shh.doc_id, h FROM shh JOIN srcn USING (doc_id) WHERE sn < 10),
+         m AS (SELECT b.doc_id AS batch_id, i.doc_id AS index_id, count(*) AS nc
+               FROM bsh b JOIN ish i ON b.h = i.h GROUP BY 1, 2),
+         mj AS (SELECT batch_id, index_id,
+                  nc::DOUBLE/(sb.n + si.n - nc) AS jaccard
+                FROM m JOIN sz sb ON batch_id = sb.doc_id
+                       JOIN sz si ON index_id = si.doc_id
+                WHERE nc::DOUBLE/(sb.n + si.n - nc) >= 0.5),
+         v AS (SELECT batch_id AS doc_id, min(index_id) AS dup_of,
+                 count(*) AS n_matches, max(jaccard) AS best_jaccard
+               FROM mj GROUP BY 1)
+         SELECT d.doc_id, v.dup_of IS NOT NULL AS is_dup, v.dup_of,
+                coalesce(v.n_matches, 0)::BIGINT AS n_matches, v.best_jaccard
+         FROM (SELECT doc_id FROM srcn WHERE sn >= 10) d
+         LEFT JOIN v USING (doc_id) ORDER BY d.doc_id""",
+
     "q53_hash_split" ->
       s"""WITH b AS (SELECT lang,
             (${md5h56("doc_id::VARCHAR")}) % 100 AS bucket FROM documents)

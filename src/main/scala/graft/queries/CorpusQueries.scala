@@ -1313,6 +1313,20 @@ object CorpusQueries {
       numClusters = 8, threshold = 0.4)
       .orderBy("vec_id")
 
+  /** Incremental cross-snapshot NEAR-dup (X91): sources src10+ are the
+    * NEW snapshot, src0–src9 the already-indexed corpus; each new doc
+    * gets an ingest-time Jaccard verdict against the index only (no
+    * self-join, no history rescan) — the fuzzy counterpart of q75's
+    * exact-fingerprint incremental dedup. Threshold 0.5 as in q29. */
+  def incrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    NearDup.incrementalDedupVerdicts(
+      batch = docs.filter(srcNum >= 10), index = docs.filter(srcNum < 10),
+      idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
   /** Join-skew diagnostics (X82): the pre-flight report that decides
     * between a plain, broadcast, or salted join — per-key counts of the
     * probe side, the max/mean skew factor, and the top-10 heaviest keys

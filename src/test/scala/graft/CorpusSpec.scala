@@ -339,6 +339,40 @@ class CorpusSpec extends AnyFunSuite {
     assertNoNestedLoop(AnnSearch.cosineNearDupPairsLsh(corpus, 0.9))
   }
 
+  test("incremental near-dup verdicts agree with the full self-join restricted to cross pairs") {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val batch = docs.filter(srcNum >= 10)
+    val index = docs.filter(srcNum < 10)
+    val got = NearDup.incrementalDedupVerdicts(batch, index,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      .toMap
+    // ground truth: all self-join pairs at the threshold, kept only where
+    // the pair crosses the index/batch split
+    val indexIds = index.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cross = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        Seq((a, b), (b, a)).collect {
+          case (x, y) if batchIds(x) && indexIds(y) => (x, y)
+        }
+      }.groupBy(_._1).map { case (d, ps) =>
+        d -> (ps.map(_._2).min, ps.length.toLong)
+      }
+    assert(cross.nonEmpty, "fixture should contain cross-split near-dup pairs")
+    assert(got.size == batchIds.size)
+    got.foreach { case (id, (isDup, dupOf, nMatches)) =>
+      cross.get(id) match {
+        case Some((expMin, expN)) =>
+          assert(isDup && dupOf == expMin && nMatches == expN, s"doc $id: ${got(id)}")
+        case None =>
+          assert(!isDup && nMatches == 0L, s"doc $id should be clean: ${got(id)}")
+      }
+    }
+  }
+
   test("SemDeDup verdicts: known clusters, lowest-id keepers, equi-join pair-gen") {
     // three well-separated clusters whose lowest ids (0,1,2) are one per
     // cluster, so the deterministic seed centroids land one in each:
