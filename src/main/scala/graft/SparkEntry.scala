@@ -130,6 +130,7 @@ object SparkEntry {
     "q105_canonical_keeper"   -> (CorpusQueries.canonicalKeeper(_, _)),
     "q106_semdedup"           -> (CorpusQueries.semDedup(_, _)),
     "q107_incremental_neardup" -> (CorpusQueries.incrementalNearDedup(_, _)),
+    "q108_prototypicality"    -> (CorpusQueries.prototypicality(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

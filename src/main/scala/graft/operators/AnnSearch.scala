@@ -109,10 +109,11 @@ object AnnSearch {
         Vectors.dot(col("cvec"), col("embedding")) / (col("ncv") * col("nrm")))
     scored.groupBy("vec_id")
       .agg(max_by(
-        struct(col("embedding"), col("nrm"), col("centroid_id")),
+        struct(col("embedding"), col("nrm"), col("centroid_id"), col("csim")),
         struct(col("csim"), negate(col("centroid_id")))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.nrm").as("nrm"), col("best.centroid_id").as("centroid_id"))
+        col("best.nrm").as("nrm"), col("best.centroid_id").as("centroid_id"),
+        col("best.csim").as("csim"))
   }
 
   /** IVF approximate top-k: probe the nProbe nearest centroids per query,
@@ -376,6 +377,32 @@ object AnnSearch {
       .select(col("vec_id"), col("centroid_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"),
         coalesce(col("n_dominators"), lit(0L)).as("n_dominators"))
+  }
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"; the D4 pipeline's pruning stage): score every vector
+    * by cosine to its assigned seed centroid — high = prototypical/easy,
+    * low = atypical/hard — and drop the most prototypical
+    * 1/dropDenom of each cluster (the abundant-data regime, where
+    * pruning EASY examples beats random). All-integer keep rule
+    * (rank·dropDenom > cluster size) so the verdict is exactly
+    * SQL-replayable with no float threshold.
+    *
+    * Scale shape: assignment as in [[semDedupVerdicts]] (broadcast
+    * centroids, max_by fold); the ranking window is keyed by centroid —
+    * cluster-bounded sort, tiles across reducers (production holds
+    * cluster size ~constant by growing numClusters with the corpus). */
+  def prototypicality(corpus: DataFrame, numClusters: Int,
+      dropDenom: Int = 5): DataFrame = {
+    require(dropDenom >= 1, s"prototypicality: dropDenom=$dropDenom")
+    val byCluster = Window.partitionBy("centroid_id")
+    assign(corpus, seedCentroids(corpus, numClusters))
+      .withColumn("proto_rank",
+        row_number().over(byCluster.orderBy(desc("csim"), asc("vec_id"))).cast("long"))
+      .withColumn("n_cluster", count(lit(1)).over(byCluster))
+      .select(col("vec_id"), col("centroid_id"),
+        col("csim").as("proto_score"), col("proto_rank"), col("n_cluster"),
+        (col("proto_rank") * dropDenom > col("n_cluster")).as("keep"))
   }
 
   /** Single-job emptiness + raggedness guard; returns the corpus

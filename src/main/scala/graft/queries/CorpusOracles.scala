@@ -130,6 +130,23 @@ object CorpusOracles {
              SELECT e.src AS node, r.reach
              FROM e JOIN r ON r.node = e.dst)"""
 
+  /** Shared by q106/q108: deterministic seed centroids (8 lowest
+    * vec_ids) + nearest-centroid assignment over the embeddings table
+    * (csim desc, centroid_id tiebreak) — twin of
+    * `AnnSearch.assign(corpus, seedCentroids(corpus, 8))`. Exposes `asg`
+    * with (vec_id, centroid_id, csim). */
+  private def semAssignCtes: String =
+    s"""cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT 8),
+       sc AS (SELECT e.vec_id, c.centroid_id,
+                ${cosine("c.cvec", "e.embedding")} AS csim
+              FROM embeddings e CROSS JOIN cents c),
+       asg AS (SELECT vec_id, centroid_id, csim FROM (
+                 SELECT vec_id, centroid_id, csim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, centroid_id) AS rn
+                 FROM sc) WHERE rn = 1)"""
+
   /** Shared by q103/q104: wordcount + 5 unrolled BPE merge rounds. Each
     * round counts adjacent symbol pairs, picks the deterministic argmax,
     * and applies the merge as a chr(31)-delimited string fold — greedy
@@ -316,16 +333,7 @@ object CorpusOracles {
     // nearest-centroid assignment (csim desc, centroid_id tiebreak),
     // within-cluster pairs at cosine >= 0.4, verdict per vector
     "q106_semdedup" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-              FROM embeddings ORDER BY vec_id LIMIT 8),
-         sc AS (SELECT e.vec_id, c.centroid_id,
-                  ${cosine("c.cvec", "e.embedding")} AS csim
-                FROM embeddings e CROSS JOIN cents c),
-         asg AS (SELECT vec_id, centroid_id FROM (
-                   SELECT vec_id, centroid_id,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY csim DESC, centroid_id) AS rn
-                   FROM sc) WHERE rn = 1),
+      s"""WITH $semAssignCtes,
          pe AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                   ${cosine("ea.embedding", "eb.embedding")} AS cos_sim
                 FROM asg a JOIN asg b
@@ -340,6 +348,21 @@ object CorpusOracles {
                 coalesce(doms.n_dominators, 0)::BIGINT AS n_dominators
          FROM asg LEFT JOIN doms ON asg.vec_id = doms.vec_id
          ORDER BY asg.vec_id""",
+
+    // X92: prototypicality pruning — cosine to the assigned centroid,
+    // per-cluster rank (desc, vec_id tiebreak), integer keep rule
+    "q108_prototypicality" ->
+      s"""WITH $semAssignCtes,
+         r AS (SELECT vec_id, centroid_id, csim AS proto_score,
+                 row_number() OVER (PARTITION BY centroid_id
+                                    ORDER BY csim DESC, vec_id) AS proto_rank,
+                 count(*) OVER (PARTITION BY centroid_id) AS n_cluster
+               FROM asg)
+         SELECT vec_id, centroid_id, proto_score,
+                CAST(proto_rank AS BIGINT) AS proto_rank,
+                CAST(n_cluster AS BIGINT) AS n_cluster,
+                proto_rank * 5 > n_cluster AS keep
+         FROM r ORDER BY vec_id""",
 
     // X91: incremental cross-snapshot dedup — new snapshot (src10+)
     // probed against the indexed corpus (src0–src9) on hashed shingles

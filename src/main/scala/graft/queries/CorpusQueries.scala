@@ -1327,6 +1327,14 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Prototypicality pruning verdicts (X92): cosine-to-centroid score
+    * per embedding, per-cluster rank, drop the most prototypical 20%
+    * of each cluster (integer keep rule — exactly replayable). */
+  def prototypicality(spark: SparkSession, dir: String): DataFrame =
+    AnnSearch.prototypicality(Tables.load(spark, dir, "embeddings"),
+      numClusters = 8, dropDenom = 5)
+      .orderBy("vec_id")
+
   /** Join-skew diagnostics (X82): the pre-flight report that decides
     * between a plain, broadcast, or salted join — per-key counts of the
     * probe side, the max/mean skew factor, and the top-10 heaviest keys

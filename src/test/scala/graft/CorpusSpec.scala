@@ -407,5 +407,23 @@ class CorpusSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     out.sparkSession.sharedState.cacheManager.clearCache()
+
+    // prototypicality on the same fixture: each cluster's seed IS its
+    // centroid (score exactly 1.0, rank 1), and the integer keep rule
+    // drops exactly the top 1/dropDenom per cluster
+    val proto = AnnSearch.prototypicality(corpus, numClusters = 3, dropDenom = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(proto.size == 7)
+    Seq(0L, 1L, 2L).foreach { id =>
+      val (cid, score, rank, _, _) = proto(id)
+      assert(cid == id && score == 1.0 && rank == 1L, s"seed $id: ${proto(id)}")
+    }
+    // cluster A = {0,10,11}: n=3, dropDenom=3 → exactly rank 1 dropped
+    assert(!proto(0L)._5 && proto(10L)._5 && proto(11L)._5)
+    // singleton cluster C = {2}: 1*3 > 1 → the integer rule never
+    // empties a small cluster
+    assert(proto(2L)._5)
   }
 }
