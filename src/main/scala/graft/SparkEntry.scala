@@ -131,6 +131,8 @@ object SparkEntry {
     "q106_semdedup"           -> (CorpusQueries.semDedup(_, _)),
     "q107_incremental_neardup" -> (CorpusQueries.incrementalNearDedup(_, _)),
     "q108_prototypicality"    -> (CorpusQueries.prototypicality(_, _)),
+    "q109_source_overlap"     -> (CorpusQueries.sourceOverlap(_, _)),
+    "q110_hard_negatives"     -> (CorpusQueries.hardNegatives(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -53,6 +53,33 @@ object AnnSearch {
       .select("query_id", "vec_id", "rnk", "sim")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the top-k most similar corpus vectors with a DIFFERENT label
+    * — in-batch random negatives are easy, these near-boundary
+    * different-class neighbors are the ones that sharpen the margin.
+    * queries: (query_id, q: array<float>, qlabel); corpus: (vec_id,
+    * embedding: array<float>, label).
+    *
+    * Shape: the mining batch (queries) broadcasts into the corpus scan,
+    * the label-mismatch predicate filters before any ranking state, and
+    * the per-query top-k runs through the window that the native
+    * TopKPerKey rewrite compiles to a partial-topk exchange — ≤k rows
+    * per (mapper, query) shuffle, same as bruteForceTopK. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = castDouble(queries, "q").withColumn("nq", norm("q"))
+    val c = castDouble(corpus, "embedding").withColumn("ncn", norm("embedding"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("sim",
+        Vectors.dot(col("q"), col("embedding")) / (col("nq") * col("ncn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("label").as("neg_label"),
+        col("rnk"), col("sim"))
+  }
+
   /** Deterministic centroid seed: the `numCentroids` lowest-id vectors. */
   def seedCentroids(corpus: DataFrame, numCentroids: Int): DataFrame =
     corpus.orderBy("vec_id").limit(numCentroids)

@@ -364,6 +364,49 @@ object CorpusOracles {
                 proto_rank * 5 > n_cluster AS keep
          FROM r ORDER BY vec_id""",
 
+    // X93: source-overlap duplication matrix — q29 pairs rolled up to
+    // unordered source pairs; count/min/max aggregates only
+    "q109_source_overlap" ->
+      s"""WITH $shingleCte,
+         shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+               FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pj AS (SELECT doc_a, doc_b, nc::DOUBLE/(sa.n + sb.n - nc) AS jaccard
+                FROM p JOIN sz sa ON doc_a = sa.doc_id
+                       JOIN sz sb ON doc_b = sb.doc_id
+                WHERE nc::DOUBLE/(sa.n + sb.n - nc) >= 0.5),
+         ds AS (SELECT doc_id, source FROM documents),
+         sp AS (SELECT least(a.source, b.source) AS source_a,
+                  greatest(a.source, b.source) AS source_b, jaccard
+                FROM pj JOIN ds a ON pj.doc_a = a.doc_id
+                        JOIN ds b ON pj.doc_b = b.doc_id),
+         m AS (SELECT source_a, source_b, count(*) AS n_pairs,
+                 min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+               FROM sp GROUP BY 1, 2),
+         t AS (SELECT sum(n_pairs) AS total_pairs FROM m)
+         SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+                n_pairs::DOUBLE / total_pairs::DOUBLE AS pair_share,
+                min_jaccard, max_jaccard
+         FROM m CROSS JOIN t ORDER BY source_a, source_b""",
+
+    // X94: hard-negative mining — q34's brute-force ranking restricted
+    // to different-label corpus vectors
+    "q110_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+              FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+          s AS (SELECT query_id, vec_id, label AS neg_label,
+                  ${cosine("qv", "embedding")} AS sim
+                FROM c, q WHERE label != qlabel),
+          r AS (SELECT query_id, vec_id, neg_label, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+                FROM s)
+          SELECT query_id, vec_id, neg_label, rnk, sim FROM r WHERE rnk <= 5
+          ORDER BY query_id, rnk""",
+
     // X91: incremental cross-snapshot dedup — new snapshot (src10+)
     // probed against the indexed corpus (src0–src9) on hashed shingles
     "q107_incremental_neardup" ->

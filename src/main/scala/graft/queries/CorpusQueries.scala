@@ -1335,6 +1335,47 @@ object CorpusQueries {
       numClusters = 8, dropDenom = 5)
       .orderBy("vec_id")
 
+  /** Source-overlap duplication matrix (X93): near-dup pairs (q29
+    * machinery) rolled up to unordered source pairs — which sources
+    * duplicate each other and how much, the diagnostic that drives
+    * dedup ordering and crawl dedup-at-source decisions. Aggregates are
+    * count/min/max only (no float sums — order-independent, so the
+    * matrix replays exactly); share is an integer-over-integer division
+    * against the broadcast total. Output is pairs-table-sized work with
+    * a |sources|² ceiling on rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    val bySrc = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"), max(col("jaccard")).as("max_jaccard"))
+    val tot = bySrc.agg(sum(col("n_pairs")).as("total_pairs"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("total_pairs").cast("double")).as("pair_share"),
+        col("min_jaccard"), col("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Hard-negative mining (X94): per query (vec_id < 10), the top-5
+    * most similar corpus vectors with a different label — the q34 shape
+    * plus the label-mismatch predicate, riding the same native
+    * TopKPerKey rewrite. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("qlabel"))
+    val corpus = e.filter(col("vec_id") >= 10).select("vec_id", "embedding", "label")
+    AnnSearch.hardNegatives(queries, corpus, k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Join-skew diagnostics (X82): the pre-flight report that decides
     * between a plain, broadcast, or salted join — per-key counts of the
     * probe side, the max/mean skew factor, and the top-10 heaviest keys

@@ -373,6 +373,40 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: no same-label result, subset of unrestricted top-k pool, native topk plan") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("qlabel"))
+    val corpus = embeddings.filter(col("vec_id") >= 10)
+      .select("vec_id", "embedding", "label")
+    org.apache.spark.sql.graftsql.installTopK(spark)
+    val out = AnnSearch.hardNegatives(queries, corpus, k = 5)
+    val labels = queries.select("query_id", "qlabel").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = out.collect()
+    assert(got.length == labels.size * 5)
+    got.foreach { r =>
+      assert(r.getInt(2) != labels(r.getLong(0)),
+        s"same-label negative for query ${r.getLong(0)}")
+    }
+    // per query: the mined set is exactly the exact ranking filtered to
+    // different labels (checked against a big unrestricted top-k pool)
+    val pool = AnnSearch.bruteForceTopK(
+        queries.select("query_id", "q"), corpus.select("vec_id", "embedding"), k = 200)
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .collect().groupBy(_.getLong(1))
+    labels.foreach { case (qid, ql) =>
+      val expected = pool(qid).sortBy(_.getLong(2))
+        .filter(_.getInt(4) != ql).take(5).map(_.getLong(0)).toSeq
+      val mined = got.filter(_.getLong(0) == qid).sortBy(_.getLong(3))
+        .map(_.getLong(1)).toSeq
+      assert(mined == expected, s"query $qid: $mined vs $expected")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      s"hard-negative ranking should run through native TopKPerKey:\n$plan")
+  }
+
   test("SemDeDup verdicts: known clusters, lowest-id keepers, equi-join pair-gen") {
     // three well-separated clusters whose lowest ids (0,1,2) are one per
     // cluster, so the deterministic seed centroids land one in each:
