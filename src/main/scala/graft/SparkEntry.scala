@@ -133,6 +133,7 @@ object SparkEntry {
     "q108_prototypicality"    -> (CorpusQueries.prototypicality(_, _)),
     "q109_source_overlap"     -> (CorpusQueries.sourceOverlap(_, _)),
     "q110_hard_negatives"     -> (CorpusQueries.hardNegatives(_, _)),
+    "q111_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

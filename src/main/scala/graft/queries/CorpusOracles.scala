@@ -1254,6 +1254,21 @@ object CorpusOracles {
          FROM dw JOIN lut USING (word)
          WHERE word <> '' GROUP BY 1 ORDER BY 1""",
 
+    // X95: tokenizer fertility — per-source tokens-per-word and
+    // chars-per-token under the trained BPE merges
+    "q111_tokenizer_fertility" ->
+      s"""WITH $bpeTrainingCtes,
+         lut AS (SELECT array_to_string(syms, '') AS word,
+                   len(syms)::BIGINT AS n_sub FROM w5),
+         dw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+         SELECT source, count(*) AS n_words, sum(n_sub)::BIGINT AS n_tokens,
+                CAST(sum(length(word)) AS BIGINT) AS n_chars,
+                sum(n_sub)::DOUBLE / count(*)::DOUBLE AS fertility,
+                sum(length(word))::DOUBLE / sum(n_sub)::DOUBLE AS chars_per_token
+         FROM dw JOIN lut USING (word)
+         WHERE word <> '' GROUP BY 1 ORDER BY 1""",
+
     // X82: per-key probe-side counts, top-10 heavy keys, max/mean skew
     "q99_skew_report" ->
       """WITH cnt AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),

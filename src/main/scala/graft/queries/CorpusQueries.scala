@@ -1280,6 +1280,32 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility report (X95): the standard tokenizer-quality
+    * evaluation — per-source tokens-per-word (fertility) and
+    * chars-per-token under the trained BPE merges (q103/q104 machinery).
+    * A source whose fertility spikes is one the tokenizer undertrained
+    * on; the report is the signal for re-weighting tokenizer training
+    * data. All aggregates are integer sums; the two ratios are single
+    * divisions of exact longs, so the report replays bit-for-bit. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+    val (_, words) = BpeTrain.train(d, "text", rounds = 5)
+    val lut = words.select(array_join(col("syms"), "").as("word"),
+      size(col("syms")).cast("long").as("n_sub"))
+    d.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .join(lut, "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
   /** Canonical keeper per near-dup cluster (X89): dedup that keeps the
     * BEST document — quality-score argmax per connected component,
     * doc_id tiebreak — instead of the arbitrary first. Composes the
