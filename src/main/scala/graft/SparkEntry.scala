@@ -134,6 +134,8 @@ object SparkEntry {
     "q109_source_overlap"     -> (CorpusQueries.sourceOverlap(_, _)),
     "q110_hard_negatives"     -> (CorpusQueries.hardNegatives(_, _)),
     "q111_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility(_, _)),
+    "q112_retrieval_eval"     -> (CorpusQueries.retrievalEval(_, _)),
+    "q113_collocations"       -> (CorpusQueries.collocations(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

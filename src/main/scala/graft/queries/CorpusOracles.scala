@@ -1254,6 +1254,53 @@ object CorpusOracles {
          FROM dw JOIN lut USING (word)
          WHERE word <> '' GROUP BY 1 ORDER BY 1""",
 
+    // X96: retrieval eval — first-relevant rank, hit@10, macro MRR@10
+    // with the reciprocal-rank sum integer-scaled by 2520 = lcm(1..10)
+    "q112_retrieval_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+              FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+         s AS (SELECT query_id, qlabel, vec_id, label,
+                 ${cosine("qv", "embedding")} AS sim FROM c, q),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rnk FROM s),
+         t AS (SELECT query_id, qlabel, label, rnk FROM r WHERE rnk <= 10),
+         per AS (SELECT query_id,
+                   min(CASE WHEN label = qlabel THEN rnk END) AS first_rel_rank,
+                   CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rel_at_10
+                 FROM t GROUP BY 1),
+         p2 AS (SELECT query_id, first_rel_rank,
+                  first_rel_rank IS NOT NULL AS hit_at_10, n_rel_at_10,
+                  coalesce(2520 // first_rel_rank, 0)::BIGINT AS rr_scaled
+                FROM per),
+         tot AS (SELECT CAST(sum(rr_scaled) AS BIGINT) AS srr, count(*) AS nq FROM p2)
+         SELECT query_id, first_rel_rank, hit_at_10, n_rel_at_10, rr_scaled,
+                srr::DOUBLE / (nq::DOUBLE * 2520.0) AS mrr
+         FROM p2 CROSS JOIN tot ORDER BY query_id""",
+
+    // X97: collocation mining — top-20 adjacent pairs by PMI lift
+    // c12*N/(c1*c2), support c12 >= 5
+    "q113_collocations" ->
+      """WITH b AS (SELECT string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+                    i -> struct_pack(w1 := w[i + 1], w2 := w[i + 2]))) AS u
+                FROM b WHERE len(w) >= 2),
+         pr AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM bg),
+         uni AS (SELECT t, count(*) AS c FROM
+                   (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                 GROUP BY 1),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+         n AS (SELECT count(*) AS n_bigrams FROM pr)
+         SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+                (c12::DOUBLE * n_bigrams::DOUBLE) / (u1.c::DOUBLE * u2.c::DOUBLE)
+                  AS lift
+         FROM c12 JOIN uni u1 ON c12.w1 = u1.t
+                  JOIN uni u2 ON c12.w2 = u2.t
+                  CROSS JOIN n
+         WHERE c12 >= 5
+         ORDER BY lift DESC, w1, w2 LIMIT 20""",
+
     // X95: tokenizer fertility — per-source tokens-per-word and
     // chars-per-token under the trained BPE merges
     "q111_tokenizer_fertility" ->

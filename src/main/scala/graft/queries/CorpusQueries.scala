@@ -1306,6 +1306,69 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Retrieval evaluation (X96): per-query first-relevant rank, hit@10,
+    * relevant-in-top-10 count, and macro MRR@10 for the exact ranking
+    * against same-label ground truth. The reciprocal-rank sum is kept
+    * EXACT by integer scaling — 2520 (= lcm 1..10) DIV rank is an
+    * integer for every rank ≤ 10, so the macro MRR is one division of
+    * exact longs instead of an order-dependent float sum. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("qlabel"))
+    val corpus = e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+    val ranked = AnnSearch.bruteForceTopK(queries.select("query_id", "q"), corpus, k = 10)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qlabel"))), Seq("query_id"))
+    val per = ranked.groupBy("query_id")
+      .agg(min(when(col("label") === col("qlabel"), col("rnk"))).as("first_rel_rank"),
+        sum(when(col("label") === col("qlabel"), lit(1L)).otherwise(lit(0L)))
+          .as("n_rel_at_10"))
+      .withColumn("hit_at_10", col("first_rel_rank").isNotNull)
+      .withColumn("rr_scaled",
+        coalesce(expr("2520 DIV first_rel_rank"), lit(0L)))
+    val tot = per.agg(sum(col("rr_scaled")).as("srr"), count(lit(1)).as("nq"))
+    per.crossJoin(broadcast(tot))
+      .select(col("query_id"), col("first_rel_rank"), col("hit_at_10"),
+        col("n_rel_at_10"), col("rr_scaled"),
+        (col("srr").cast("double") / (col("nq").cast("double") * lit(2520.0)))
+          .as("mrr"))
+      .orderBy("query_id")
+  }
+
+  /** Collocation mining (X97): top-20 adjacent word pairs by PMI lift
+    * c12·N / (c1·c2) with a min-count support filter — the classic
+    * corpus-statistics pass that feeds multi-word-expression vocab and
+    * tokenizer seeding. log(lift) = PMI is monotone, so ranking by the
+    * lift RATIO avoids libm's log while producing the PMI order; the
+    * ratio is two exact-long products folded in one double division
+    * chain, identical in both engines. Two wordcount aggs + one
+    * pair-keyed join; the top-20 is a sort-limit on the (tiny)
+    * supported-pair table. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val base = spread(Tables.load(spark, dir, "documents"))
+      .select(TextFunctions.tokens(col("text")).as("w"))
+    val pairs = base.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(w) - 2),
+             i -> struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))"""))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = base.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val n = pairs.agg(count(lit(1)).as("n_bigrams"))
+    c12.filter(col("c12") >= 5)
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ((col("c12").cast("double") * col("n_bigrams").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))).as("lift"))
+      .orderBy(desc("lift"), col("w1"), col("w2")).limit(20)
+  }
+
   /** Canonical keeper per near-dup cluster (X89): dedup that keeps the
     * BEST document — quality-score argmax per connected component,
     * doc_id tiebreak — instead of the arbitrary first. Composes the
