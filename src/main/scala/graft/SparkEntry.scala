@@ -136,6 +136,8 @@ object SparkEntry {
     "q111_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility(_, _)),
     "q112_retrieval_eval"     -> (CorpusQueries.retrievalEval(_, _)),
     "q113_collocations"       -> (CorpusQueries.collocations(_, _)),
+    "q114_padding_waste"      -> (CorpusQueries.paddingWaste(_, _)),
+    "q115_cluster_purity"     -> (CorpusQueries.clusterPurity(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1254,6 +1254,39 @@ object CorpusOracles {
          FROM dw JOIN lut USING (word)
          WHERE word <> '' GROUP BY 1 ORDER BY 1""",
 
+    // X99: cluster purity — member count, majority label, purity per
+    // X90 semantic cluster
+    "q115_cluster_purity" ->
+      s"""WITH $semAssignCtes,
+         al AS (SELECT a.vec_id, a.centroid_id, e.label
+                FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id),
+         pl AS (SELECT centroid_id, label, count(*) AS c FROM al GROUP BY 1, 2),
+         r AS (SELECT centroid_id, label, c,
+                 row_number() OVER (PARTITION BY centroid_id
+                                    ORDER BY c DESC, label) AS rn,
+                 sum(c) OVER (PARTITION BY centroid_id) AS n_vectors
+               FROM pl)
+         SELECT centroid_id, CAST(n_vectors AS BIGINT) AS n_vectors,
+                label AS majority_label, CAST(c AS BIGINT) AS majority_count,
+                c::DOUBLE / n_vectors::DOUBLE AS purity
+         FROM r WHERE rn = 1 ORDER BY centroid_id""",
+
+    // X98: padding-waste report — power-of-2 length buckets, integer
+    // waste sums, one utilization division
+    "q114_padding_waste" -> {
+      val ladder = (0 to 16).map(i => 1L << i)
+        .map(p => s"WHEN n <= $p THEN CAST($p AS BIGINT)").mkString(" ")
+      s"""WITH d AS (SELECT doc_id, CAST($tokenCount AS BIGINT) AS n FROM documents),
+         b AS (SELECT doc_id, n,
+                 CASE $ladder ELSE CAST(${1L << 17} AS BIGINT) END AS bucket_max
+               FROM d)
+         SELECT bucket_max, count(*) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS sum_tokens,
+                CAST(sum(bucket_max - n) AS BIGINT) AS pad_tokens,
+                sum(n)::DOUBLE / (count(*) * bucket_max)::DOUBLE AS utilization
+         FROM b GROUP BY 1 ORDER BY 1"""
+    },
+
     // X96: retrieval eval — first-relevant rank, hit@10, macro MRR@10
     // with the reciprocal-rank sum integer-scaled by 2520 = lcm(1..10)
     "q112_retrieval_eval" ->

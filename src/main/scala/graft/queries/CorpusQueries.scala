@@ -1369,6 +1369,61 @@ object CorpusQueries {
       .orderBy(desc("lift"), col("w1"), col("w2")).limit(20)
   }
 
+  /** Padding-waste report (X98): docs bucketed by power-of-2 token
+    * length; per bucket, the token waste of pad-to-bucket-max batching —
+    * the diagnostic that justifies sequence packing (X39) and picks
+    * dynamic-batching bucket boundaries. bucket_max = 2^ceil(log2 len)
+    * via a fixed comparison ladder (no libm log2 — token counts are
+    * bounded, so 17 thresholds cover the range); waste and utilization
+    * are integer sums with one final division. One map + one hash agg. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    // smallest power of two >= n_tokens: linear CASE ladder over fixed
+    // thresholds (a doubling FOLD would duplicate the subtree 3× per
+    // level — exponential expression size)
+    val bucketMax = (0 to 16).map(i => 1L << i)
+      .foldLeft(Option.empty[org.apache.spark.sql.Column]) { (acc, p) =>
+        Some(acc match {
+          case None    => when(col("n_tokens") <= p, p)
+          case Some(c) => c.when(col("n_tokens") <= p, p)
+        })
+      }.get.otherwise(1L << 17)
+    d.select(col("doc_id"), col("n_tokens"), bucketMax.as("bucket_max"))
+      .groupBy("bucket_max")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("bucket_max") - col("n_tokens")).as("pad_tokens"))
+      .select(col("bucket_max"), col("n_docs"), col("sum_tokens"), col("pad_tokens"),
+        (col("sum_tokens").cast("double") /
+          (col("n_docs") * col("bucket_max")).cast("double")).as("utilization"))
+      .orderBy("bucket_max")
+  }
+
+  /** Cluster-purity report (X99): per semantic cluster (X90 assignment),
+    * the member count, majority label, and purity — the QA gate on
+    * whether embedding clusters track labels before they are trusted
+    * for SemDeDup/pruning decisions. Label counts are one hash agg; the
+    * majority pick is a per-cluster rank over the (clusters × labels)
+    * table — label-cardinality-sized, not corpus-sized. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+    val perLabel = AnnSearch.assign(e, AnnSearch.seedCentroids(e, 8))
+      .select("vec_id", "centroid_id")
+      .join(e.select("vec_id", "label"), Seq("vec_id"))
+      .groupBy("centroid_id", "label").agg(count(lit(1)).as("c"))
+    val byC = Window.partitionBy("centroid_id")
+    perLabel
+      .withColumn("rn", row_number().over(byC.orderBy(desc("c"), asc("label"))))
+      .withColumn("n_vectors", sum(col("c")).over(byC))
+      .where(col("rn") === 1)
+      .select(col("centroid_id"), col("n_vectors"),
+        col("label").as("majority_label"), col("c").as("majority_count"),
+        (col("c").cast("double") / col("n_vectors").cast("double")).as("purity"))
+      .orderBy("centroid_id")
+  }
+
   /** Canonical keeper per near-dup cluster (X89): dedup that keeps the
     * BEST document — quality-score argmax per connected component,
     * doc_id tiebreak — instead of the arbitrary first. Composes the
