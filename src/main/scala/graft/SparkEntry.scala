@@ -138,6 +138,7 @@ object SparkEntry {
     "q113_collocations"       -> (CorpusQueries.collocations(_, _)),
     "q114_padding_waste"      -> (CorpusQueries.paddingWaste(_, _)),
     "q115_cluster_purity"     -> (CorpusQueries.clusterPurity(_, _)),
+    "q116_matryoshka_eval"    -> (CorpusQueries.matryoshkaEval(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -16,10 +16,14 @@ object CorpusOracles {
 
   /** Sequential-fold cosine similarity over 64-dim float lists — DuckDB
     * twin of Vectors.cosine (same left-fold order, double accumulation). */
-  private def cosine(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1,65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
-       (sqrt(list_sum(list_transform(range(1,65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
-        sqrt(list_sum(list_transform(range(1,65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
+  private def cosine(a: String, b: String): String = cosineD(a, b, 64)
+
+  /** Cosine over the first `d` components only (the full-width twin when
+    * d=64; the matryoshka-truncation twin otherwise). */
+  private def cosineD(a: String, b: String, d: Int): String =
+    s"""list_sum(list_transform(range(1,${d + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       (sqrt(list_sum(list_transform(range(1,${d + 1}), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+        sqrt(list_sum(list_transform(range(1,${d + 1}), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
 
   /** Distinct word-n-gram shingles per doc — DuckDB twin of
     * NearDup.shingles. */
@@ -1253,6 +1257,30 @@ object CorpusOracles {
          SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords
          FROM dw JOIN lut USING (word)
          WHERE word <> '' GROUP BY 1 ORDER BY 1""",
+
+    // X100: matryoshka truncation eval — 16-dim-prefix ranking vs the
+    // full 64-dim ranking, rank-by-rank agreement
+    "q116_matryoshka_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         st AS (SELECT query_id, vec_id, ${cosineD("qv", "embedding", 16)} AS sim
+                FROM c, q),
+         rt AS (SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+                FROM st),
+         sf AS (SELECT query_id, vec_id, ${cosine("qv", "embedding")} AS sim
+                FROM c, q),
+         rf AS (SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+                FROM sf)
+         SELECT rt.query_id, rt.rnk, rt.vec_id, rt.sim AS sim_trunc,
+                rt.vec_id = rf.vec_id AS same_as_full
+         FROM rt JOIN rf ON rt.query_id = rf.query_id AND rt.rnk = rf.rnk
+         WHERE rt.rnk <= 5 AND rf.rnk <= 5
+         ORDER BY rt.query_id, rt.rnk""",
 
     // X99: cluster purity — member count, majority label, purity per
     // X90 semantic cluster

@@ -1424,6 +1424,30 @@ object CorpusQueries {
       .orderBy("centroid_id")
   }
 
+  /** Matryoshka truncation eval (X100): retrieval with embeddings
+    * truncated to their first 16 of 64 dims, compared rank-by-rank to
+    * the full-width ranking — the MRL-style storage/recall tradeoff
+    * eval, completing the compression-eval family next to q101's int8
+    * quantization. Both rankings ride the brute-force + native-topk
+    * path; the agreement join carries (query, rank, id) triples only. */
+  def matryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    def queries(df: DataFrame) = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    def corpus(df: DataFrame) = df.filter(col("vec_id") >= 10)
+      .select("vec_id", "embedding")
+    val trunc = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val tr = AnnSearch.bruteForceTopK(queries(trunc), corpus(trunc), k = 5)
+    val fl = AnnSearch.bruteForceTopK(queries(e), corpus(e), k = 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("full_vec_id"))
+    tr.join(fl, Seq("query_id", "rnk"))
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        col("sim").as("sim_trunc"),
+        (col("vec_id") === col("full_vec_id")).as("same_as_full"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Canonical keeper per near-dup cluster (X89): dedup that keeps the
     * BEST document — quality-score argmax per connected component,
     * doc_id tiebreak — instead of the arbitrary first. Composes the
