@@ -75,6 +75,26 @@ object syntax {
         planesPerTable: Int = 8, dim: Int = -1): DataFrame =
       AnnSearch.lshTopK(queries, df, k, numTables, planesPerTable, dim)
 
+    /** SemDeDup keeper verdicts (cluster-then-compare semantic dedup). */
+    def semDedup(numClusters: Int, threshold: Double): DataFrame =
+      AnnSearch.semDedupVerdicts(df, numClusters, threshold)
+
+    /** Prototypicality pruning verdicts (drop the easiest
+      * 1/dropDenom of each semantic cluster). */
+    def prototypicality(numClusters: Int, dropDenom: Int = 5): DataFrame =
+      AnnSearch.prototypicality(df, numClusters, dropDenom)
+
+    /** Top-k most similar DIFFERENT-label vectors per query
+      * (contrastive hard negatives); this = labeled corpus. */
+    def hardNegatives(queries: DataFrame, k: Int): DataFrame =
+      AnnSearch.hardNegatives(queries, df, k)
+
+    /** Ingest-time near-dup verdicts for this NEW batch against an
+      * indexed corpus (no self-join, no history rescan). */
+    def incrementalNearDupAgainst(index: DataFrame, idCol: String,
+        textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame =
+      NearDup.incrementalDedupVerdicts(df, index, idCol, textCol, n, threshold)
+
     // ---- time series ----
     def asOfJoinLeft(right: DataFrame, key: String, leftTs: String,
         rightTs: String, payload: Seq[String], tieBreak: String): DataFrame =

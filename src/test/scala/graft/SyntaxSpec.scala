@@ -65,4 +65,22 @@ class SyntaxSpec extends AnyFunSuite {
     // values 1,1,1,5 -> pos 1.5 -> 1.0*(0.5)+1.0*0.5 = 1.0
     assert(wp.head().getDouble(1) == 1.0)
   }
+
+  test("semantic-dedup + mining paths forward correctly") {
+    val sem = embeddings.semDedup(numClusters = 3, threshold = 0.4)
+    assert(sem.count() == embeddings.count())
+    spark.sharedState.cacheManager.clearCache()
+    val proto = embeddings.prototypicality(numClusters = 3)
+    assert(proto.columns.toSeq ==
+      Seq("vec_id", "centroid_id", "proto_score", "proto_rank", "n_cluster", "keep"))
+    val q = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("qlabel"))
+    val hn = embeddings.filter(col("vec_id") >= 3).hardNegatives(q, k = 3)
+    assert(hn.count() == 9)
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val inc = docs.filter(srcNum >= 10)
+      .incrementalNearDupAgainst(docs.filter(srcNum < 10), "doc_id", "text")
+    assert(inc.count() == docs.filter(srcNum >= 10).count())
+  }
 }
