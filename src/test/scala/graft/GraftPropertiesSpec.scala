@@ -198,6 +198,45 @@ class GraftPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("SemDeDup verdicts == imperative reference on random vector corpora") {
+    // reference: nearest seed centroid by cosine (ties -> lowest
+    // centroid), then b is a dup iff some same-cluster a < b has
+    // cos(a,b) >= threshold; dup_of = min such a
+    def refSem(vecs: Seq[(Long, Array[Float])], k: Int, thr: Double)
+        : Map[Long, (Long, Boolean, Long, Long)] = {
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      def cos(a: Array[Float], b: Array[Float]): Double =
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      val cents = vecs.sortBy(_._1).take(k)
+      val asg = vecs.map { case (id, v) =>
+        val best = cents.map { case (cid, cv) => (cos(cv, v), -cid) }.zip(cents)
+          .maxBy(_._1)._2._1
+        id -> best
+      }.toMap
+      vecs.map { case (id, v) =>
+        val doms = vecs.filter { case (a, av) =>
+          a < id && asg(a) == asg(id) && cos(av, v) >= thr
+        }.map(_._1)
+        id -> (asg(id), doms.nonEmpty,
+          if (doms.isEmpty) -1L else doms.min, doms.size.toLong)
+      }.toMap
+    }
+    val genVec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    val genCorpus = Gen.choose(4, 12).flatMap(n => Gen.listOfN(n, genVec))
+      .map(_.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    check("semDedup", Prop.forAll(genCorpus) { vecs =>
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = graft.operators.AnnSearch.semDedupVerdicts(df, 3, 0.9)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getBoolean(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toMap
+      spark.sharedState.cacheManager.clearCache()
+      got == refSem(vecs, 3, 0.9)
+    }, cases = 6)
+  }
+
   test("BPE training == imperative reference on random corpora") {
     // Reference implementation: per-position pair counts weighted by
     // wordcount, argmax (count desc, pair asc), greedy left-to-right
