@@ -21,6 +21,45 @@ class StreamingAggSpec extends AnyFunSuite {
   private def ev(id: Long, t: String, user: Long, typ: String = "click",
       v: Double = 1.0): EventRow = EventRow(id, ts(t), user, typ, v)
 
+  test("streaming ingest near-dup: per-micro-batch verdicts equal the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val index = docs.filter(srcNum < 10).select("doc_id", "text")
+    val batch1 = docs.filter(srcNum >= 10 && col("doc_id") % 2 === 0)
+      .select("doc_id", "text")
+    val batch2 = docs.filter(srcNum >= 10 && col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    // ONE checkpoint across restarts: the second AvailableNow run must
+    // resume past batch1, not replay it
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-ingest").toString
+    def run(): Unit = {
+      val q = graft.streaming.CorpusStreams.nearDupIngest(
+        in.toDF().toDF("doc_id", "text"), index, "doc_id", "text") {
+        (verdicts, id) =>
+          got(id) = verdicts.orderBy("doc_id").collect().map(_.toString).toSeq
+      }.option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    in.addData(batch1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    run()
+    in.addData(batch2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    run()
+    assert(got.size == 2, s"expected 2 micro-batches, got ${got.keySet}")
+    def expect(b: org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.operators.NearDup.incrementalDedupVerdicts(
+        b, index, "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    val batches = got.toSeq.sortBy(_._1).map(_._2)
+    assert(batches(0) == expect(batch1))
+    assert(batches(1) == expect(batch2))
+    assert(batches.flatten.exists(_.contains("true")),
+      "fixture should produce at least one dup verdict")
+  }
+
   test("watermarked sliding-window counts finalize once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
