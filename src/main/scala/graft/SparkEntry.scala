@@ -139,6 +139,8 @@ object SparkEntry {
     "q114_padding_waste"      -> (CorpusQueries.paddingWaste(_, _)),
     "q115_cluster_purity"     -> (CorpusQueries.clusterPurity(_, _)),
     "q116_matryoshka_eval"    -> (CorpusQueries.matryoshkaEval(_, _)),
+    "q117_vocab_coverage"     -> (CorpusQueries.vocabCoverage(_, _)),
+    "q118_temperature_mix"    -> (CorpusQueries.temperatureMix(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1258,6 +1258,49 @@ object CorpusOracles {
          FROM dw JOIN lut USING (word)
          WHERE word <> '' GROUP BY 1 ORDER BY 1""",
 
+    // X103: temperature-scaled domain mixing — weights ∝ sqrt(share),
+    // normalizer folded in source order (engine-exact float sum)
+    "q118_temperature_mix" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum($tokenCount) AS BIGINT) AS tok_sum
+               FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(tok_sum) AS BIGINT) AS total_toks FROM s),
+         sh AS (SELECT source, n_docs, tok_sum,
+                  tok_sum::DOUBLE / total_toks::DOUBLE AS token_share,
+                  sqrt(tok_sum::DOUBLE / total_toks::DOUBLE) AS sq
+                FROM s CROSS JOIN t),
+         z AS (SELECT list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list_transform(
+                     list_sort(list(struct_pack(source := source, sq := sq))),
+                     x -> x.sq)),
+                 (a, b) -> a + b) AS z FROM sh)
+         SELECT source, n_docs, tok_sum, token_share,
+                sq / z AS temp_weight, (sq / z) / token_share AS boost
+         FROM sh CROSS JOIN z ORDER BY source""",
+
+    // X102: vocabulary coverage curve — cumulative token coverage at
+    // fixed top-N vocab sizes, exact-long arithmetic
+    "q117_vocab_coverage" ->
+      """WITH wc AS (SELECT t AS word, count(*) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> '' GROUP BY 1),
+         top AS (SELECT word, c FROM wc ORDER BY c DESC, word LIMIT 10000),
+         r AS (SELECT word, c,
+                 row_number() OVER (ORDER BY c DESC, word) AS rnk,
+                 sum(c) OVER (ORDER BY c DESC, word
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+               FROM top),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+                   count(*) AS vocab_size FROM wc)
+         SELECT CAST(rnk AS BIGINT) AS top_n, CAST(cum AS BIGINT) AS covered_tokens,
+                total_tokens, vocab_size,
+                cum::DOUBLE / total_tokens::DOUBLE AS coverage
+         FROM r CROSS JOIN tot
+         WHERE rnk IN (5, 10, 20, 10000)
+         ORDER BY top_n""",
+
     // X100: matryoshka truncation eval — 16-dim-prefix ranking vs the
     // full 64-dim ranking, rank-by-rank agreement
     "q116_matryoshka_eval" ->

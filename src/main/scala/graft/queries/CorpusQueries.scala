@@ -1448,6 +1448,65 @@ object CorpusQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Vocabulary coverage curve (X102): token occurrences covered by the
+    * top-N word types at N ∈ {5, 10, 20, 10000} (the synthetic vocab
+    * is ~31 types, so the small Ns draw the curve; 10000 exercises the
+    * beyond-vocab edge) — the
+    * vocab-size-vs-OOV tradeoff curve a tokenizer design reads first.
+    * One wordcount agg, then a global sort-LIMIT to the top max(N)
+    * types (TakeOrdered — ≤max(N) rows per mapper reach the driver-side
+    * merge, never a full sort) so the cumulative-sum window runs over a
+    * CONSTANT-bounded 10k-row table, not the vocab — no
+    * partitionless-window cliff. Coverage is an exact-long ratio. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = spread(Tables.load(spark, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val top = wc.orderBy(desc("c"), asc("word")).limit(10000)
+    val w = Window.orderBy(desc("c"), asc("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = top
+      .withColumn("rnk", row_number().over(Window.orderBy(desc("c"), asc("word"))))
+      .withColumn("cum", sum(col("c")).over(w))
+    val tot = wc.agg(sum(col("c")).as("total_tokens"), count(lit(1)).as("vocab_size"))
+    ranked.filter(col("rnk").isin(5, 10, 20, 10000))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk").cast("long").as("top_n"), col("cum").as("covered_tokens"),
+        col("total_tokens"), col("vocab_size"),
+        (col("cum").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy("top_n")
+  }
+
+  /** Temperature-scaled domain mixing (X103): multilingual/DoReMi-style
+    * source weights ∝ share^(1/τ) at τ = 2 — upweights small sources
+    * without the full inversion of X40's uniform target. τ=2 is the
+    * deterministic sweet spot: share^(1/2) = sqrt, IEEE-correctly-
+    * rounded in every engine (a general pow is libm-dependent). The
+    * normalizer folds the per-source sqrt terms in source order
+    * (sorted-fold pattern, q84), so even the float sum is
+    * engine-exact. Per-source table is broadcast-sized. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+    val perSrc = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text"))).as("tok_sum"))
+    val tot = perSrc.agg(sum(col("tok_sum")).as("total_toks"))
+    val shared = perSrc.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        col("tok_sum").cast("double") / col("total_toks").cast("double"))
+      .withColumn("sq", sqrt(col("token_share")))
+    val z = shared.agg(expr(
+      """aggregate(array_sort(collect_list(struct(source, sq))),
+           cast(0.0 AS double), (acc, x) -> acc + x.sq)""").as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("tok_sum"), col("token_share"),
+        (col("sq") / col("z")).as("temp_weight"),
+        ((col("sq") / col("z")) / col("token_share")).as("boost"))
+      .orderBy("source")
+  }
+
   /** Canonical keeper per near-dup cluster (X89): dedup that keeps the
     * BEST document — quality-score argmax per connected component,
     * doc_id tiebreak — instead of the arbitrary first. Composes the
