@@ -141,6 +141,7 @@ object SparkEntry {
     "q116_matryoshka_eval"    -> (CorpusQueries.matryoshkaEval(_, _)),
     "q117_vocab_coverage"     -> (CorpusQueries.vocabCoverage(_, _)),
     "q118_temperature_mix"    -> (CorpusQueries.temperatureMix(_, _)),
+    "q119_dedup_reweight"     -> (CorpusQueries.dedupReweight(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1258,6 +1258,20 @@ object CorpusOracles {
          FROM dw JOIN lut USING (word)
          WHERE word <> '' GROUP BY 1 ORDER BY 1""",
 
+    // X104: count-preserving dedup reweighting — keepers carry their
+    // cluster size, singletons weigh 1
+    "q119_dedup_reweight" ->
+      s"""WITH RECURSIVE $dupGroupCtes,
+         g AS (SELECT node AS doc_id, min(reach) AS group_id
+               FROM r GROUP BY node),
+         gsz AS (SELECT group_id, count(*) AS weight FROM g GROUP BY 1),
+         k AS (SELECT g.doc_id, gsz.weight FROM g JOIN gsz USING (group_id)
+               WHERE g.doc_id = g.group_id),
+         sg AS (SELECT doc_id, CAST(1 AS BIGINT) AS weight FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM g))
+         SELECT doc_id, weight FROM (SELECT * FROM k UNION ALL SELECT * FROM sg)
+         ORDER BY doc_id""",
+
     // X103: temperature-scaled domain mixing — weights ∝ sqrt(share),
     // normalizer folded in source order (engine-exact float sum)
     "q118_temperature_mix" ->

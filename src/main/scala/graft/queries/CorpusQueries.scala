@@ -1507,6 +1507,26 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Count-preserving dedup reweighting (X104): after near-dup removal,
+    * each kept document carries its duplicate-cluster size as a weight
+    * (singletons weigh 1), so corpus statistics computed over keepers
+    * remain unbiased — the inverse-propensity companion every dedup
+    * pass needs before loss weighting or mixture estimation. Keeper =
+    * the component's min-label doc (q50 semantics); weights are one
+    * group-sized agg; singletons arrive via a hash anti-join. */
+  def dedupReweight(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val groups = NearDup.dupGroups(
+      NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+    val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("weight"))
+    val keepers = groups.filter(col("doc_id") === col("group_id"))
+      .join(sizes, "group_id").select(col("doc_id"), col("weight"))
+    val singles = docs.select("doc_id")
+      .join(groups.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("weight", lit(1L))
+    keepers.unionByName(singles).orderBy("doc_id")
+  }
+
   /** Canonical keeper per near-dup cluster (X89): dedup that keeps the
     * BEST document — quality-score argmax per connected component,
     * doc_id tiebreak — instead of the arbitrary first. Composes the
