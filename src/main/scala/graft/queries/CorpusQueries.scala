@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, Dedup, Multimodal, NearDup, Packing, Percentiles, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, CurationOps, Dedup, Multimodal, NearDup, Packing, Percentiles, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -66,10 +66,17 @@ object CorpusQueries {
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** The session-shared near-dup pair/component artifact over
+    * `documents` at the suite's standard shingle geometry (3-gram,
+    * Jaccard 0.5) — derived once, consumed by q29/q50/q105/q109/q119
+    * ([[graft.operators.CurationOps]]). */
+  private def dupArtifact(spark: SparkSession, dir: String): CurationOps.DupArtifact =
+    CurationOps.dupArtifact(Tables.load(spark, dir, "documents"), dir,
+      "doc_id", "text", n = 3, threshold = 0.5)
+
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    NearDup.ngramJaccardPairs(
-      Tables.load(spark, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+    dupArtifact(spark, dir).pairs
       .orderBy("doc_a", "doc_b")
 
   /** MinHash+LSH candidates, exact-Jaccard verified at 0.8. With 63
@@ -259,10 +266,7 @@ object CorpusQueries {
     * pair graph; group_id = min doc_id in the component (the canonical
     * keeper a dedup pass would retain). */
   def dupGroups(spark: SparkSession, dir: String): DataFrame =
-    NearDup.dupGroups(
-      NearDup.ngramJaccardPairs(
-        Tables.load(spark, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5))
+    dupArtifact(spark, dir).groups
       .orderBy("doc_id")
 
   /** Random-hyperplane LSH approximate top-5, same query/corpus split as
@@ -1516,8 +1520,7 @@ object CorpusQueries {
     * group-sized agg; singletons arrive via a hash anti-join. */
   def dedupReweight(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val groups = NearDup.dupGroups(
-      NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+    val groups = dupArtifact(spark, dir).groups
     val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("weight"))
     val keepers = groups.filter(col("doc_id") === col("group_id"))
       .join(sizes, "group_id").select(col("doc_id"), col("weight"))
@@ -1536,8 +1539,7 @@ object CorpusQueries {
   def canonicalKeeper(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
-    val groups = NearDup.dupGroups(
-      NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+    val groups = dupArtifact(spark, dir).groups
     val quality = spread(docs).select(col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"))
     val byGroup = Window.partitionBy("group_id")
@@ -1592,7 +1594,7 @@ object CorpusQueries {
     * a |sources|² ceiling on rows. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = dupArtifact(spark, dir).pairs
     val src = docs.select(col("doc_id"), col("source"))
     val bySrc = pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))

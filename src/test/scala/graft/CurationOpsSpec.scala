@@ -84,4 +84,32 @@ class CurationOpsSpec extends AnyFunSuite {
     val frac = out.count(_.getBoolean(4)).toDouble / out.length
     assert(frac < 0.5, s"outlier fraction $frac is implausible")
   }
+
+  test("dup artifact: one derivation feeds q29/q50/q105/q109/q119, results unshared-equal") {
+    import graft.operators.{CurationOps, NearDup}
+    CurationOps.clear()
+    val before = CurationOps.derivationCount
+    val pairs = CorpusQueries.ngramJaccard(spark, sf).collect()
+    CorpusQueries.dupGroups(spark, sf).collect()
+    CorpusQueries.canonicalKeeper(spark, sf).collect()
+    CorpusQueries.sourceOverlap(spark, sf).collect()
+    CorpusQueries.dedupReweight(spark, sf).collect()
+    assert(CurationOps.derivationCount - before == 1,
+      "five artifact consumers must trigger exactly one pair-pipeline derivation")
+
+    // shared-artifact results must equal a fresh unshared derivation
+    val fresh = NearDup.ngramJaccardPairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == fresh)
+
+    // clear() releases the artifact's persisted RDDs (bracket hygiene)
+    val ids = CurationOps.pinnedRddIds
+    assert(ids.nonEmpty)
+    CurationOps.clear()
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.forall(id => !live.contains(id)),
+      s"artifact RDDs ${ids.filter(live.contains)} survived clear()")
+    assert(CurationOps.pinnedRddIds.isEmpty)
+  }
 }
