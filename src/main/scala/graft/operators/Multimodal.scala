@@ -10,12 +10,16 @@ import graft.functions.TextFunctions
   * metadata; decode / feature-extract / resize / frame-sample run
   * partition-local over batches of blobs.
   *
-  * The actual codecs are STUBBED (this container has no image/audio
-  * libraries): `fakeDecode` derives deterministic pseudo-features from the
-  * blob's md5, so every downstream op — schema, partitioning, batch shape,
-  * join-back — is real and testable, and the feature values are exactly
-  * reproducible in a SQL oracle. Swap `fakeDecode` for a real codec call
-  * per batch in production; nothing else changes.
+  * Two codecs sit behind the same batched `mapPartitions` seam:
+  *  - [[imageDecode]] — a REAL decoder (`javax.imageio`, in the JDK):
+  *    sniffs the container from the bytes, reads true width/height/frame
+  *    count from the image HEADER without materializing pixel rasters —
+  *    at 100 TB the features cost header-parse, not full decode;
+  *  - [[fakeDecode]] — the deterministic stand-in for modalities whose
+  *    codecs this container lacks (audio/video): pseudo-features from the
+  *    blob's md5, exactly reproducible in a SQL oracle. The oracle-gated
+  *    queries (q36/q37) run this one so the cross-engine hash compare
+  *    replays the same math.
   *
   * Scale notes (100 TB of media):
   *  - blobs never pass through the driver; `mapPartitions` keeps decode
@@ -41,12 +45,15 @@ object Multimodal {
       lit("text/plain").as("modality"),
       encode(col(textCol), "UTF-8").as("blob"))
 
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
   /** Deterministic stand-in for a codec: md5 the bytes, derive fake
     * dimensions from the top 56 bits. Mirrors `TextFunctions.md5Hash56`
     * so a SQL oracle can reproduce the values exactly. */
   private[graft] def fakeDecode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+    val hex = md5Hex(bytes)
     val h = (java.lang.Long.parseLong(hex.substring(0, 7), 16) << 28) +
       java.lang.Long.parseLong(hex.substring(7, 14), 16)
     MediaFeatures(
@@ -54,18 +61,49 @@ object Multimodal {
       width = h % 640 + 64, height = h % 480 + 64, n_frames = h % 30 + 1)
   }
 
+  /** Real image codec on the JDK's `javax.imageio`: container sniffed
+    * from the bytes (PNG/JPEG/GIF/BMP…), width/height/frame-count read
+    * from the image HEADER via an `ImageReader` — `ImageIO.read`'s full
+    * raster decode is exactly what a metadata pass over 100 TB of media
+    * must not pay. Bytes that no installed reader recognizes fall back to
+    * [[fakeDecode]] (a real pipeline would route them to the next
+    * modality's codec), so mixed-modality batches never throw. */
+  private[graft] def imageDecode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) fakeDecode(docId, bytes)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val frames = try r.getNumImages(true) catch { case _: Exception => 1 }
+          MediaFeatures(
+            doc_id = docId, n_bytes = bytes.length.toLong, checksum = md5Hex(bytes),
+            width = r.getWidth(0).toLong, height = r.getHeight(0).toLong,
+            n_frames = frames.toLong.max(1L))
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Decode features from a blob table, batching `batchSize` blobs per
-    * codec call (the real-codec integration point). Partition-local, no
-    * shuffle: output order within a partition follows input order. */
-  def decodeFeatures(blobs: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    * codec call. `codec` is the per-blob decoder: [[imageDecode]] (real,
+    * javax.imageio) for image corpora, [[fakeDecode]] (default) for the
+    * oracle-replayable stub path. Partition-local, no shuffle: output
+    * order within a partition follows input order. */
+  def decodeFeatures(blobs: DataFrame, batchSize: Int = 64,
+      codec: (Long, Array[Byte]) => MediaFeatures = fakeDecode): Dataset[MediaFeatures] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // one codec invocation per batch in production; here per-row stub
-          batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+          // one grouped slice per codec invocation: a native codec would
+          // be handed the whole batch here (arrow-UDF shape)
+          batch.map { case (id, bytes) => codec(id, bytes) }
         }
       }
   }

@@ -53,6 +53,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pinned-plan bracket: ivf/semdedup leave the cache manager empty after use") {
+    spark.catalog.clearCache()
+    graft.operators.CurationOps.clear() // memo may reference evicted blocks
+    val queries = embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val corpus = embeddings.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+    val ivf = AnnSearch.ivfTopKPinned(queries, corpus, k = 5, numCentroids = 22, nProbe = 8)
+    assert(ivf.use(_.count()) > 0)
+    val sem = AnnSearch.semDedupVerdictsPinned(embeddings, numClusters = 8, threshold = 0.4)
+    assert(sem.use(_.count()) > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pinned plans must release every cache entry on close()")
+    // close() is idempotent and the plan stays usable (recomputes)
+    ivf.close()
+    assert(ivf.df.count() > 0)
+  }
+
   test("LSH top-k: candidates reranked exactly; recall reported vs brute force") {
     val queries = embeddings.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -158,6 +175,41 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id", "n_bytes", "checksum", "width", "height", "n_frames")
       .orderBy("doc_id").collect().map(_.toString)
     assert(viaMap.toSeq == viaCol.toSeq)
+  }
+
+  test("multimodal: real javax.imageio codec decodes checked-in fixtures via batched mapPartitions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val png = fixture("fixture_37x21.png")
+    val jpg = fixture("fixture_16x9.jpg")
+    val gif = fixture("fixture_8x5.gif")
+    val notImage = "just some text, no magic bytes".getBytes("UTF-8")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("modality", StringType),
+      StructField("blob", BinaryType)))
+    val blobs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image/png", png), Row(2L, "image/jpeg", jpg),
+        Row(3L, "image/gif", gif), Row(4L, "text/plain", notImage)),
+      schema).repartition(2) // exercise >1 partition through mapPartitions
+    val out = Multimodal
+      .decodeFeatures(blobs, batchSize = 2, codec = Multimodal.imageDecode)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).width == 37L && out(1L).height == 21L && out(1L).n_frames == 1L)
+    assert(out(2L).width == 16L && out(2L).height == 9L && out(2L).n_frames == 1L)
+    assert(out(3L).width == 8L && out(3L).height == 5L)
+    assert(out(1L).n_bytes == png.length.toLong)
+    // checksum is the blob md5 regardless of codec
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(png).map(b => f"$b%02x").mkString
+    assert(out(1L).checksum == expectMd5)
+    // unrecognized bytes fall back to the deterministic stub, not a throw
+    assert(out(4L) == Multimodal.fakeDecode(4L, notImage))
   }
 
   test("multimodal: resize bounds blob size; frame sampling fans out") {
