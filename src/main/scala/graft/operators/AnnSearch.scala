@@ -27,6 +27,22 @@ import graft.functions.{Vectors, VectorAvgAgg}
   */
 object AnnSearch {
 
+  /** A query plan plus the cache it pins: operators that persist a
+    * working set the RETURNED plan still reads (ivfTopK's prepped
+    * corpus, semDedup's assigned vectors) cannot eagerly unpersist —
+    * the laziness would silently recompute the index per action. The
+    * handle makes the lifetime explicit in the type instead of prose:
+    * read `df` (many actions, an index serves many queries), then
+    * `close()`; or `use { df => ... }` for bracketed one-shots. */
+  final class PinnedPlan private[AnnSearch] (
+      val df: DataFrame, pinned: Seq[DataFrame]) extends AutoCloseable {
+    /** Unpersist the pinned working set (idempotent). The plan in `df`
+      * stays valid afterwards — actions just recompute the index. */
+    def close(): Unit = pinned.foreach(_.unpersist(blocking = false))
+    /** Bracket: run `f` over the plan, always release the cache. */
+    def use[A](f: DataFrame => A): A = try f(df) finally close()
+  }
+
   private def norm(vec: String): org.apache.spark.sql.Column =
     sqrt(Vectors.dot(col(vec), col(vec)))
 
@@ -144,9 +160,21 @@ object AnnSearch {
   }
 
   /** IVF approximate top-k: probe the nProbe nearest centroids per query,
-    * exact cosine within the probed buckets only. */
+    * exact cosine within the probed buckets only.
+    *
+    * Handle-less convenience over [[ivfTopKPinned]]: the returned plan
+    * still reads the pinned index working set, which the CALLER must
+    * release (sweep query-local caches, as Bench does, or hold the
+    * [[PinnedPlan]] instead). Library callers looping over corpora
+    * should prefer `ivfTopKPinned(...).use { df => ... }`. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      numCentroids: Int, nProbe: Int, kmeansIters: Int = 2): DataFrame = {
+      numCentroids: Int, nProbe: Int, kmeansIters: Int = 2): DataFrame =
+    ivfTopKPinned(queries, corpus, k, numCentroids, nProbe, kmeansIters).df
+
+  /** [[ivfTopK]] with the cache lifetime in the type: the result plan
+    * plus a handle over the pinned corpus working set. */
+  def ivfTopKPinned(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int, nProbe: Int, kmeansIters: Int = 2): PinnedPlan = {
     // the index build reads the corpus (kmeansIters + 2) times — seed,
     // each Lloyd pass, final assignment. Pin the casted+normed working
     // set once instead of re-scanning and re-casting per pass.
@@ -170,11 +198,9 @@ object AnnSearch {
     // The returned plan's final assignment reads the pinned working set
     // too (A/B'd: a fresh uncached prep for the query-time pass costs
     // ~2.7× on the bench — it re-scans AND re-preps per timed run).
-    // CACHE CONTRACT: the pinned blocks live until the caller clears
-    // them (`spark.catalog.clearCache()` or unpersisting); Bench sweeps
-    // query-local persists after every query. An eager unpersist here
-    // would be wrong — the returned DataFrame is lazy and still
-    // references the cache.
+    // The pinned working set's lifetime is the returned PinnedPlan's:
+    // an eager unpersist here would be wrong — the returned DataFrame
+    // is lazy and still references the cache.
     val inverted = assignPrepped(prepped, cents)
     // per query: nProbe nearest centroids
     val q = castDouble(queries, "q").withColumn("nq", norm("q"))
@@ -190,9 +216,10 @@ object AnnSearch {
       .withColumn("sim",
         Vectors.dot(col("q"), col("embedding")) / (col("nq") * col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "rnk", "sim")
+    new PinnedPlan(result, Seq(prepped))
   }
 
   /** Deterministic random-hyperplane planes: `numTables` tables of
@@ -382,10 +409,19 @@ object AnnSearch {
     * design point of SemDeDup (in production numClusters grows with the
     * corpus to hold cluster size roughly constant). The assigned working
     * set is persisted for the duration of the plan (three readers:
-    * both join roles + the verdict spine); callers/benches clear
-    * query-local caches after materialization, same contract as ivfTopK. */
+    * both join roles + the verdict spine).
+    *
+    * Handle-less convenience over [[semDedupVerdictsPinned]] — the
+    * caller releases the pinned working set (Bench's sweep); library
+    * callers looping over corpora should use the pinned variant's
+    * `use` bracket instead. */
   def semDedupVerdicts(corpus: DataFrame, numClusters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    semDedupVerdictsPinned(corpus, numClusters, threshold).df
+
+  /** [[semDedupVerdicts]] with the cache lifetime in the type. */
+  def semDedupVerdictsPinned(corpus: DataFrame, numClusters: Int,
+      threshold: Double): PinnedPlan = {
     val assigned = assign(corpus, seedCentroids(corpus, numClusters))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
@@ -399,11 +435,12 @@ object AnnSearch {
       .filter(col("cos_sim") >= threshold)
       .groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("dup_of"), count(lit(1)).as("n_dominators"))
-    assigned.select("vec_id", "centroid_id")
+    val result = assigned.select("vec_id", "centroid_id")
       .join(doms, Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"),
         coalesce(col("n_dominators"), lit(0L)).as("n_dominators"))
+    new PinnedPlan(result, Seq(assigned))
   }
 
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
