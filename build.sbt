@@ -23,11 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap: SPARK_DRIVER_MEM if set; else 96g (the BASELINE.md
+// measurement method) ONLY when the box actually has the 128 GiB the
+// method assumes — smaller machines self-bound at 8g instead of being
+// handed an Xmx the OS can't back (swap/OOM-kill risk for anyone
+// running benches on a dev laptop).
+val defaultHeap: String = {
+  val memTotalGiB: Long =
+    try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal"))
+        .map(_.replaceAll("[^0-9]", "").toLong).getOrElse(0L)
+      kb / (1024L * 1024L)
+    } catch { case _: Exception => 0L }
+  if (memTotalGiB >= 120) "96g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Xmx is a cap, not a reservation: default to the measurement
-  // method's heap (BASELINE.md, 128 GiB box) so driver-run benches
-  // match the recorded numbers without needing the env var set
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "96g")}",
+  // Xmx is a cap, not a reservation
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

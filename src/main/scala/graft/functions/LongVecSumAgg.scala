@@ -48,7 +48,11 @@ case class LongVecSumAgg(
 
   override def merge(b1: Buf, b2: Buf): Buf = {
     if (b2.sum != null) {
-      if (b1.sum == null) b1.sum = b2.sum
+      // defensive copy: aliasing b2's array would let later merges
+      // mutate the input buffer's state in place — safe under the
+      // current freshly-deserialized-per-row call pattern, but wrong
+      // the moment a caller reuses b2
+      if (b1.sum == null) b1.sum = b2.sum.clone()
       else if (b1.sum.length == b2.sum.length) {
         var i = 0
         while (i < b1.sum.length) { b1.sum(i) += b2.sum(i); i += 1 }

@@ -111,16 +111,28 @@ object Temporal {
     * added / removed / changed / unchanged (content compared by md5, so
     * the join carries a fixed-width digest, not the documents). The
     * shuffle is one exchange per side keyed by id; at equal bucketing
-    * of both snapshots it degrades to a zero-shuffle sort-merge. */
+    * of both snapshots it degrades to a zero-shuffle sort-merge.
+    *
+    * Presence is tracked by an explicit flag, not the digest's
+    * nullability: a row present with NULL content must classify by
+    * presence (md5(NULL) is NULL and would masquerade as absent), and
+    * the changed-comparison is null-safe (`<=>`), so NULL vs non-NULL
+    * content is "changed" and NULL vs NULL "unchanged".
+    *
+    * Precondition: `idCol` is unique within each snapshot — duplicate
+    * ids fan out through the full-outer join (one output row per
+    * cross-pair), as in any keyed diff. */
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
-    val l = a.select(col(idCol).as("id"), md5(col(contentCol)).as("__ha"))
-    val r = b.select(col(idCol).as("id"), md5(col(contentCol)).as("__hb"))
+    val l = a.select(col(idCol).as("id"), lit(1).as("__pa"),
+      md5(col(contentCol)).as("__ha"))
+    val r = b.select(col(idCol).as("id"), lit(1).as("__pb"),
+      md5(col(contentCol)).as("__hb"))
     l.join(r, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__ha").isNull, "added")
-          .when(col("__hb").isNull, "removed")
-          .when(col("__ha") =!= col("__hb"), "changed")
+        when(col("__pa").isNull, "added")
+          .when(col("__pb").isNull, "removed")
+          .when(!(col("__ha") <=> col("__hb")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

@@ -155,7 +155,14 @@ object CorpusOracles {
     * round counts adjacent symbol pairs, picks the deterministic argmax,
     * and applies the merge as a chr(31)-delimited string fold — greedy
     * left-to-right, non-overlapping (a freshly merged tail l||r can never
-    * equal l, so the fold cannot re-consume its own output). */
+    * equal l, so the fold cannot re-consume its own output).
+    *
+    * Each round LEFT JOINs the word table to its (≤1-row) best-pair
+    * table: on a corpus that exhausts before round 5, b$i is EMPTY and a
+    * plain cross join would empty w$i and cascade through
+    * vocab/tokenization — the left join instead yields NULL l/r, the
+    * CASE never fires, and syms pass through unchanged, matching
+    * BpeTrain.train's stop-early-keep-table behavior. */
   private def bpeTrainingCtes: String = {
     val rounds = (1 to 5).map { i =>
       s"""pc$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(wc) AS n
@@ -169,7 +176,7 @@ object CorpusOracles {
                           THEN left(acc, len(acc) - len(b$i.l)) || b$i.l || b$i.r
                           ELSE acc || chr(31) || s END),
                    chr(31)), x -> x <> '') AS syms, wc
-               FROM w${i - 1}, b$i)"""
+               FROM w${i - 1} LEFT JOIN b$i ON true)"""
     }.mkString(",\n")
     s"""toks AS (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents),
@@ -1175,8 +1182,9 @@ object CorpusOracles {
                          FROM embeddings, range(1, 65) t(i)),
           stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM cells GROUP BY 1),
           dqv AS (SELECT vec_id, dim,
-                    (CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT)::DOUBLE
-                       + 127.0) / 254.0 * (mx - mn) + mn AS dq
+                    CASE WHEN mx = mn THEN mn ELSE
+                      (CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT)::DOUBLE
+                         + 127.0) / 254.0 * (mx - mn) + mn END AS dq
                   FROM cells JOIN stats USING (dim)),
           vecs AS (SELECT vec_id, list(dq ORDER BY dim) AS v FROM dqv GROUP BY 1),
           q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
@@ -1451,9 +1459,11 @@ object CorpusOracles {
                         FROM embeddings, range(1, 65) t(i)),
          stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM cells GROUP BY 1)
          SELECT vec_id, dim,
-                CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT) AS q,
-                abs((CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT)::DOUBLE
-                       + 127.0) / 254.0 * (mx - mn) + mn - v) AS err
+                CASE WHEN mx = mn THEN 0 ELSE
+                  CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT) END AS q,
+                CASE WHEN mx = mn THEN 0.0 ELSE
+                  abs((CAST(round((v - mn) / (mx - mn) * 254.0 - 127.0) AS BIGINT)::DOUBLE
+                         + 127.0) / 254.0 * (mx - mn) + mn - v) END AS err
          FROM cells JOIN stats USING (dim)
          ORDER BY vec_id, dim""",
   )

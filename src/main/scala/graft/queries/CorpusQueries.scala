@@ -991,12 +991,18 @@ object CorpusQueries {
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         col("v").cast("double").as("v"))
     val stats = cells.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
-    val q = round((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(254.0)
-      - lit(127.0)).cast("long")
+    // constant dimension (mx = mn) would divide 0/0: Spark folds the NaN
+    // to 0L on the BIGINT cast while DuckDB errors — both engines guard
+    // explicitly instead (q = 0, err = 0 for a constant dim)
+    val const = col("mx") === col("mn")
+    val q = when(const, lit(0L))
+      .otherwise(round((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(254.0)
+        - lit(127.0)).cast("long"))
     val dq = (q.cast("double") + lit(127.0)) / lit(254.0) *
       (col("mx") - col("mn")) + col("mn")
     cells.join(broadcast(stats), Seq("dim"))
-      .select(col("vec_id"), col("dim"), q.as("q"), abs(dq - col("v")).as("err"))
+      .select(col("vec_id"), col("dim"), q.as("q"),
+        when(const, lit(0.0)).otherwise(abs(dq - col("v"))).as("err"))
       .orderBy("vec_id", "dim")
   }
 
@@ -1200,10 +1206,13 @@ object CorpusQueries {
     val cells = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
     val stats = cells.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    // constant-dim guard: same rationale as quantizeInt8 (q93)
+    val const = col("mx") === col("mn")
     val q = round((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(254.0)
       - lit(127.0)).cast("long")
-    val dq = (q.cast("double") + lit(127.0)) / lit(254.0) *
-      (col("mx") - col("mn")) + col("mn")
+    val dq = when(const, col("mn"))
+      .otherwise((q.cast("double") + lit(127.0)) / lit(254.0) *
+        (col("mx") - col("mn")) + col("mn"))
     val dqVecs = cells.join(broadcast(stats), Seq("dim"))
       .select(col("vec_id"), col("dim"), dq.as("dq"))
       .groupBy("vec_id")

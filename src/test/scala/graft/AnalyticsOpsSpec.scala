@@ -135,6 +135,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshot diff: NULL content classifies by presence, not by digest") {
+    import spark.implicits._
+    val a = Seq((1L, Option("x")), (2L, Option.empty[String]), (3L, Option("z")),
+      (5L, Option.empty[String])).toDF("doc_id", "text")
+    val b = Seq((2L, Option.empty[String]), (3L, Option.empty[String]),
+      (4L, Option.empty[String]), (5L, Option("w"))).toDF("doc_id", "text")
+    val out = graft.operators.Temporal.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "removed",   // present only in a, despite non-null content
+      2L -> "unchanged", // NULL on both sides
+      3L -> "changed",   // content -> NULL is a change
+      4L -> "added",     // present only in b, with NULL content
+      5L -> "changed"))  // NULL -> content is a change
+  }
+
   test("incremental rollup merge is lossless on every source and split") {
     val out = CorpusQueries.incrementalRollup(spark, sf).collect()
     assert(out.nonEmpty)
