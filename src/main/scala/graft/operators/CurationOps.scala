@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.storage.StorageLevel
 
 /** The shared dedup artifact stage of a curation run.
@@ -41,6 +42,7 @@ object CurationOps {
 
   private val memo = scala.collection.mutable.HashMap.empty[Key, Entry]
   private val nDerivations = new java.util.concurrent.atomic.AtomicLong(0)
+  private val nonceGen = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var pinned: Set[Int] = Set.empty
 
   /** How many times the pair pipeline actually ran (spec hook: N
@@ -67,7 +69,18 @@ object CurationOps {
       memo.getOrElseUpdate(key, {
         nDerivations.incrementAndGet()
         val before = sc.getPersistentRDDs.keySet.toSet
+        // Ownership tag: a per-derivation nonce filter (optimizer folds it
+        // to nothing AFTER cache lookup, so it costs zero at runtime) makes
+        // the artifact's analyzed plan — and every plan derived from it
+        // inside dupGroups — unique. Without it, CacheManager's
+        // plan-equality dedup can alias the artifact onto a cache entry some
+        // UNRELATED query left behind (same corpus, same params): the whole
+        // derivation then short-circuits into third-party cached data the
+        // memo doesn't own and clear() can't release — and which that
+        // query's owner may unpersist underneath a live artifact.
+        val nonce = nonceGen.incrementAndGet()
         val pairs = NearDup.ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+          .where(lit(nonce) === lit(nonce))
           .persist(StorageLevel.MEMORY_AND_DISK)
         // dupGroups materializes eagerly (its convergence loop runs
         // actions), which also populates the persisted pair blocks —
@@ -83,15 +96,25 @@ object CurationOps {
 
   /** Drop every memoized artifact and unpersist its tables (test/loop
     * hygiene — the session-long memo is the intended production shape).
-    * Unpersists by RDD id: the components table is backed by a persist
-    * inside the dupGroups loop that a projection-level
-    * `DataFrame.unpersist` would not reach. */
+    * Cache entries are removed by a CASCADING uncache from the pairs
+    * plan: the components table is backed by a persist inside the
+    * dupGroups loop whose entry a projection-level `DataFrame.unpersist`
+    * would not reach, but its plan CONTAINS the (nonce-tagged) pairs
+    * plan, so the cascade removes it — entry and storage both, leaving
+    * CacheManager clean for the next derivation. The RDD-id sweep stays
+    * as a backstop for loop-internal persists that are plain RDD caches
+    * rather than CacheManager entries. */
   def clear(): Unit = memo.synchronized {
     memo.values.foreach { e =>
-      if (!e.sc.isStopped)
+      if (!e.sc.isStopped) {
+        val pairs = e.artifact.pairs
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        pairs.sparkSession.sharedState.cacheManager
+          .uncacheQuery(pairs, cascade = true, blocking = false)
         e.sc.getPersistentRDDs
           .filter { case (id, _) => e.rddIds(id) }
           .values.foreach(_.unpersist(blocking = false))
+      }
     }
     memo.clear()
     pinned = Set.empty

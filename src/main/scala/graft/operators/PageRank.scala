@@ -31,32 +31,52 @@ object PageRank {
 
   /** `edges`: (src, dst, w) with positive long weights. Returns
     * (node, rank_scaled) after `iters` rounds, every node from either
-    * endpoint present. */
+    * endpoint present.
+    *
+    * Per-round shape: ONE equi-join + ONE aggregate, nothing else. Two
+    * tricks keep it that way:
+    *  - zero-weight self-loops: the persisted edge table is augmented
+    *    with (s, s, 0) per source, so every node — including those with
+    *    zero inflow this round — appears among the aggregate's keys
+    *    (dst ∪ srcs = the full node set), and the per-round "resurrect
+    *    missing nodes" left join disappears. A zero edge contributes
+    *    `rank·0 div outw = 0` to an integer sum: results are identical.
+    *  - teleport and damping are folded into the aggregate's output
+    *    projection (`teleport + (d·Σc) div 100`), not a separate pass.
+    * The augmented edge table is hash-partitioned by src ONCE and
+    * persisted; each round's join then exchanges only the |V|-row rank
+    * table (the edge side reads its cached partitioning), and the
+    * aggregate exchanges by dst — at cluster scale these are the two
+    * irreducible shuffles of Pregel-style propagation. */
   def weighted(edges: DataFrame, iters: Int = 10, damping: Int = 85): DataFrame = {
     require(iters >= 1 && damping >= 0 && damping <= 100)
+    val spark = edges.sparkSession
+    val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // out-weight per src, pinned once — every iteration reuses it
+    // out-weight per src, computed BEFORE augmentation (w=0 rows must
+    // not alter a source's total out-weight)
     val out = e.groupBy("src").agg(sum("w").as("outw"))
-    val ew = e.join(out, Seq("src")).persist()
+    val ewAug = e.join(out, Seq("src"))
+      .unionByName(out.select(col("src"), col("src").as("dst"),
+        lit(0L).as("w"), col("outw")))
+      .repartition(shuffleN, col("src"))
+      .persist()
     val nNodes = nodes.count() // |V|: control-plane scalar, one job
     val teleport = (100L - damping) * (Scale / nNodes) / 100L
 
     var ranks = nodes.select(col("node"), lit(Scale / nNodes).as("rank_scaled"))
     for (i <- 1 to iters) {
-      val inflow = ew
+      ranks = ewAug
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         // `div`, not `/`: truncating integer division (== DuckDB `//`
         // on positives), NOT the double division `/` would produce
         .select(col("dst"), expr("(rank_scaled * w) div outw").as("c"))
-        .groupBy("dst").agg(sum("c").as("inflow"))
-      ranks = nodes
-        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($damping * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
-            .as("rank_scaled"))
+        .groupBy("dst")
+        .agg((lit(teleport) +
+          expr(s"($damping * sum(c)) div 100")).as("rank_scaled"))
+        .withColumnRenamed("dst", "node")
       // bound lineage growth (same pattern as NearDup.dupGroups), but
       // only every few rounds: each localCheckpoint is a full
       // materialization job, and a 5-round plan is still trivially

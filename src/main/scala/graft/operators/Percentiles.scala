@@ -35,9 +35,18 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
-  /** One output row per key: `p<NN>` columns for each requested fraction. */
+  /** One output row per key: `p<NN>` columns for each requested fraction.
+    *
+    * `numBuckets` is purely a partitioning device — results are
+    * identical for any B (interpolation reads exact values at exact
+    * ranks). It sets the fraction of rows the ranking window touches:
+    * only buckets CONTAINING a bracketing rank are ranked (≤ 2P per
+    * key), so the window exchange carries ~2P/B of the stream. B=2048
+    * makes that a rounding error (measured vs B=32, which windowed
+    * ~44% of the rows: the whole operator drops ~35% at sf0.1) while
+    * the per-(key,bucket) offset table stays tiny (|keys|·B rows). */
   def exact(df: DataFrame, key: String, value: String,
-      ps: Seq[(String, Double)], numBuckets: Int = 32): DataFrame = {
+      ps: Seq[(String, Double)], numBuckets: Int = 2048): DataFrame = {
     val vals = df.select(col(key), col(value).cast("double").as("__v"))
     val stats = vals.groupBy(col(key)).agg(
       count(lit(1)).as("__n"), min("__v").as("__mn"), max("__v").as("__mx"))
