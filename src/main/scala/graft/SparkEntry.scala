@@ -142,6 +142,7 @@ object SparkEntry {
     "q117_vocab_coverage"     -> (CorpusQueries.vocabCoverage(_, _)),
     "q118_temperature_mix"    -> (CorpusQueries.temperatureMix(_, _)),
     "q119_dedup_reweight"     -> (CorpusQueries.dedupReweight(_, _)),
+    "q120_streaming_neardup"  -> (CorpusQueries.streamingNearDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

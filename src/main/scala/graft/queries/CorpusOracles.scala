@@ -185,7 +185,7 @@ object CorpusOracles {
        $rounds"""
   }
 
-  val sql: Map[String, String] = Map(
+  private val sqlBase: Map[String, String] = Map(
     "q24_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
          FROM documents GROUP BY 1 ORDER BY 1""",
@@ -419,7 +419,11 @@ object CorpusOracles {
           ORDER BY query_id, rnk""",
 
     // X91: incremental cross-snapshot dedup — new snapshot (src10+)
-    // probed against the indexed corpus (src0–src9) on hashed shingles
+    // probed against the indexed corpus (src0–src9) on hashed shingles.
+    // The SAME oracle also gates q120, the X101 STREAMING face of the
+    // operator: per-doc verdicts depend only on (doc, index), never on
+    // which micro-batch carried the doc, so batch and foreachBatch
+    // compositions must produce identical tables.
     "q107_incremental_neardup" ->
       s"""WITH $shingleCte,
          shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
@@ -1467,4 +1471,10 @@ object CorpusOracles {
          FROM cells JOIN stats USING (dim)
          ORDER BY vec_id, dim""",
   )
+
+  // X101: the STREAMING composition of X91 (ingest-time near-dup gate,
+  // foreachBatch over a file stream) shares the batch oracle verbatim —
+  // batch independence makes it the exact gate; see the q107 comment.
+  val sql: Map[String, String] =
+    sqlBase + ("q120_streaming_neardup" -> sqlBase("q107_incremental_neardup"))
 }

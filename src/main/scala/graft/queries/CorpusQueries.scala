@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, CurationOps, Dedup, Multimodal, NearDup, Packing, Percentiles, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
@@ -1583,6 +1584,45 @@ object CorpusQueries {
       batch = docs.filter(srcNum >= 10), index = docs.filter(srcNum < 10),
       idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5)
       .orderBy("doc_id")
+  }
+
+  /** q107 through the STREAMING face (X101): the new snapshot arrives as
+    * a file stream, [[graft.streaming.CorpusStreams.nearDupIngest]]
+    * verdicts each micro-batch against the static index via foreachBatch,
+    * and the per-batch verdict tables land in an append-mode parquet sink
+    * — the ingest-pipeline shape, where verdicts are written to storage
+    * as documents arrive, not collected. `Trigger.AvailableNow` drains
+    * the backlog and stops, so the query is a finite job; per-doc
+    * verdicts depend only on (doc, index), never on micro-batch
+    * boundaries, so the result table equals q107's batch run row-for-row
+    * (and shares its DuckDB oracle). */
+  def streamingNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val index = docs.filter(srcNum < 10)
+    // fresh sink/checkpoint dirs per invocation: concurrent bench streams
+    // running this query must not share streaming state or output files
+    val out = java.nio.file.Files.createTempDirectory("graft-q120-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q120-ckpt").toString
+    // the file source only monitors DIRECTORIES (its basePath is the
+    // source path itself), so stage a stream-input dir holding a symlink
+    // to the table file — the local analogue of the landing directory a
+    // real ingest stream watches
+    val in = java.nio.file.Files.createTempDirectory("graft-q120-in")
+    java.nio.file.Files.createSymbolicLink(
+      in.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(in.toString)
+      .filter(srcNum >= 10)
+    CorpusStreams.nearDupIngest(stream, index, "doc_id", "text",
+        n = 3, threshold = 0.5) { (verdicts, _) =>
+        verdicts.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+      .awaitTermination()
+    spark.read.parquet(out).orderBy("doc_id")
   }
 
   /** Prototypicality pruning verdicts (X92): cosine-to-centroid score

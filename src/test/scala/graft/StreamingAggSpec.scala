@@ -21,6 +21,17 @@ class StreamingAggSpec extends AnyFunSuite {
   private def ev(id: Long, t: String, user: Long, typ: String = "click",
       v: Double = 1.0): EventRow = EventRow(id, ts(t), user, typ, v)
 
+  test("q120 composition: file-stream ingest gate equals the batch q107 table") {
+    // the full driver-gated composition — file stream in, foreachBatch
+    // verdicts, parquet sink out — must reproduce the batch twin exactly
+    val streamed = graft.queries.CorpusQueries.streamingNearDedup(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.queries.CorpusQueries.incrementalNearDedup(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming ingest near-dup: per-micro-batch verdicts equal the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, sf, "documents")
