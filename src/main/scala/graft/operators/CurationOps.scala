@@ -35,19 +35,33 @@ object CurationOps {
     * components (doc_id, group_id), both persisted. */
   final case class DupArtifact(pairs: DataFrame, groups: DataFrame)
 
+  /** A trained BPE tokenizer: the merge table (driver-side scalars — the
+    * learned model) and the localCheckpoint-pinned word-type table with
+    * all merges applied. */
+  final case class BpeModel(merges: Seq[BpeTrain.Merge], words: DataFrame)
+
   private final case class Key(appId: String, corpus: String, n: Int, threshold: Double)
+  private final case class BpeKey(appId: String, corpus: String,
+      textCol: String, rounds: Int)
 
   private final case class Entry(artifact: DupArtifact,
       sc: org.apache.spark.SparkContext, rddIds: Set[Int])
+  private final case class BpeEntry(model: BpeModel,
+      sc: org.apache.spark.SparkContext, rddIds: Set[Int])
 
   private val memo = scala.collection.mutable.HashMap.empty[Key, Entry]
+  private val bpeMemo = scala.collection.mutable.HashMap.empty[BpeKey, BpeEntry]
   private val nDerivations = new java.util.concurrent.atomic.AtomicLong(0)
+  private val nBpeDerivations = new java.util.concurrent.atomic.AtomicLong(0)
   private val nonceGen = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var pinned: Set[Int] = Set.empty
 
   /** How many times the pair pipeline actually ran (spec hook: N
     * consumers over one corpus must leave this at 1). */
   def derivationCount: Long = nDerivations.get
+
+  /** How many times BPE training actually ran (spec hook, as above). */
+  def bpeDerivationCount: Long = nBpeDerivations.get
 
   /** RDD ids backing memoized artifacts — benchmark harnesses that sweep
     * query-local persisted state between queries must exempt these (the
@@ -94,6 +108,33 @@ object CurationOps {
     }
   }
 
+  /** The shared trained-BPE artifact for `docs` — the train-once
+    * counterpart of [[dupArtifact]] for the tokenizer family: training
+    * (q103) runs ~3 driver-synced jobs per merge round, and tokenization
+    * (q104) plus fertility reporting (q111) only need the resulting
+    * merge table and word-type lookup, exactly how a production pipeline
+    * trains a tokenizer once and ships the merge table to every
+    * downstream tokenize pass. The word-type table is already
+    * localCheckpoint-pinned by the trainer (plan-unique RDDs, so there
+    * is no CacheManager plan-aliasing to defend against — contrast the
+    * nonce in [[dupArtifact]]); results are identical to per-query
+    * training by construction. */
+  def bpeModel(docs: DataFrame, corpusKey: String, textCol: String,
+      rounds: Int): BpeModel = {
+    val sc = docs.sparkSession.sparkContext
+    val key = BpeKey(sc.applicationId, corpusKey, textCol, rounds)
+    bpeMemo.synchronized {
+      bpeMemo.getOrElseUpdate(key, {
+        nBpeDerivations.incrementAndGet()
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val (merges, words) = BpeTrain.train(docs, textCol, rounds)
+        val ids = sc.getPersistentRDDs.keySet.toSet -- before
+        pinned = pinned ++ ids
+        BpeEntry(BpeModel(merges, words), sc, ids)
+      }).model
+    }
+  }
+
   /** Drop every memoized artifact and unpersist its tables (test/loop
     * hygiene — the session-long memo is the intended production shape).
     * Cache entries are removed by a CASCADING uncache from the pairs
@@ -117,6 +158,15 @@ object CurationOps {
       }
     }
     memo.clear()
+    bpeMemo.synchronized {
+      bpeMemo.values.foreach { e =>
+        if (!e.sc.isStopped)
+          e.sc.getPersistentRDDs // localCheckpoint RDDs: id sweep IS the release
+            .filter { case (id, _) => e.rddIds(id) }
+            .values.foreach(_.unpersist(blocking = false))
+      }
+      bpeMemo.clear()
+    }
     pinned = Set.empty
   }
 }

@@ -75,6 +75,13 @@ object CorpusQueries {
     CurationOps.dupArtifact(Tables.load(spark, dir, "documents"), dir,
       "doc_id", "text", n = 3, threshold = 0.5)
 
+  /** The session-shared trained-BPE artifact at the suite's standard
+    * geometry (5 merge rounds over `documents.text`) — trained once,
+    * consumed by q103/q104/q111 ([[graft.operators.CurationOps]]). */
+  private def bpe(spark: SparkSession, dir: String): CurationOps.BpeModel =
+    CurationOps.bpeModel(spread(Tables.load(spark, dir, "documents")), dir,
+      "text", rounds = 5)
+
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     dupArtifact(spark, dir).pairs
@@ -1257,8 +1264,8 @@ object CorpusQueries {
     * 5 rounds as unrolled CTEs bit-for-bit. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = spread(Tables.load(spark, dir, "documents"))
-    val (merges, words) = BpeTrain.train(d, "text", rounds = 5)
+    val model = bpe(spark, dir)
+    val (merges, words) = (model.merges, model.words)
     val mdf = spark.createDataFrame(
         merges.map(m => ("merge", m.round.toLong, m.left, m.right, m.weight)))
       .toDF("kind", "rnk", "left_sym", "right_sym", "weight")
@@ -1283,7 +1290,7 @@ object CorpusQueries {
     * nothing but (word, count) pairs move. */
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(Tables.load(spark, dir, "documents"))
-    val (_, words) = BpeTrain.train(d, "text", rounds = 5)
+    val words = bpe(spark, dir).words
     val lut = words.select(array_join(col("syms"), "").as("word"),
       size(col("syms")).cast("long").as("n_sub"))
     d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -1303,7 +1310,7 @@ object CorpusQueries {
     * divisions of exact longs, so the report replays bit-for-bit. */
   def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(Tables.load(spark, dir, "documents"))
-    val (_, words) = BpeTrain.train(d, "text", rounds = 5)
+    val words = bpe(spark, dir).words
     val lut = words.select(array_join(col("syms"), "").as("word"),
       size(col("syms")).cast("long").as("n_sub"))
     d.select(col("source"), explode(split(col("text"), " ")).as("word"))

@@ -112,4 +112,31 @@ class CurationOpsSpec extends AnyFunSuite {
       s"artifact RDDs ${ids.filter(live.contains)} survived clear()")
     assert(CurationOps.pinnedRddIds.isEmpty)
   }
+
+  test("bpe artifact: one training feeds q103/q104/q111, results untrained-equal") {
+    import graft.operators.{BpeTrain, CurationOps}
+    CurationOps.clear()
+    val before = CurationOps.bpeDerivationCount
+    val trained = CorpusQueries.bpeTrain(spark, sf).collect()
+    CorpusQueries.bpeTokenize(spark, sf).collect()
+    CorpusQueries.tokenizerFertility(spark, sf).collect()
+    assert(CurationOps.bpeDerivationCount - before == 1,
+      "three tokenizer consumers must trigger exactly one BPE training")
+
+    // merge rows must equal a fresh unshared training run
+    val fresh = BpeTrain.train(
+      Tables.load(spark, sf, "documents"), "text", rounds = 5)._1
+    val gotMerges = trained.filter(_.getString(0) == "merge")
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(gotMerges ==
+      fresh.map(m => (m.round.toLong, m.left, m.right, m.weight)).toSet)
+
+    // clear() releases the checkpointed word-type tables
+    val ids = CurationOps.pinnedRddIds
+    assert(ids.nonEmpty)
+    CurationOps.clear()
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.forall(id => !live.contains(id)),
+      s"BPE RDDs ${ids.filter(live.contains)} survived clear()")
+  }
 }
