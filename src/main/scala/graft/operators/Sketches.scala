@@ -74,7 +74,16 @@ object Sketches {
     * q-digest bound bits·n/σ of the target rank. */
   def qdigestChecked(df: DataFrame, key: String, vLong: String,
       fracs: Seq[(String, Double)], bits: Int = 24, sigma: Int = 2048): DataFrame = {
-    val sk = df.groupBy(col(key)).agg(
+    // The check is a THREE-pass consumer of the same (key, value) slice —
+    // sketch agg, true-rank recount, exact-percentile twin. Materialize
+    // the projection once so the fact-table scan and its exchange are
+    // paid once, not three times (the slice is two columns; at cluster
+    // scale this is the staged scratch table a diagnostic run writes).
+    // Lifetime: freed by the session's next cache sweep (Bench) or
+    // catalog.clearCache(); recomputation after that is just the scan.
+    val in = df.select(col(key), col(vLong))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = in.groupBy(col(key)).agg(
       exprColumn(QDigestAgg(columnExpr(col(vLong)), bits, sigma).toAggregateExpression())
         .as("__sk"),
       count(lit(1)).as("__n"))
@@ -92,8 +101,8 @@ object Sketches {
         ceil(lit(f) * col("__n").cast("double"))) <= bound).as(s"__ok_$nm"))
     }
     val exact = Percentiles.exact(
-      df.select(col(key), col(vLong).cast("double").as("__v")), key, "__v", fracs)
-    df.join(broadcast(ests), Seq(key))
+      in.select(col(key), col(vLong).cast("double").as("__v")), key, "__v", fracs)
+    in.join(broadcast(ests), Seq(key))
       .groupBy(col(key))
       .agg(max(col("__n")).as("__n"), rankChecks.map(_._1): _*)
       .select(col(key) +: rankChecks.map(_._2): _*)
