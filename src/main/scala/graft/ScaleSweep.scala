@@ -1,0 +1,93 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-exponent probe: run the data-dominated queries at every
+  * local SF (sf0.001 / sf0.01 / sf0.1 — 100× data spread) and report
+  * the fitted per-decade growth, `slope = log10(t_hi/t_lo)` between
+  * adjacent SFs.
+  *
+  * Reading the slope at local scale:
+  *  - ~0.0  — job-floor-bound: wall-clock is scheduling, not data; the
+  *    query says nothing about scaling yet (most of the suite at
+  *    sf≤0.01 — and why the sequential suite total is a floor count,
+  *    not a throughput measure, BASELINE.md).
+  *  - ~0.3-1.0 at the largest step — work grows at most linearly in
+  *    input; the partition-parallel design point.
+  *  - >1.3 sustained at the largest step — superlinear growth a 100×
+  *    scale-up would amplify; a quadratic candidate-gen stage would
+  *    show ~2.0 here. Anything in this band is a design bug to fix,
+  *    not a constant to tune.
+  *
+  * The probe measures the 0.01→0.1 slope where data first dominates
+  * the floor; the 0.001→0.01 column is reported for completeness but
+  * is floor-noise for most queries. min-of-2 per point (same
+  * scheduling-lottery argument as Bench's min-of-3, at probe cost).
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // data-dominated subset: every query whose r4/r5 bench cost is not
+    // pure job floor — dedup pair-gen, ANN, sketches, rank machinery,
+    // iterative graph, streaming ingest, curation composition
+    val defaults = Seq(
+      "q25_text_stats", "q29_ngram_jaccard", "q30_minhash_lsh",
+      "q32_simhash_pairs", "q33_embed_neardup", "q35_ann_ivf_topk",
+      "q47_percentiles", "q48_tfidf", "q49_ann_lsh_topk", "q50_dup_groups",
+      "q57_decontaminate", "q67_chunk_dedup", "q78_setsim_join",
+      "q80_quantile_sketch", "q82_curate", "q84_bigram_lm",
+      "q91_equidepth_hist", "q93_quantize_int8", "q94_token_pagerank",
+      "q101_pq_ann", "q102_span_excise", "q106_semdedup",
+      "q107_incremental_neardup")
+    val names = if (args.nonEmpty) args.toSeq else defaults
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
+    def timeOne(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        sweep()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup (JIT + codegen cache for this plan shape)
+      math.min(once(), once())
+    }
+
+    val rows = names.map { n =>
+      val ts = sfs.map(timeOne(n, _))
+      val slopes = ts.sliding(2).map { case Seq(a, b) =>
+        math.log10(math.max(b, 1e-3) / math.max(a, 1e-3))
+      }.toSeq
+      println(f"[sweep] $n%-28s ${ts.map(t => f"$t%7.2f").mkString(" ")}  " +
+        f"slope001_01=${slopes.head}%5.2f  slope01_1=${slopes(1)}%5.2f")
+      (n, ts, slopes)
+    }
+    val risky = rows.filter(_._3.last > 1.3)
+    println("[sweep] per-decade slope at the 0.01->0.1 step; " +
+      s"${risky.size} queries above the 1.3 superlinear flag" +
+      (if (risky.nonEmpty) ": " + risky.map(_._1).mkString(", ") else ""))
+    val qs = rows.map { case (n, ts, sl) =>
+      "\"" + n.takeWhile(_ != '_') + "\":{\"t\":[" +
+        ts.map(t => f"$t%.3f").mkString(",") + "],\"slope\":" +
+        f"${sl.last}%.3f}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_sweep","sfs":["0.001","0.01","0.1"],"queries":$qs}""")
+    spark.stop()
+  }
+}
