@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic star schema (TESTDATA.md).
   *
@@ -49,9 +49,16 @@ object Tables {
       // spark.sql.legacy.parquet.nanosAsLong=true so the column arrives as
       // nano-epoch Long; normalize to TimestampType here (values are
       // micro-aligned so `div 1000` is lossless).
-      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case None    => df
+      df.schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // Driver generations vary in the parquet logical type: naive
+        // timestamp[us] arrives as TIMESTAMP_NTZ. All sessions run with
+        // session tz UTC, so the cast to TimestampType is a lossless
+        // identity on the stored micros — and keeps every downstream
+        // operator (unix_micros, window lag, interval arith) on the one
+        // timestamp type the engine standardizes on.
+        case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
       }
     })
 

@@ -140,6 +140,32 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: for each candidate pair,
+    * `containment(A→B) = |A∩B| / |A|` — the near-SUBSET detector Jaccard
+    * misses. A short document quoted whole inside a long one scores
+    * Jaccard |A|/|B| (arbitrarily low as B grows) but containment 1.0;
+    * this is the signal that catches boilerplate inclusion, quotation,
+    * and template expansion (the Broder'97 "containment" companion to
+    * resemblance). Emits both directions plus the max, filtered at
+    * `threshold` on the max — so either direction of near-inclusion
+    * surfaces the pair.
+    *
+    * Same two-shuffle shape as [[ngramJaccardPairs]] (shared
+    * [[pairCommonCounts]] core): bucket-by-hash with `dfCap` skew bound,
+    * pair-count aggregate, pure column arithmetic after — nothing new
+    * shuffles, only the filter predicate differs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
+    val contA = col("n_common").cast("double") / col("size_a").cast("double")
+    val contB = col("n_common").cast("double") / col("size_b").cast("double")
+    pairCommonCounts(hashedShingles(docs, idCol, textCol, n), dfCap)
+      .withColumn("cont_a", contA)
+      .withColumn("cont_b", contB)
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "cont_a", "cont_b", "containment")
+  }
+
   /** Incremental (cross-snapshot) near-dup verdicts: each NEW-batch doc
     * probed against an already-INDEXED corpus by hashed n-gram shingles —
     * the ingest-time dedup a growing 100 TB corpus runs on every
