@@ -38,7 +38,15 @@ import org.apache.spark.sql.SparkSession
   *    time), and C2 JIT keeps landing through the second full pass
   *    (per-rep times still dropping then); the min cancels the lottery
   *    while still executing the full plan every time;
-  *  - queries run in declared name order (deterministic round-to-round).
+  *  - queries run in declared name order (deterministic round-to-round);
+  *  - SELF-CONTAINED GATE: after the Spark passes the harness times the
+  *    DuckDB oracle suite on the same box (tools/time_duckdb.py, same
+  *    min-of-3/threads=32 method) and emits `duckdb_total_sec` +
+  *    `ratio_throughput`/`ratio_sequential` in the same JSON — every
+  *    recorded artifact carries its own ≤2× denominator. It also emits
+  *    the box-mode record (`q00_floor_sec` job-overhead canary, `gc_ms`,
+  *    `peak_heap_mb`) so cross-round deltas can be attributed to code
+  *    vs box state from artifacts alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -171,22 +179,91 @@ object Bench {
     val wallSec =
       if (streams <= 1) 0.0 else math.min(throughputPass(), throughputPass())
 
+    // THE DENOMINATOR, INSIDE THE ARTIFACT: run the DuckDB oracle suite
+    // (tools/time_duckdb.py — the same min-of-3/threads=32 method this
+    // harness mirrors Spark-side) over the SAME query names on the SAME
+    // data, in the same process tree minutes apart, and emit its total
+    // next to ours. A bench artifact that carries its own baseline is
+    // adjudicable on its own — no pairing with a measurement someone
+    // else ran in a different box mode. SPARK_GRAFT_DUCKDB=0 skips it
+    // (local single-query A/Bs); -1.0 in the output = not measured.
+    val duckTotal: Double =
+      if (sys.env.get("SPARK_GRAFT_DUCKDB").contains("0")) -1.0
+      else try {
+        val oDir = new java.io.File("target/bench-oracle")
+        oDir.mkdirs()
+        // JSON string escape: backslash, quote, and ALL control chars
+        def jq(s: String): String = "\"" + s.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val oracleJson = SparkEntry.oracleSql
+          .filter { case (k, _) => names.contains(k) }
+          .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          oDir.toPath.resolve("oracle_sql.json"), oracleJson)
+        val p = new ProcessBuilder(
+          "python3", "tools/time_duckdb.py", oDir.getPath, sfDir).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        p.waitFor()
+        """"total":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+    def ratio(n: Double): Double =
+      if (duckTotal > 0) math.rint(n / duckTotal * 100) / 100 else -1.0
+
+    // BOX-MODE RECORD, so rounds are comparable from artifacts alone:
+    // the q00 floor (pure per-query job overhead — the canary for the
+    // box's degraded mode), cumulative JVM GC time, and peak heap pool
+    // usage. A later reader can tell "code got slower" from "box was
+    // slow that day" without trusting prose.
+    val q00Floor = results.collectFirst {
+      case (k, v) if k.startsWith("q00") => v }.getOrElse(-1.0)
+    import scala.jdk.CollectionConverters._
+    val gcMs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    val peakHeapMb = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .flatMap(p => Option(p.getPeakUsage).map(_.getUsed))
+      .sum / (1024.0 * 1024.0)
+
     // Two output lines. The verbose line (full query names, full
-    // precision) comes FIRST for humans and BASELINE.md. The driver only
-    // records the LAST ~2000 chars of stdout (and sbt's "[success] ..."
-    // epilogue eats ~70 of them), so the FINAL line is a compact
-    // headline-first JSON — short query keys ("q94" not
-    // "q94_token_pagerank"), 3-decimal seconds — that fits entirely
-    // inside the captured tail and parses on its own.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""throughput_wallclock_sec":$wallSec,"throughput_streams":$streams,"sf":"$sfDir"}""")
-    def r3(v: Double): String = f"$v%.3f"
+    // precision) comes FIRST for humans and BASELINE.md — and is also
+    // written to target/bench_full.json for committing alongside the
+    // round. The driver only records the LAST ~2000 chars of stdout
+    // (and sbt's "[success] ..." epilogue eats ~70 of them), so the
+    // FINAL line is a compact headline-first JSON — short query keys
+    // ("q94" not "q94_token_pagerank"), 2-decimal seconds — sized to
+    // fit entirely inside the captured tail and parse on its own.
+    val headlineFull =
+      s""""throughput_wallclock_sec":$wallSec,"throughput_streams":$streams,""" +
+      s""""duckdb_total_sec":$duckTotal,"ratio_throughput":${ratio(wallSec)},""" +
+      s""""ratio_sequential":${ratio(total)},"q00_floor_sec":$q00Floor,""" +
+      s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb)}"""
+    val verbose =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      headlineFull + s""","sf":"$sfDir"}"""
+    println(verbose)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"), verbose + "\n")
+    catch { case _: Throwable => () }
+    def r2(v: Double): String = f"$v%.2f"
     val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
     }.mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""throughput_wallclock_sec":${r3(wallSec)},"throughput_streams":$streams,""" +
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""throughput_wallclock_sec":${r2(wallSec)},"throughput_streams":$streams,""" +
+      s""""duckdb_total_sec":${r2(duckTotal)},"ratio_throughput":${ratio(wallSec)},""" +
+      s""""ratio_sequential":${ratio(total)},"q00_floor_sec":${r2(q00Floor)},""" +
+      s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb).toLong},""" +
       s""""sf":"$sfName","n_queries":${results.size},"queries":$qsShort}""")
     spark.stop()
   }

@@ -143,6 +143,7 @@ object SparkEntry {
     "q118_temperature_mix"    -> (CorpusQueries.temperatureMix(_, _)),
     "q119_dedup_reweight"     -> (CorpusQueries.dedupReweight(_, _)),
     "q120_streaming_neardup"  -> (CorpusQueries.streamingNearDedup(_, _)),
+    "q121_containment"        -> (CorpusQueries.containmentNearDup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -52,12 +52,20 @@ object Tables {
       df.schema.find(_.name == "ts").map(_.dataType) match {
         case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         // Driver generations vary in the parquet logical type: naive
-        // timestamp[us] arrives as TIMESTAMP_NTZ. All sessions run with
-        // session tz UTC, so the cast to TimestampType is a lossless
-        // identity on the stored micros — and keeps every downstream
+        // timestamp[us] arrives as TIMESTAMP_NTZ. The cast to
+        // TimestampType is a lossless identity on the stored micros
+        // ONLY under a UTC session timezone (any other zone would
+        // silently shift the instants), so the invariant is enforced
+        // here at the API boundary rather than assumed from the
+        // in-repo entry points that all set it. Keeps every downstream
         // operator (unix_micros, window lag, interval arith) on the one
         // timestamp type the engine standardizes on.
-        case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+        case Some(TimestampNTZType) =>
+          require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+            "Tables.load requires spark.sql.session.timeZone=UTC: the " +
+              "TIMESTAMP_NTZ→TimestampType normalization is only a " +
+              "lossless identity under UTC")
+          df.withColumn("ts", col("ts").cast(TimestampType))
         case _ => df
       }
     })

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -93,6 +93,72 @@ case class QDigestAgg(
     copy(child = newChild)
 }
 
+/** [[QDigestAgg]] over a VALUE-COMPRESSED (value, count) stream: each
+  * input row contributes `cnt` occurrences of `value` in one buffer op
+  * (`counts(leaf) += cnt`), identical by the merge algebra to `cnt`
+  * single adds. The right update path when the caller has already
+  * reduced the raw stream to per-value counts (the q80 check derives
+  * one compressed table and feeds the sketch, the rank recount and the
+  * exact twin from it) — the digest state, bound, and stored form are
+  * exactly [[QDigestAgg]]'s. */
+case class QDigestWeightedAgg(
+    value: Expression,
+    cnt: Expression,
+    bits: Int = 24,
+    sigma: Int = 2048,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QDigest.Buffer] with BinaryLike[Expression] {
+
+  require(bits > 0 && bits <= 40, s"bits=$bits out of (0,40]")
+  require(sigma > 0, s"sigma=$sigma")
+
+  override def left: Expression = value
+  override def right: Expression = cnt
+
+  override def createAggregationBuffer(): QDigest.Buffer = new QDigest.Buffer(bits, sigma)
+
+  override def update(buffer: QDigest.Buffer, input: InternalRow): QDigest.Buffer = {
+    val v = value.eval(input)
+    val c = cnt.eval(input)
+    if (v != null && c != null)
+      buffer.addN(v.asInstanceOf[Long], c.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(b1: QDigest.Buffer, b2: QDigest.Buffer): QDigest.Buffer = {
+    b1.mergeIn(b2); b1
+  }
+
+  override def eval(buffer: QDigest.Buffer): Any =
+    new GenericArrayData(buffer.toLongs)
+
+  override def serialize(buffer: QDigest.Buffer): Array[Byte] = {
+    val longs = buffer.toLongs
+    val bb = ByteBuffer.allocate(longs.length * 8)
+    longs.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QDigest.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val longs = Array.fill(bytes.length / 8)(bb.getLong())
+    QDigest.Buffer.fromLongs(longs, bits, sigma)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "qdigest_weighted_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QDigestWeightedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QDigestWeightedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QDigestWeightedAgg =
+    copy(value = newLeft, cnt = newRight)
+}
+
 object QDigest {
 
   /** Mutable digest state: node id → count, plus the running total. */
@@ -117,10 +183,16 @@ object QDigest {
 
     /** Values are clamped into the domain — a quantile sketch over
       * prices/lengths treats out-of-range as saturation, not an error. */
-    def add(v: Long): Unit = {
+    def add(v: Long): Unit = addN(v, 1L)
+
+    /** `cnt` occurrences of `v` in one map op — the value-compressed
+      * update path ([[QDigestWeightedAgg]]); identical to `cnt` single
+      * adds by the merge algebra. */
+    def addN(v: Long, cnt: Long): Unit = {
+      if (cnt <= 0L) return
       val c = if (v < 0) 0L else if (v > maxVal) maxVal else v
-      counts(leafBase + c) = counts.getOrElse(leafBase + c, 0L) + 1L
-      n += 1L
+      counts(leafBase + c) = counts.getOrElse(leafBase + c, 0L) + cnt
+      n += cnt
       if (counts.size >= compressAt) maybeGrow()
     }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 
-import graft.functions.{KmvAgg, QDigest, QDigestAgg}
+import graft.functions.{KmvAgg, QDigest, QDigestWeightedAgg}
 
 /** Sketch aggregates — the mergeable-partial-state building block for
   * 100 TB rollups: per-partition/per-group sketches are tiny, exact to
@@ -74,35 +74,42 @@ object Sketches {
     * q-digest bound bits·n/σ of the target rank. */
   def qdigestChecked(df: DataFrame, key: String, vLong: String,
       fracs: Seq[(String, Double)], bits: Int = 24, sigma: Int = 2048): DataFrame = {
-    // The check is a THREE-pass consumer of the same (key, value) slice —
-    // sketch agg, true-rank recount, exact-percentile twin. Materialize
-    // the projection once so the fact-table scan and its exchange are
-    // paid once, not three times (the slice is two columns; at cluster
-    // scale this is the staged scratch table a diagnostic run writes).
-    // Lifetime: freed by the session's next cache sweep (Bench) or
-    // catalog.clearCache(); recomputation after that is just the scan.
-    val in = df.select(col(key), col(vLong))
+    // The check is a THREE-consumer read of the same stream — sketch
+    // agg, true-rank recount, exact-percentile twin. ONE full-stream
+    // pass value-compresses it to (key, v, count) — a map-side-
+    // combinable hash agg — and every consumer runs on the compressed
+    // table: the sketch through the weighted update path
+    // ([[graft.functions.QDigestWeightedAgg]]), the rank recount as a
+    // conditional weighted sum, the exact twin through
+    // [[Percentiles.exactWeighted]] (no per-row ranking windows).
+    // Materialized once: the table is bounded by |keys|·|value domain|
+    // regardless of row count (at cluster scale this is the staged
+    // scratch table a diagnostic run writes). Lifetime: freed by the
+    // session's next cache sweep (Bench) or catalog.clearCache();
+    // recomputation after that is the scan + one hash agg.
+    val cnts = df.select(col(key), col(vLong))
+      .groupBy(col(key), col(vLong)).agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sk = in.groupBy(col(key)).agg(
-      exprColumn(QDigestAgg(columnExpr(col(vLong)), bits, sigma).toAggregateExpression())
-        .as("__sk"),
-      count(lit(1)).as("__n"))
+    val sk = cnts.groupBy(col(key)).agg(
+      exprColumn(QDigestWeightedAgg(columnExpr(col(vLong)), columnExpr(col("__c")),
+        bits, sigma).toAggregateExpression()).as("__sk"),
+      sum("__c").as("__n"))
     val ests = sk.select(
       col(key) +: col("__n") +: fracs.map { case (nm, f) =>
         exprColumn(QDigest.Quantile(columnExpr(col("__sk")), columnExpr(lit(f)), bits))
           .as(s"__est_$nm")
       }: _*)
-    // true rank of each estimate, from one conditional-agg pass over the
-    // data with the (|groups|-row) estimate table broadcast back in
+    // true rank of each estimate: one conditional weighted sum over the
+    // compressed table with the (|groups|-row) estimates broadcast in
     val bound = (lit(bits.toDouble) * col("__n").cast("double") / lit(sigma.toDouble)) + lit(1.0)
     val rankChecks = fracs.map { case (nm, f) =>
-      val rank = sum(when(col(vLong) <= col(s"__est_$nm"), 1L).otherwise(0L)).as(s"__rank_$nm")
+      val rank = sum(when(col(vLong) <= col(s"__est_$nm"), col("__c"))
+        .otherwise(0L)).as(s"__rank_$nm")
       (rank, (abs(col(s"__rank_$nm").cast("double") -
         ceil(lit(f) * col("__n").cast("double"))) <= bound).as(s"__ok_$nm"))
     }
-    val exact = Percentiles.exact(
-      in.select(col(key), col(vLong).cast("double").as("__v")), key, "__v", fracs)
-    in.join(broadcast(ests), Seq(key))
+    val exact = Percentiles.exactWeighted(cnts, key, vLong, "__c", fracs)
+    cnts.join(broadcast(ests), Seq(key))
       .groupBy(col(key))
       .agg(max(col("__n")).as("__n"), rankChecks.map(_._1): _*)
       .select(col(key) +: rankChecks.map(_._2): _*)

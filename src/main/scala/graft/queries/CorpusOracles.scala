@@ -212,6 +212,23 @@ object CorpusOracles {
 
     "q30_minhash_lsh" -> jaccardPairs(0.8),
 
+    // X105: Broder'97 containment |A∩B|/|A| both directions + max —
+    // the same exact all-pairs core as the Jaccard twin, different
+    // post-arithmetic
+    "q121_containment" ->
+      s"""WITH ${shingleCteN(3)},
+         shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+               FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1)
+         SELECT doc_a, doc_b,
+                nc::DOUBLE / sa.n AS cont_a, nc::DOUBLE / sb.n AS cont_b,
+                greatest(nc::DOUBLE / sa.n, nc::DOUBLE / sb.n) AS containment
+         FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         WHERE greatest(nc::DOUBLE / sa.n, nc::DOUBLE / sb.n) >= 0.6
+         ORDER BY doc_a, doc_b""",
+
     "q31_simhash" ->
       s"WITH $simhashCte SELECT doc_id, simhash FROM fp ORDER BY doc_id",
 
@@ -871,33 +888,32 @@ object CorpusOracles {
          FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
 
     // X66: add-one-smoothed bigram LM trained on the corpus itself;
-    // mean probability (not log-prob — ln is libm-dependent), per-doc
-    // sum folded in position order exactly like the Spark aggregate
+    // mean probability (not log-prob — ln is libm-dependent). The
+    // per-doc sum runs on floor(p*1e12) BIGINTs — associative and
+    // order-free in both engines (a double sum would depend on fold
+    // order), exactly like the Spark aggregate
     "q84_bigram_lm" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          bg AS (SELECT doc_id,
                   unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
-                    i -> struct_pack(pos := i, w1 := w[i + 1], w2 := w[i + 2]))) AS u
+                    i -> struct_pack(w1 := w[i + 1], w2 := w[i + 2]))) AS u
                 FROM b WHERE len(w) >= 2),
-         pr0 AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM bg),
+         pr0 AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM bg),
          uni AS (SELECT t, count(*) AS c1 FROM
                    (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
                  GROUP BY 1),
          voc AS (SELECT count(*) AS v FROM uni),
-         c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr0 GROUP BY 1, 2),
-         p AS (SELECT doc_id, pos,
-                 (c12 + 1)::DOUBLE / (c1 + v)::DOUBLE AS p
-               FROM pr0 JOIN c12 USING (w1, w2)
+         p AS (SELECT doc_id,
+                 CAST(floor((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE * 1e12) AS BIGINT) AS ps
+               FROM pr0
+               JOIN (SELECT w1, w2, count(*) AS c12 FROM pr0 GROUP BY 1, 2) c12
+                 USING (w1, w2)
                JOIN uni ON pr0.w1 = uni.t CROSS JOIN voc),
-         d AS (SELECT doc_id, count(*) AS n_bigrams,
-                 list_reduce(
-                   list_prepend(0.0::DOUBLE,
-                     list_transform(list_sort(list(struct_pack(pos := pos, p := p))),
-                       s -> s.p)),
-                   (a, x) -> a + x) AS sum_p
+         d AS (SELECT doc_id, count(*) AS n_bigrams, sum(ps) AS sum_ps
                FROM p GROUP BY 1)
-         SELECT doc_id, n_bigrams, sum_p / n_bigrams::DOUBLE AS mean_p,
-                sum_p / n_bigrams::DOUBLE >= 0.0335 AS keep
+         SELECT doc_id, n_bigrams,
+                (sum_ps::DOUBLE / 1e12) / n_bigrams::DOUBLE AS mean_p,
+                (sum_ps::DOUBLE / 1e12) / n_bigrams::DOUBLE >= 0.0335 AS keep
          FROM d ORDER BY doc_id""",
 
     // X67: the KMV estimate is one division on the 256th-smallest
@@ -1013,11 +1029,12 @@ object CorpusOracles {
           GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // X74: distinct 4-gram shingle hashes per doc; novelty = share of
-    // shingles with corpus doc-frequency 1
+    // shingles with corpus doc-frequency 1. The shingle CTE is already
+    // distinct per doc, so df = plain COUNT(*) (mirrors the Spark side)
     "q92_novelty" ->
       s"""WITH ${shingleCteN(4)},
           shh AS (SELECT doc_id, ${md5h56("shingle")} AS h FROM sh),
-          dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM shh GROUP BY 1)
+          dfreq AS (SELECT h, count(*) AS df FROM shh GROUP BY 1)
           SELECT doc_id, count(*) AS n_shingles,
                  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
                  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE /

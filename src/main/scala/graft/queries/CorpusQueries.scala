@@ -87,6 +87,22 @@ object CorpusQueries {
     dupArtifact(spark, dir).pairs
       .orderBy("doc_a", "doc_b")
 
+  /** Asymmetric containment near-dup pairs (X105): Broder'97
+    * containment `|A∩B|/|A|` in both directions plus the max, filtered
+    * at 0.6 on the max — the near-SUBSET detector that catches a short
+    * document quoted whole inside a long one (Jaccard |A|/|B| can be
+    * arbitrarily low for such a pair; containment is 1.0 — the
+    * asymmetric case itself is fixture-spec'd in CorpusSpec, since the
+    * synthetic corpus contains only symmetric dups). Shares
+    * [[NearDup.pairCommonCounts]] with the Jaccard/LSH family —
+    * identical bucketed candidate generation, only the post-arithmetic
+    * differs. */
+  def containmentNearDup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.containmentPairs(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.6)
+      .orderBy("doc_a", "doc_b")
+
   /** MinHash+LSH candidates, exact-Jaccard verified at 0.8. With 63
     * hashes / 21 bands of 3 the per-pair miss probability at the
     * threshold is ≈3e-7, and every emitted pair is exact — so the result
@@ -747,21 +763,25 @@ object CorpusQueries {
     * mean bigram probability `avg((c(w1,w2)+1)/(c(w1)+V))`, and gate on
     * a threshold. Mean probability (not log-prob) keeps every operation
     * IEEE-exact across engines (ln is libm-dependent); the per-doc sum
-    * folds in position order via `aggregate(array_sort(...))`, mirrored
-    * by the oracle's `list_reduce(list_sort(...))`. Scale shape: the
-    * count tables are bounded by DISTINCT OBSERVED unigrams/bigrams —
-    * tiny here (V=31, auto-broadcast), wordcount-shaped shuffle joins
-    * at web vocabulary sizes (the planner falls back by size stats);
-    * the only per-doc state is the doc's own bigram list. */
+    * runs on `floor(p·10^12)` LONGS — an associative, order-free
+    * reduction (a double sum would depend on fold order, which is why
+    * an earlier formulation paid an interpreted position-sorted HOF
+    * fold per doc; the fixed-point sum is a plain codegen'd hash agg).
+    * `floor` (not `round`): identical on positives in every engine,
+    * no half-way tie semantics to match. Scale shape: the count tables
+    * are bounded by DISTINCT OBSERVED unigrams/bigrams — tiny here
+    * (V=31, auto-broadcast), wordcount-shaped shuffle joins at web
+    * vocabulary sizes (the planner falls back by size stats); no
+    * per-doc list state at all. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     val base = spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
     val pairs = base.where(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(w) - 2),
-             i -> struct(i AS pos, element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))"""))
+             i -> struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))"""))
         .as("b"))
-      .select(col("doc_id"), col("b.pos").as("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = base.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
@@ -769,13 +789,13 @@ object CorpusQueries {
     val p = pairs.join(c12, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("t", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("pos"),
-        ((col("c12") + lit(1L)).cast("double") / (col("c1") + col("v")).cast("double")).as("p"))
+      .select(col("doc_id"),
+        floor((col("c12") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double") * lit(1e12)).cast("long").as("ps"))
     val perDoc = p.groupBy("doc_id").agg(
-      count(lit(1)).as("n_bigrams"),
-      expr("""aggregate(array_sort(collect_list(struct(pos, p))),
-                        cast(0.0 AS double), (acc, x) -> acc + x.p)""").as("__sum_p"))
-    val meanP = col("__sum_p") / col("n_bigrams").cast("double")
+      count(lit(1)).as("n_bigrams"), sum("ps").as("__sum_ps"))
+    val meanP = (col("__sum_ps").cast("double") / lit(1e12)) /
+      col("n_bigrams").cast("double")
     perDoc.select(col("doc_id"), col("n_bigrams"), meanP.as("mean_p"),
         (meanP >= lit(0.0335)).as("keep"))
       .orderBy("doc_id")
@@ -945,22 +965,34 @@ object CorpusQueries {
   }
 
   /** Per-group equi-depth histogram (X73): 7 exact interpolated octile
-    * boundaries (the q47 bracketing-bucket operator) broadcast back onto
-    * the stream; bucket id = count of boundaries ≤ v (a fixed left-assoc
-    * indicator sum, tie goes up in both engines). The optimizer-statistics
-    * shape: boundary table is |groups|·7, the assignment pass is one
-    * map-side-combinable count agg. */
+    * boundaries broadcast back onto the stream; bucket id = count of
+    * boundaries ≤ v (a fixed left-assoc indicator sum, tie goes up in
+    * both engines). ONE full-stream pass total: the stream is
+    * value-compressed to (key, v, count) by a map-side-combinable hash
+    * agg, boundaries come from [[Percentiles.exactWeighted]] over the
+    * compressed table (no per-row ranking windows), and the histogram
+    * itself aggregates the SAME compressed table — the two branches
+    * share an identical scan+partial-agg subtree, which Spark's
+    * ReuseExchange materializes once. The earlier formulation ran the
+    * bracketing-bucket operator plus a raw assignment pass — 4
+    * full-stream passes where this needs 1 (measured: the compression
+    * is only 600k→594k distinct at sf0.1, so the win is pass count,
+    * not ratio). At cluster scale the compressed table is bounded by
+    * |keys|·|price domain| — independent of row count. */
   def equiDepthHist(spark: SparkSession, dir: String): DataFrame = {
     val fracs = (1 to 7).map(i => (s"b$i", i / 8.0))
-    val li = Tables.load(spark, dir, "lineitem")
+    val cnts = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    val bounds = Percentiles.exact(li, "l_returnflag", "l_extendedprice", fracs)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("__c"))
+    val bounds = Percentiles.exactWeighted(
+      cnts, "l_returnflag", "l_extendedprice", "__c", fracs)
     val bucket = fracs.map { case (nm, _) =>
       when(col("l_extendedprice") >= col(nm), lit(1L)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
-    li.join(broadcast(bounds), Seq("l_returnflag"))
+    cnts.join(broadcast(bounds), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), bucket.as("bucket"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum("__c").as("n"),
         min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
       .orderBy("l_returnflag", "bucket")
   }
@@ -971,12 +1003,16 @@ object CorpusQueries {
     * reads next to the dup-rate. One corpus-wide (hash → doc-frequency)
     * agg over the same hashed-shingle stream the dedup/decontamination
     * operators use, joined back to the per-doc stream; both sides are
-    * O(total shingles) with map-side combine, no quadratic stage. */
+    * O(total shingles) with map-side combine, no quadratic stage.
+    * `NearDup.shingles` emits DISTINCT shingles per doc, so each (h,
+    * doc_id) appears once and the doc-frequency is a plain one-phase
+    * `count(1)` — a `count_distinct` here would pay a needless
+    * two-phase dedup agg for the same result. */
   def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
     val sh = NearDup.shingles(
       Tables.load(spark, dir, "documents"), "doc_id", "text", n = 4)
       .select(col("doc_id"), TextFunctions.md5Hash56(col("shingle")).as("h"))
-    val dfreq = sh.groupBy("h").agg(count_distinct(col("doc_id")).as("df"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -989,27 +1025,38 @@ object CorpusQueries {
 
   /** Per-dimension int8 quantization (X75) of the embedding table — the
     * PQ-lite compression pass an ANN system runs before indexing: global
-    * per-dim (min, max) from one tiny agg (64 rows out of the mappers),
-    * affine map to [−127, 127], dequantization error alongside. Stats
-    * broadcast back onto the stream; the quantization itself is a pure
-    * map. Emitted as (vec, dim) rows so the oracle can hash every cell. */
+    * per-dim (min, max), affine map to [−127, 127], dequantization error
+    * alongside. ARRAY-NATIVE shape: the stats come from ONE pass over
+    * the vector rows through [[graft.functions.DoubleVecMinMaxAgg]] (a
+    * fixed 2d-double buffer per map task — min/max are exact on doubles,
+    * so bit-equal to the per-cell formulation), broadcast back as a
+    * single 2d-array row; the quantization is a pure map, and the
+    * (vec, dim) cells exist only in the final oracle-facing projection —
+    * nothing row·dim-sized ever shuffles. */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
-    val cells = spread(Tables.load(spark, dir, "embeddings"))
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        col("v").cast("double").as("v"))
-    val stats = cells.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.DoubleVecMinMaxAgg
+    val e = spread(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // one row: [min(0)..min(d-1), max(0)..max(d-1)]
+    val stats = e.agg(
+      exprColumn(DoubleVecMinMaxAgg(columnExpr(col("emb"))).toAggregateExpression())
+        .as("__mm"))
+    val d = size(col("__mm")) / 2
+    val cells = e.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("__mm"), posexplode(col("emb")).as(Seq("dim", "v")))
+    val mn = element_at(col("__mm"), (col("dim") + 1).cast("int"))
+    val mx = element_at(col("__mm"), (col("dim") + 1 + d).cast("int"))
     // constant dimension (mx = mn) would divide 0/0: Spark folds the NaN
     // to 0L on the BIGINT cast while DuckDB errors — both engines guard
     // explicitly instead (q = 0, err = 0 for a constant dim)
-    val const = col("mx") === col("mn")
+    val const = mx === mn
     val q = when(const, lit(0L))
-      .otherwise(round((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(254.0)
+      .otherwise(round((col("v") - mn) / (mx - mn) * lit(254.0)
         - lit(127.0)).cast("long"))
-    val dq = (q.cast("double") + lit(127.0)) / lit(254.0) *
-      (col("mx") - col("mn")) + col("mn")
-    cells.join(broadcast(stats), Seq("dim"))
-      .select(col("vec_id"), col("dim"), q.as("q"),
+    val dq = (q.cast("double") + lit(127.0)) / lit(254.0) * (mx - mn) + mn
+    cells
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), q.as("q"),
         when(const, lit(0.0)).otherwise(abs(dq - col("v"))).as("err"))
       .orderBy("vec_id", "dim")
   }

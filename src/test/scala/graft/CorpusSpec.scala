@@ -27,6 +27,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("containment: near-subset pair scores 1.0 where jaccard stays low") {
+    // a short doc quoted WHOLE inside a long one: every short-doc
+    // shingle occurs in the long doc → containment(short→long) = 1.0,
+    // while Jaccard ≈ |A|/|B| stays far below any dup threshold — the
+    // asymmetric signal containmentPairs exists to catch
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long_ = ((1 to 60).map(i => s"w$i") ++ short.split(' ') ++
+      (61 to 120).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((1L, short), (2L, long_)).toDF("doc_id", "text")
+    val rows = NearDup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("cont_a") == 1.0, "short doc fully contained")
+    assert(r.getAs[Double]("cont_b") < 0.2, "long doc barely contained")
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the same pair is invisible to the symmetric Jaccard detector
+    assert(NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).isEmpty)
+  }
+
   test("minhash signature: fixed width, stable across recomputation") {
     val sigs = NearDup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
     val a = sigs.orderBy("doc_id").collect()
