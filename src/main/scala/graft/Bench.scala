@@ -154,10 +154,18 @@ object Bench {
     // mid-run (a concurrent clearCache would evict another stream's
     // working set); one sweep at the end.
     // streams A/B at sf0.1 (74-query suite, min-of-1): 8→11.1 s,
-    // 16→9.1 s, 24→9.4 s, 32→9.0 s — plateau from 16 on; 16 keeps the
-    // most headroom under the plateau
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "16").toInt
-    def throughputPass(): Double = {
+    // 16→9.1 s, 24→9.4 s, 32→9.0 s — a plateau from 16 on IN THE BOX'S
+    // CLEAN MODE. In its degraded mode 16 streams COLLAPSE (r6 measured
+    // 112 s at 16 vs 33 s at 8 on the same code within the hour — the
+    // single-threaded DAGScheduler event loop saturates and queries
+    // pile up behind it), so the default runs ONE pass at each of
+    // {16, 8} and reports the min with its stream count — the same
+    // total cost as min-of-2 at a fixed count, robust to the mode.
+    // SPARK_GRAFT_STREAMS accepts a comma list ("8" pins the old
+    // behavior: one count, min-of-2).
+    val streamCounts = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "16,8")
+      .split(',').map(_.trim.toInt).toSeq
+    def throughputPass(streams: Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
       val t0 = System.nanoTime()
       names.foreach { name =>
@@ -174,10 +182,13 @@ object Bench {
       sweep()
       w
     }
-    // min-of-2: the same scheduling-lottery argument as the sequential
-    // min-of-3, at 2 × ~11 s cost
-    val wallSec =
-      if (streams <= 1) 0.0 else math.min(throughputPass(), throughputPass())
+    // min across the stream-count passes (two passes either way): the
+    // same scheduling-lottery argument as the sequential min-of-3
+    val passCounts =
+      if (streamCounts.length == 1) streamCounts ++ streamCounts else streamCounts
+    val (wallSec, streams) =
+      if (streamCounts.forall(_ <= 1)) (0.0, 1)
+      else passCounts.filter(_ > 1).map(n => (throughputPass(n), n)).min
 
     // THE DENOMINATOR, INSIDE THE ARTIFACT: run the DuckDB oracle suite
     // (tools/time_duckdb.py — the same min-of-3/threads=32 method this
@@ -209,9 +220,16 @@ object Bench {
           oDir.toPath.resolve("oracle_sql.json"), oracleJson)
         val p = new ProcessBuilder(
           "python3", "tools/time_duckdb.py", oDir.getPath, sfDir).start()
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        p.waitFor()
+        // the oracle suite runs warmup + min-of-3 over every query
+        // (~5-6 min at sf0.1); hard-box it so a wedged subprocess can
+        // never stall the harness past its own budget
+        val buf = new java.io.ByteArrayOutputStream()
+        val t = new Thread(() => p.getInputStream.transferTo(buf))
+        t.start()
+        val finished = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!finished) p.destroyForcibly()
+        t.join(10000)
+        val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
         """"total":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
           .map(_.group(1).toDouble).getOrElse(-1.0)
       } catch { case _: Throwable => -1.0 }

@@ -21,9 +21,9 @@ import org.apache.spark.storage.StorageLevel
   * memo is the local-engine equivalent.
   *
   * Consumers: q29 (pairs), q50 (components), q105 canonical keeper,
-  * q109 source overlap, q119 dedup reweighting. Each remains
-  * independently runnable — a cold call simply derives the artifact
-  * itself.
+  * q109 source overlap, q119 dedup reweighting, q121 containment (the
+  * threshold-independent counts core). Each remains independently
+  * runnable — a cold call simply derives the artifact itself.
   *
   * Results are identical to per-query derivation by construction (the
   * memo caches the OUTPUT of the very pipeline each query ran before);
@@ -31,9 +31,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object CurationOps {
 
-  /** Near-dup pair table (doc_a, doc_b, jaccard) and its transitive
-    * components (doc_id, group_id), both persisted. */
-  final case class DupArtifact(pairs: DataFrame, groups: DataFrame)
+  /** The unfiltered pair-common-counts table
+    * (doc_a, doc_b, size_a, size_b, n_common), the Jaccard-filtered
+    * near-dup pair table (doc_a, doc_b, jaccard) and its transitive
+    * components (doc_id, group_id), all persisted. `common` is the
+    * threshold-independent core: Jaccard (q29 family) and containment
+    * (q121) are pure projections over it. */
+  final case class DupArtifact(common: DataFrame, pairs: DataFrame,
+      groups: DataFrame)
 
   /** A trained BPE tokenizer: the merge table (driver-side scalars — the
     * learned model) and the localCheckpoint-pinned word-type table with
@@ -93,17 +98,24 @@ object CurationOps {
         // memo doesn't own and clear() can't release — and which that
         // query's owner may unpersist underneath a live artifact.
         val nonce = nonceGen.incrementAndGet()
-        val pairs = NearDup.ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+        // the artifact's core is the THRESHOLD-INDEPENDENT counts table;
+        // Jaccard pairs and containment are projections — one
+        // pair-generation pipeline feeds every similarity reading
+        val common = NearDup.pairCommonCounts(
+            NearDup.hashedShingles(docs, idCol, textCol, n), Int.MaxValue)
           .where(lit(nonce) === lit(nonce))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        val pairs = NearDup.jaccardFromCounts(common, threshold)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         // dupGroups materializes eagerly (its convergence loop runs
-        // actions), which also populates the persisted pair blocks —
-        // the returned labels are themselves persisted by the loop
+        // actions), which also populates the persisted pair and counts
+        // blocks — the returned labels are themselves persisted by the
+        // loop
         val groups = NearDup.dupGroups(pairs)
         groups.count() // settle: artifact fully resident before memoizing
         val ids = sc.getPersistentRDDs.keySet.toSet -- before
         pinned = pinned ++ ids
-        Entry(DupArtifact(pairs, groups), sc, ids)
+        Entry(DupArtifact(common, pairs, groups), sc, ids)
       }).artifact
     }
   }

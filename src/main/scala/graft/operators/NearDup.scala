@@ -132,13 +132,36 @@ object NearDup {
     // because the bucket table is byte-small: AQE would coalesce the
     // stage doing the real work down to a task or two — measured ~25%
     // off the whole operator at sf0.1.)
-    pairCommonCounts(hashedShingles(docs, idCol, textCol, n), dfCap)
+    jaccardFromCounts(
+      pairCommonCounts(hashedShingles(docs, idCol, textCol, n), dfCap), threshold)
+  }
+
+  /** Jaccard projection of a pair-common-counts table
+    * ((doc_a, doc_b, size_a, size_b, n_common) — [[pairCommonCounts]]'
+    * shape): pure column arithmetic + filter, shared by the standalone
+    * operator and the memoized curation artifact
+    * ([[CurationOps.dupArtifact]]), where the counts table is derived
+    * once and Jaccard/containment are projections over it. */
+  def jaccardFromCounts(common: DataFrame, threshold: Double): DataFrame =
+    common
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
+
+  /** Containment projection of a pair-common-counts table — see
+    * [[containmentPairs]] for semantics, [[jaccardFromCounts]] for why
+    * the projection is factored out. */
+  def containmentFromCounts(common: DataFrame, threshold: Double): DataFrame =
+    common
+      .withColumn("cont_a",
+        col("n_common").cast("double") / col("size_a").cast("double"))
+      .withColumn("cont_b",
+        col("n_common").cast("double") / col("size_b").cast("double"))
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "cont_a", "cont_b", "containment")
 
   /** Asymmetric containment near-dup pairs: for each candidate pair,
     * `containment(A→B) = |A∩B| / |A|` — the near-SUBSET detector Jaccard
@@ -155,16 +178,9 @@ object NearDup {
     * pair-count aggregate, pure column arithmetic after — nothing new
     * shuffles, only the filter predicate differs. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame = {
-    val contA = col("n_common").cast("double") / col("size_a").cast("double")
-    val contB = col("n_common").cast("double") / col("size_b").cast("double")
-    pairCommonCounts(hashedShingles(docs, idCol, textCol, n), dfCap)
-      .withColumn("cont_a", contA)
-      .withColumn("cont_b", contB)
-      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
-      .filter(col("containment") >= threshold)
-      .select("doc_a", "doc_b", "cont_a", "cont_b", "containment")
-  }
+      n: Int, threshold: Double, dfCap: Int = Int.MaxValue): DataFrame =
+    containmentFromCounts(
+      pairCommonCounts(hashedShingles(docs, idCol, textCol, n), dfCap), threshold)
 
   /** Incremental (cross-snapshot) near-dup verdicts: each NEW-batch doc
     * probed against an already-INDEXED corpus by hashed n-gram shingles —

@@ -119,6 +119,12 @@ object Percentiles {
       ps: Seq[(String, Double)]): DataFrame = {
     val base = cnts.select(col(key), col(value).cast("double").as("__v"),
       col(cnt).cast("long").as("__c"))
+    // both windows share ONE partitioning + sort (Spark plans them as
+    // stacked WindowExecs over a single exchange/sort of the compressed
+    // stream) — A/B'd against a groupBy-total + broadcast join for __n,
+    // which was ~0.4 s/call SLOWER at sf0.1: the extra driver-synced
+    // broadcast job outweighs the second in-memory window sweep on a
+    // table that is compressed to |keys|·|domain| rows by contract
     val w = Window.partitionBy(key).orderBy("__v")
     val cum = base
       .withColumn("__end", sum("__c").over(

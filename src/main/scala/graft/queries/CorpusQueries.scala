@@ -93,14 +93,13 @@ object CorpusQueries {
     * document quoted whole inside a long one (Jaccard |A|/|B| can be
     * arbitrarily low for such a pair; containment is 1.0 — the
     * asymmetric case itself is fixture-spec'd in CorpusSpec, since the
-    * synthetic corpus contains only symmetric dups). Shares
-    * [[NearDup.pairCommonCounts]] with the Jaccard/LSH family —
-    * identical bucketed candidate generation, only the post-arithmetic
-    * differs. */
+    * synthetic corpus contains only symmetric dups). A projection over
+    * the session-shared pair-common-counts artifact
+    * ([[graft.operators.CurationOps.dupArtifact]]) — the candidate
+    * generation is derived once per corpus and Jaccard/containment read
+    * it, the production curation shape. */
   def containmentNearDup(spark: SparkSession, dir: String): DataFrame =
-    NearDup.containmentPairs(
-      Tables.load(spark, dir, "documents"), "doc_id", "text",
-      n = 3, threshold = 0.6)
+    NearDup.containmentFromCounts(dupArtifact(spark, dir).common, 0.6)
       .orderBy("doc_a", "doc_b")
 
   /** MinHash+LSH candidates, exact-Jaccard verified at 0.8. With 63
