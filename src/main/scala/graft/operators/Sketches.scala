@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 
@@ -99,23 +100,43 @@ object Sketches {
         exprColumn(QDigest.Quantile(columnExpr(col("__sk")), columnExpr(lit(f)), bits))
           .as(s"__est_$nm")
       }: _*)
-    // true rank of each estimate: one conditional weighted sum over the
-    // compressed table with the (|groups|-row) estimates broadcast in
-    val bound = (lit(bits.toDouble) * col("__n").cast("double") / lit(sigma.toDouble)) + lit(1.0)
-    val rankChecks = fracs.map { case (nm, f) =>
-      val rank = sum(when(col(vLong) <= col(s"__est_$nm"), col("__c"))
-        .otherwise(0L)).as(s"__rank_$nm")
-      (rank, (abs(col(s"__rank_$nm").cast("double") -
-        ceil(lit(f) * col("__n").cast("double"))) <= bound).as(s"__ok_$nm"))
+    // ONE cumulative pass answers BOTH readings: a (key, v) row of the
+    // compressed table covers global ranks (__start, __end], so the
+    // exact interpolated percentile (values at the bracketing ranks —
+    // [[Percentiles.exactWeighted]]'s arithmetic, inlined so the rank
+    // recount shares its window) and the TRUE rank of each sketch
+    // estimate (max __end among values ≤ estimate) fold in the same
+    // groupBy over the same windowed stream — no second pass, no
+    // post-join between check and twin.
+    val w = Window.partitionBy(key).orderBy(vLong)
+    val cum = cnts
+      .withColumn("__end", sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__start", col("__end") - col("__c"))
+      .join(broadcast(ests), Seq(key))
+    def pos(p: Double) = (col("__n") - 1) * p
+    val vDouble = col(vLong).cast("double")
+    val aggs = fracs.zipWithIndex.flatMap { case ((nm, p), i) =>
+      val lo = floor(pos(p)) + 1
+      val hi = ceil(pos(p)) + 1
+      Seq(
+        max(when(col("__start") < lo && lo <= col("__end"), vDouble)).as(s"__lo$i"),
+        max(when(col("__start") < hi && hi <= col("__end"), vDouble)).as(s"__hi$i"),
+        max(pos(p) - floor(pos(p))).as(s"__f$i"),
+        coalesce(max(when(col(vLong) <= col(s"__est_$nm"), col("__end"))), lit(0L))
+          .as(s"__rank_$nm"))
+    } :+ max(col("__n")).as("__n0")
+    val bound = (lit(bits.toDouble) * col("__n0").cast("double") / lit(sigma.toDouble)) + lit(1.0)
+    val okCols = fracs.map { case (nm, f) =>
+      abs(col(s"__rank_$nm").cast("double") -
+        ceil(lit(f) * col("__n0").cast("double"))) <= bound
     }
-    val exact = Percentiles.exactWeighted(cnts, key, vLong, "__c", fracs)
-    cnts.join(broadcast(ests), Seq(key))
-      .groupBy(col(key))
-      .agg(max(col("__n")).as("__n"), rankChecks.map(_._1): _*)
-      .select(col(key) +: rankChecks.map(_._2): _*)
-      .join(exact, Seq(key))
-      .select(col(key) +: fracs.map { case (nm, _) => col(nm) } :+
-        fracs.map { case (nm, _) => col(s"__ok_$nm") }.reduce(_ && _).as("est_ok"): _*)
+    val pCols = fracs.zipWithIndex.map { case ((nm, _), i) =>
+      (col(s"__lo$i") * (lit(1.0) - col(s"__f$i")) + col(s"__hi$i") * col(s"__f$i")).as(nm)
+    }
+    cum.groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: pCols :+ okCols.reduce(_ && _).as("est_ok"): _*)
   }
 
   /** Per-group HLL sketch blobs — the storable/mergeable form. */

@@ -980,19 +980,26 @@ object CorpusQueries {
     * |keys|·|price domain| — independent of row count. */
   def equiDepthHist(spark: SparkSession, dir: String): DataFrame = {
     val fracs = (1 to 7).map(i => (s"b$i", i / 8.0))
+    // pre-normalized to EXACTLY the (key, __v double, __c long) shape
+    // exactWeighted consumes, so its internal casts simplify away and
+    // the two consumer branches aggregate one CANONICALLY IDENTICAL
+    // subtree — ReuseExchange then materializes the scan+partial-agg
+    // once (verified in the plan: the bounds branch reads a
+    // ReusedExchange; with the casts left inside exactWeighted the
+    // pushed-down projection made the exchanges unequal and the corpus
+    // was scanned twice)
     val cnts = Tables.load(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("__v"))
+      .groupBy(col("l_returnflag"), col("__v"))
       .agg(count(lit(1)).as("__c"))
-    val bounds = Percentiles.exactWeighted(
-      cnts, "l_returnflag", "l_extendedprice", "__c", fracs)
+    val bounds = Percentiles.exactWeighted(cnts, "l_returnflag", "__v", "__c", fracs)
     val bucket = fracs.map { case (nm, _) =>
-      when(col("l_extendedprice") >= col(nm), lit(1L)).otherwise(lit(0L))
+      when(col("__v") >= col(nm), lit(1L)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
     cnts.join(broadcast(bounds), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), bucket.as("bucket"))
-      .agg(sum("__c").as("n"),
-        min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .agg(sum("__c").as("n"), min("__v").as("lo"), max("__v").as("hi"))
       .orderBy("l_returnflag", "bucket")
   }
 
