@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, KmvAgg, LongVecSumAgg, Md5Hash56, MinHashAgg, NGramShingles, QDigest, QDigestAgg, SimHashAgg, VectorAvgAgg}
+import graft.functions.{DotProduct, DoubleVecMinMaxAgg, KmvAgg, LongVecSumAgg, Md5Hash56, MinHashAgg, NGramShingles, QDigest, QDigestAgg, QDigestWeightedAgg, SimHashAgg, VectorAvgAgg}
 
 /** Session extension wiring: makes graft's native expressions available
   * from SQL text — the full corpus-pipeline kernel set, e.g.
@@ -82,5 +82,12 @@ object GraftExtensions {
     },
     fn("vec_sum_long", classOf[LongVecSumAgg]) { c =>
       LongVecSumAgg(Cast(c(0), ArrayType(org.apache.spark.sql.types.LongType)))
+    },
+    fn("qdigest_weighted_agg", classOf[QDigestWeightedAgg]) { c =>
+      QDigestWeightedAgg(c(0), Cast(c(1), org.apache.spark.sql.types.LongType),
+        intArg(c(2), "qdigest_weighted_agg"), intArg(c(3), "qdigest_weighted_agg"))
+    },
+    fn("vec_minmax", classOf[DoubleVecMinMaxAgg]) { c =>
+      DoubleVecMinMaxAgg(Cast(c(0), ArrayType(DoubleType)))
     })
 }

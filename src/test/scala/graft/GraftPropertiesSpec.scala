@@ -179,6 +179,16 @@ class GraftPropertiesSpec extends AnyFunSuite {
       "SELECT vec_sum_long(v) AS s FROM (SELECT array(1L, 10L) AS v UNION ALL SELECT array(2L, 20L))")
       .head().getSeq[Long](0)
     assert(vs == Seq(3L, 30L))
+    // weighted q-digest: 50 copies of 1 and 50 of 100 → median at the cut
+    val wmed = spark.sql(
+      """SELECT qdigest_quantile(qdigest_weighted_agg(v, c, 16, 64), 0.5, 16) AS med
+         FROM (SELECT 1L AS v, 50L AS c UNION ALL SELECT 100L, 50L)""")
+      .head().getLong(0)
+    assert(math.abs(wmed - 1L) <= 25L || math.abs(wmed - 100L) <= 25L)
+    val mm = spark.sql(
+      "SELECT vec_minmax(v) AS m FROM (SELECT array(1.0D, 5.0D) AS v UNION ALL SELECT array(3.0D, 2.0D))")
+      .head().getSeq[Double](0)
+    assert(mm == Seq(1.0, 2.0, 3.0, 5.0), s"minmax layout [mn..,mx..]: $mm")
   }
 
   test("KMV buffer property: k smallest distinct values on any layout") {
