@@ -230,6 +230,12 @@ object Bench {
         if (!finished) p.destroyForcibly()
         t.join(10000)
         val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+        // keep the per-query denominator next to the run for per-query
+        // ratio analysis across rounds (the artifact line carries the
+        // total; this file carries the breakdown)
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_duckdb.json"), out)
+        catch { case _: Throwable => () }
         """"total":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
           .map(_.group(1).toDouble).getOrElse(-1.0)
       } catch { case _: Throwable => -1.0 }
