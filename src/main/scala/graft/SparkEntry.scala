@@ -144,6 +144,7 @@ object SparkEntry {
     "q119_dedup_reweight"     -> (CorpusQueries.dedupReweight(_, _)),
     "q120_streaming_neardup"  -> (CorpusQueries.streamingNearDedup(_, _)),
     "q121_containment"        -> (CorpusQueries.containmentNearDup(_, _)),
+    "q122_standardize"        -> (CorpusQueries.standardizeEmbeddings(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1473,6 +1473,28 @@ object CorpusOracles {
          FROM cnt CROSS JOIN stats
          ORDER BY n DESC, l_suppkey LIMIT 10""",
 
+    // X106: per-dim standardization from floor-scaled integer moments
+    // (associative long sums == the Spark LongVecSumAgg reduction);
+    // z expression replayed with the identical op tree
+    "q122_standardize" ->
+      """WITH cells AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+                        FROM embeddings, range(1, 65) t(i)),
+         stats AS (SELECT dim,
+                     sum(CAST(floor(v * 1000000000.0) AS BIGINT)) AS ss,
+                     sum(CAST(floor(v * v * 1000000000.0) AS BIGINT)) AS sq,
+                     count(*) AS n
+                   FROM cells GROUP BY 1),
+         m AS (SELECT dim, (ss::DOUBLE / 1000000000.0) / n::DOUBLE AS mean,
+                 (sq::DOUBLE / 1000000000.0) / n::DOUBLE -
+                   ((ss::DOUBLE / 1000000000.0) / n::DOUBLE) *
+                   ((ss::DOUBLE / 1000000000.0) / n::DOUBLE) AS var
+               FROM stats)
+         SELECT vec_id, dim,
+                CASE WHEN var <= 0.0 THEN 0.0
+                     ELSE (v - mean) / sqrt(var) END AS z
+         FROM cells JOIN m USING (dim)
+         ORDER BY vec_id, dim""",
+
     // X75: global per-dim affine int8 quantization + dequant error,
     // identical op order in both engines
     "q93_quantize_int8" ->

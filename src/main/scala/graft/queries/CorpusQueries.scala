@@ -1067,6 +1067,42 @@ object CorpusQueries {
       .orderBy("vec_id", "dim")
   }
 
+  /** Per-dimension embedding standardization (X106) — the whitening
+    * prep an ANN/PQ pipeline runs before training codebooks: per-dim
+    * mean and population variance from ONE array-native pass
+    * ([[graft.functions.LongVecSumAgg]] over floor-scaled integer
+    * vectors — associative long sums, so the moments are
+    * layout-independent and engine-exact where a double sum would
+    * depend on partition order), broadcast back as two 64-long arrays;
+    * z = (v − mean)/sqrt(var) is a pure map and the (vec, dim) cells
+    * exist only in the final oracle-facing projection (the q93 shape).
+    * Constant dims (var ≤ 0) standardize to 0 in both engines. */
+  def standardizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.LongVecSumAgg
+    val e = spread(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val vecs = e.select(col("vec_id"), col("emb"),
+      expr("transform(emb, x -> cast(floor(x * 1000000000.0) AS bigint))").as("s1"),
+      expr("transform(emb, x -> cast(floor(x * x * 1000000000.0) AS bigint))").as("s2"))
+    val stats = vecs.agg(
+      exprColumn(LongVecSumAgg(columnExpr(col("s1"))).toAggregateExpression()).as("ss"),
+      exprColumn(LongVecSumAgg(columnExpr(col("s2"))).toAggregateExpression()).as("sq"),
+      count(lit(1)).as("n"))
+    val cells = vecs.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("ss"), col("sq"), col("n"),
+        posexplode(col("emb")).as(Seq("dim", "v")))
+    val idx = (col("dim") + 1).cast("int")
+    val mean = (element_at(col("ss"), idx).cast("double") / lit(1000000000.0)) /
+      col("n").cast("double")
+    val variance = (element_at(col("sq"), idx).cast("double") / lit(1000000000.0)) /
+      col("n").cast("double") - mean * mean
+    val z = when(variance <= lit(0.0), lit(0.0))
+      .otherwise((col("v") - mean) / sqrt(variance))
+    cells.select(col("vec_id"), col("dim").cast("long").as("dim"), z.as("z"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** Weighted PageRank over the token-transition graph (X77): nodes =
     * vocabulary, edge (w1 → w2) weighted by bigram count, 10 rounds of
     * [[graft.operators.PageRank.weighted]] — the iterative
