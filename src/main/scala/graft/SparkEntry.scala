@@ -145,6 +145,10 @@ object SparkEntry {
     "q120_streaming_neardup"  -> (CorpusQueries.streamingNearDedup(_, _)),
     "q121_containment"        -> (CorpusQueries.containmentNearDup(_, _)),
     "q122_standardize"        -> (CorpusQueries.standardizeEmbeddings(_, _)),
+    "q123_mutual_knn"         -> (CorpusQueries.mutualKnn(_, _)),
+    "q124_dsir_weights"       -> (CorpusQueries.dsirWeights(_, _)),
+    "q125_rule_filter"        -> (CorpusQueries.ruleFilter(_, _)),
+    "q126_dedup_sweep"        -> (CorpusQueries.dedupSweep(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -339,6 +339,44 @@ object AnnSearch {
         greatest(col("id_a"), col("id_b")).as("vec_b"), col("cos_sim"))
   }
 
+  /** Exact mutual-kNN graph over the corpus: an undirected edge
+    * (vec_a, vec_b) survives iff each endpoint ranks the other within
+    * its own cosine top-`k` — the symmetrized neighborhood graph that
+    * graph-based curation (cluster discovery, SemDeDup-style community
+    * pruning, diversity sampling) consumes; mutuality is the standard
+    * filter that strips hub vectors' one-sided edges.
+    *
+    * Shape: pair similarities come from ONE pass of the block-grid tile
+    * join ([[cosineNearDupPairs]] at threshold −∞ — each unordered pair
+    * scored once, n²d/2 flops spread over B(B+1)/2 independent tiles),
+    * mirrored to both directions with a union (no recompute), then the
+    * per-source top-k runs through the row_number window the native
+    * TopKPerKey rewrite compiles to a partial-topk exchange — ≤k rows
+    * per (mapper, source) shuffle, never the full n² stream. The mutual
+    * join is a self-equi-join of two O(n·k) edge lists. At production
+    * scale the same post-pipeline composes over LSH/IVF candidates
+    * instead of the exact grid.
+    *
+    * Output: (vec_a, vec_b, sim, rnk_ab, rnk_ba) with vec_a < vec_b;
+    * rnk_ab = b's rank in a's list (ties: higher sim first, then lower
+    * neighbor id). */
+  def mutualKnnGraph(corpus: DataFrame, k: Int, blocks: Int = 16): DataFrame = {
+    require(k >= 1, s"mutualKnnGraph: k=$k")
+    val pairs = cosineNearDupPairs(corpus, threshold = java.lang.Double.NEGATIVE_INFINITY, blocks)
+    val directed = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
+      .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim")))
+    val w = Window.partitionBy(col("src")).orderBy(desc("cos_sim"), asc("dst"))
+    val knn = directed
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    val fwd = knn.select(col("src"), col("dst"), col("cos_sim"), col("rnk"))
+    val rev = knn.select(col("src").as("dst"), col("dst").as("src"), col("rnk").as("rnk_back"))
+    fwd.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        col("cos_sim").as("sim"), col("rnk").as("rnk_ab"), col("rnk_back").as("rnk_ba"))
+  }
+
   /** All-pairs theta-join twin of [[cosineNearDupPairs]] — the small-data
     * exactness baseline the grid join is spec-checked against. Not a
     * scale path (BroadcastNestedLoopJoin under the hood). */

@@ -163,6 +163,47 @@ object NearDup {
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "cont_a", "cont_b", "containment")
 
+  /** Dedup threshold calibration sweep over a pair-common-counts table:
+    * for each candidate Jaccard threshold, the surviving pair count and
+    * the number of distinct documents touched by at least one surviving
+    * pair — the curve a curation run reads to PICK its dedup threshold
+    * (pairs ≈ work, docs ≈ upper bound on removals) before committing
+    * the expensive transitive-closure pass at one τ.
+    *
+    * A pure projection over the threshold-independent counts core
+    * ([[pairCommonCounts]] / the session-shared
+    * [[graft.operators.CurationOps.dupArtifact]]): the candidate
+    * pipeline runs once per corpus and every τ is an O(pairs) scan —
+    * never one pair-generation pass per τ. Thresholds arrive as a
+    * broadcast literal table; both aggregates are
+    * |thresholds|·|pairs|-bounded with map-side combine. Zero-survivor
+    * thresholds are kept as explicit 0 rows (left join), so the curve
+    * is always dense. */
+  /** [[thresholdCurve]] from raw documents — derives the counts core
+    * itself (cold-path convenience; pipelines share the artifact). */
+  def thresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, thresholds: Seq[Double]): DataFrame =
+    thresholdCurve(
+      pairCommonCounts(hashedShingles(docs, idCol, textCol, n), Int.MaxValue),
+      thresholds)
+
+  def thresholdCurve(common: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdCurve: no thresholds")
+    val spark = common.sparkSession
+    import spark.implicits._
+    val thr = thresholds.toDF("threshold")
+    val j = jaccardFromCounts(common, threshold = 0.0)
+    val pairsAt = j.join(broadcast(thr), col("jaccard") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docsAt = j
+      .select(col("jaccard"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .join(broadcast(thr), col("jaccard") >= col("threshold"))
+      .groupBy("threshold").agg(count_distinct(col("doc")).as("n_docs"))
+    thr.join(pairsAt, Seq("threshold"), "left")
+      .join(docsAt, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+  }
+
   /** Asymmetric containment near-dup pairs: for each candidate pair,
     * `containment(A→B) = |A∩B| / |A|` — the near-SUBSET detector Jaccard
     * misses. A short document quoted whole inside a long one scores

@@ -1509,6 +1509,114 @@ object CorpusOracles {
                          + 127.0) / 254.0 * (mx - mn) + mn - v) END AS err
          FROM cells JOIN stats USING (dim)
          ORDER BY vec_id, dim""",
+
+    // X107: exact mutual-5-NN graph — each unordered pair's cosine
+    // computed once (same fold as the Spark block-grid pass), mirrored,
+    // per-source rank, mutual equi-join
+    "q123_mutual_knn" ->
+      s"""WITH p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                  ${cosine("a.embedding", "b.embedding")} AS sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         d AS (SELECT ida AS src, idb AS dst, sim FROM p
+               UNION ALL SELECT idb, ida, sim FROM p),
+         r AS (SELECT src, dst, sim,
+                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+               FROM d),
+         k AS (SELECT src, dst, sim, rnk FROM r WHERE rnk <= 5)
+         SELECT a.src AS vec_a, a.dst AS vec_b, a.sim AS sim,
+                a.rnk AS rnk_ab, b.rnk AS rnk_ba
+         FROM k a JOIN k b ON a.src = b.dst AND a.dst = b.src
+         WHERE a.src < a.dst
+         ORDER BY vec_a, vec_b""",
+
+    // X108: DSIR-style hashed importance scores — integer bucket counts,
+    // one fixed-point ratio per bucket (exact long products, one
+    // correctly-rounded division), exact long per-doc sums
+    "q124_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id,
+                  (${md5h56("doc_id::VARCHAR")}) % 20 = 0 AS tgt,
+                  (${md5h56("tok")}) % 4096 AS bkt
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)),
+         cnt AS (SELECT bkt,
+                   sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+                   sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+                 FROM toks GROUP BY 1),
+         tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM cnt),
+         w AS (SELECT bkt,
+                 floor(((ct + 1) * (nr + 4096))::DOUBLE /
+                       ((cr + 1) * (nt + 4096))::DOUBLE * 1e9)::BIGINT AS w
+               FROM cnt CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens, sum(w)::BIGINT AS score_fp,
+                (sum(w)::BIGINT::DOUBLE / count(*)::DOUBLE) / 1e9 AS avg_ratio
+         FROM toks JOIN w USING (bkt) WHERE NOT tgt
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // X109: C4/Gopher rule report — integer word-array folds, exact
+    // double fractions, per-rule 0/1 flags + conjunctive keep
+    "q125_rule_filter" ->
+      """WITH m AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         s AS (SELECT doc_id, text,
+                 len(ws)::BIGINT AS n_words,
+                 list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                   / len(ws)::DOUBLE AS mean_word_len,
+                 len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                   / len(ws)::DOUBLE AS frac_alpha,
+                 len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))::DOUBLE
+                   / len(ws)::DOUBLE AS frac_symbol,
+                 (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)::BIGINT AS stop_hits,
+                 right(text, 1) IN ('.', '!', '?', '"') AS ends_punct,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(text, '{') AS has_brace
+               FROM m),
+         f AS (SELECT *,
+                 CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END::BIGINT AS r_word_count,
+                 CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END::BIGINT AS r_mean_wl,
+                 CASE WHEN frac_alpha >= 0.8 THEN 1 ELSE 0 END::BIGINT AS r_alpha,
+                 CASE WHEN frac_symbol <= 0.1 THEN 1 ELSE 0 END::BIGINT AS r_symbol,
+                 CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS r_stopwords,
+                 CASE WHEN ends_punct THEN 1 ELSE 0 END::BIGINT AS r_end_punct,
+                 CASE WHEN NOT has_lorem THEN 1 ELSE 0 END::BIGINT AS r_no_lorem,
+                 CASE WHEN NOT has_brace THEN 1 ELSE 0 END::BIGINT AS r_no_brace
+               FROM s)
+         SELECT doc_id, n_words, mean_word_len, frac_alpha, frac_symbol,
+                stop_hits, r_word_count, r_mean_wl, r_alpha, r_symbol,
+                r_stopwords, r_end_punct, r_no_lorem, r_no_brace,
+                (r_word_count * r_mean_wl * r_alpha * r_symbol * r_stopwords
+                 * r_end_punct * r_no_lorem * r_no_brace)::BIGINT AS keep
+         FROM f ORDER BY doc_id""",
+
+    // X110: dedup threshold calibration — the q29 all-pairs core grouped
+    // per candidate threshold; LEFT JOIN keeps zero-survivor rows
+    "q126_dedup_sweep" ->
+      s"""WITH $shingleCte,
+         shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h FROM sh),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+               FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+         j AS (SELECT doc_a, doc_b, nc::DOUBLE/(sa.n + sb.n - nc) AS jacc
+               FROM p JOIN sz sa ON doc_a = sa.doc_id
+                      JOIN sz sb ON doc_b = sb.doc_id),
+         t(threshold) AS (VALUES (0.5::DOUBLE), (0.6::DOUBLE), (0.7::DOUBLE),
+                                 (0.8::DOUBLE), (0.9::DOUBLE)),
+         pt AS (SELECT threshold, count(*)::BIGINT AS n_pairs
+                FROM j JOIN t ON jacc >= threshold GROUP BY 1),
+         dt AS (SELECT threshold, count(DISTINCT doc)::BIGINT AS n_docs
+                FROM (SELECT doc_a AS doc, jacc FROM j
+                      UNION ALL SELECT doc_b, jacc FROM j) u
+                JOIN t ON jacc >= threshold GROUP BY 1)
+         SELECT threshold, coalesce(n_pairs, 0) AS n_pairs,
+                coalesce(n_docs, 0) AS n_docs
+         FROM t LEFT JOIN pt USING (threshold) LEFT JOIN dt USING (threshold)
+         ORDER BY threshold""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, CurationOps, Dedup, Multimodal, NearDup, Packing, Percentiles, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, CurationOps, Dedup, ImportanceWeights, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1791,4 +1791,40 @@ object CorpusQueries {
           .as("skew_factor"))
       .orderBy(desc("n"), col("l_suppkey"))
   }
+
+  /** Exact mutual-5-NN graph over the embedding corpus (X107) — the
+    * symmetrized neighborhood graph downstream graph-based curation
+    * consumes; see [[graft.operators.AnnSearch.mutualKnnGraph]] for the
+    * block-grid + partial-topk shape. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame =
+    AnnSearch.mutualKnnGraph(
+        Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"), k = 5)
+      .orderBy("vec_a", "vec_b")
+
+  /** DSIR-style hashed importance scores (X108): raw docs scored by
+    * hashed-unigram likelihood ratio against the deterministic eval-like
+    * target slice (the q57 split) — fixed-point arithmetic end to end,
+    * see [[graft.operators.ImportanceWeights]]. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    ImportanceWeights.hashedRatioScores(
+        spread(Tables.load(spark, dir, "documents")), isEvalDoc,
+        "doc_id", "text", buckets = 4096)
+      .orderBy("doc_id")
+
+  /** C4/Gopher rule-filter report (X109): per-document per-rule
+    * verdicts + conjunctive keep — see
+    * [[graft.operators.QualityRules.report]]. */
+  def ruleFilter(spark: SparkSession, dir: String): DataFrame =
+    QualityRules.report(
+        spread(Tables.load(spark, dir, "documents")), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Dedup threshold calibration curve (X110): surviving pair/doc
+    * counts per candidate Jaccard threshold, a pure sweep over the
+    * session-shared pair-counts artifact core
+    * ([[graft.operators.NearDup.thresholdCurve]]). */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame =
+    NearDup.thresholdCurve(dupArtifact(spark, dir).common,
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      .orderBy("threshold")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Dedup, NearDup, PageRank, Percentiles, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Dedup, ImportanceWeights, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -56,6 +56,20 @@ object syntax {
         stride: Int = 10, minCount: Int = 2): DataFrame =
       ChunkDedup.exciseDupSpans(df, idCol, textCol, win, stride, minCount)
 
+    /** Dedup threshold calibration curve (pairs/docs surviving per τ). */
+    def dedupThresholdCurve(idCol: String, textCol: String, n: Int,
+        thresholds: Seq[Double]): DataFrame =
+      NearDup.thresholdCurve(df, idCol, textCol, n, thresholds)
+
+    /** DSIR-style hashed importance scores for the non-target slice. */
+    def importanceScores(isTarget: Column, idCol: String, textCol: String,
+        buckets: Int = 4096): DataFrame =
+      ImportanceWeights.hashedRatioScores(df, isTarget, idCol, textCol, buckets)
+
+    /** C4/Gopher rule-filter report (per-rule verdicts + keep). */
+    def qualityRuleReport(idCol: String, textCol: String): DataFrame =
+      QualityRules.report(df, idCol, textCol)
+
     /** Learn `rounds` BPE merges from this corpus's `textCol`. */
     def bpeTrain(textCol: String, rounds: Int): (Seq[BpeTrain.Merge], DataFrame) =
       BpeTrain.train(df, textCol, rounds)
@@ -78,6 +92,10 @@ object syntax {
     /** SemDeDup keeper verdicts (cluster-then-compare semantic dedup). */
     def semDedup(numClusters: Int, threshold: Double): DataFrame =
       AnnSearch.semDedupVerdicts(df, numClusters, threshold)
+
+    /** Exact mutual-kNN graph over this embedding corpus. */
+    def mutualKnnGraph(k: Int, blocks: Int = 16): DataFrame =
+      AnnSearch.mutualKnnGraph(df, k, blocks)
 
     /** Prototypicality pruning verdicts (drop the easiest
       * 1/dropDenom of each semantic cluster). */

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnSearch, ImportanceWeights, NearDup, QualityRules}
+
+/** Fixture specs for the round-6 curation extensions (X107–X110):
+  * semantic properties the DuckDB hash gate replays but cannot explain —
+  * mutuality actually dropping hub edges, importance scores ordering
+  * target-like above junk, each quality rule firing on its own
+  * violation, the threshold curve staying dense and monotone. */
+class CurationExtSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("mutual-kNN: one-sided hub edges are dropped, mutual pairs kept") {
+    // k=1 neighborhoods: A↔B are each other's nearest (mutual edge);
+    // C's nearest is B and D's nearest is C, but neither is reciprocated
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // A
+      (1L, Array(1.0f, 0.1f)),   // B
+      (2L, Array(1.0f, 1.0f)),   // C
+      (3L, Array(0.0f, 1.0f))    // D
+    ).toDF("vec_id", "embedding")
+    val edges = AnnSearch.mutualKnnGraph(vecs, k = 1, blocks = 2).collect()
+    assert(edges.length == 1)
+    val e = edges.head
+    assert(e.getAs[Long]("vec_a") == 0L && e.getAs[Long]("vec_b") == 1L)
+    assert(e.getAs[Long]("rnk_ab") == 1L && e.getAs[Long]("rnk_ba") == 1L)
+    assert(e.getAs[Double]("sim") > 0.99)
+    // at k=2 the (B,C) edge becomes mutual too: C ranks B first and B
+    // ranks C second; (A,D) stays absent (orthogonal)
+    val k2 = AnnSearch.mutualKnnGraph(vecs, k = 2, blocks = 2)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k2.contains((1L, 2L)) && !k2.contains((0L, 3L)))
+  }
+
+  test("importance weights: target-vocabulary raw docs outscore junk") {
+    // targets establish the 'good' vocabulary; raw doc 10 reuses it,
+    // raw doc 11 is disjoint junk — its buckets carry ct=0
+    val docs = Seq(
+      (0L, "alpha beta gamma delta alpha beta"),
+      (1L, "alpha gamma epsilon beta delta"),
+      (10L, "alpha beta gamma delta epsilon alpha"),
+      (11L, "junk1 junk2 junk3 junk4 junk5 junk6")
+    ).toDF("doc_id", "text")
+    val out = ImportanceWeights.hashedRatioScores(
+      docs, col("doc_id") < 10L, "doc_id", "text", buckets = 64)
+      .orderBy("doc_id").collect()
+    // only the raw slice is scored
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L))
+    val Array(good, junk) = out
+    assert(good.getAs[Long]("n_tokens") == 6L)
+    assert(good.getAs[Double]("avg_ratio") > junk.getAs[Double]("avg_ratio"),
+      "target-like doc must outscore disjoint-vocab doc")
+    // deterministic: identical score on recompute
+    val again = ImportanceWeights.hashedRatioScores(
+      docs, col("doc_id") < 10L, "doc_id", "text", buckets = 64)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("quality rules: each rule fires on its own violation") {
+    val okWords = (1 to 60).map(i => s"word$i")
+    val good = (okWords ++ QualityRules.gopherStopwords).mkString(" ") + " end."
+    def doc(id: Long, text: String) = (id, text)
+    val docs = Seq(
+      doc(0L, good),
+      doc(1L, "too few words."),                                    // word count
+      doc(2L, good.replace(" end.", " end")),                       // terminal punct
+      doc(3L, good + " {"),                                         // brace (also punct)
+      doc(4L, good.replace("word1 ", "Lorem ipsum ")),              // lorem
+      doc(5L, (okWords.map(_ => "a b") ++ Seq("the", "of")).mkString(" ") + " c."), // mean wl < 3
+      doc(6L, (okWords.map(w => s"#$w") ++ QualityRules.gopherStopwords).mkString(" ") + " end."), // symbols
+      doc(7L, okWords.mkString(" ") + " end.")                      // no stopwords
+    ).toDF("doc_id", "text")
+    val r = QualityRules.report(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def f(i: Int, c: String): Long = r(i).getAs[Long](c)
+    assert(f(0, "keep") == 1L, "clean doc passes all rules")
+    assert(f(1, "r_word_count") == 0L && f(1, "keep") == 0L)
+    assert(f(2, "r_end_punct") == 0L && f(2, "keep") == 0L)
+    assert(f(3, "r_no_brace") == 0L)
+    assert(f(4, "r_no_lorem") == 0L)
+    assert(f(5, "r_mean_wl") == 0L)
+    assert(f(6, "r_symbol") == 0L)
+    assert(f(7, "r_stopwords") == 0L)
+  }
+
+  test("threshold curve: dense rows, monotone, zero-survivor kept as 0") {
+    // docs 1/3 share 10 of 18 shingles (jaccard 10/26 ≈ 0.385);
+    // doc 5 unrelated — so τ=0.9 survives NOTHING and must still emit
+    val a = (1 to 20).map(i => s"s$i").mkString(" ")
+    val b = (1 to 12).map(i => s"s$i").mkString(" ") + " " +
+      (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, a), (3L, b),
+      (5L, (1 to 20).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val curve = NearDup.thresholdCurve(docs, "doc_id", "text", n = 3,
+        thresholds = Seq(0.3, 0.35, 0.9))
+      .orderBy("threshold").collect()
+    assert(curve.length == 3, "one row per threshold, always dense")
+    val pairs = curve.map(_.getAs[Long]("n_pairs"))
+    val docsN = curve.map(_.getAs[Long]("n_docs"))
+    assert(pairs.toSeq == Seq(1L, 1L, 0L))
+    assert(docsN.toSeq == Seq(2L, 2L, 0L))
+    // cross-check against the direct pair operator at the low threshold
+    val exact = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.3).count()
+    assert(pairs(0) == exact)
+  }
+}
