@@ -37,7 +37,8 @@ object ScaleSweep {
       "q80_quantile_sketch", "q82_curate", "q84_bigram_lm",
       "q91_equidepth_hist", "q93_quantize_int8", "q94_token_pagerank",
       "q101_pq_ann", "q102_span_excise", "q106_semdedup",
-      "q107_incremental_neardup", "q121_containment")
+      "q107_incremental_neardup", "q121_containment", "q123_mutual_knn",
+      "q124_dsir_weights", "q127_kmeans")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -149,6 +149,9 @@ object SparkEntry {
     "q124_dsir_weights"       -> (CorpusQueries.dsirWeights(_, _)),
     "q125_rule_filter"        -> (CorpusQueries.ruleFilter(_, _)),
     "q126_dedup_sweep"        -> (CorpusQueries.dedupSweep(_, _)),
+    "q127_kmeans"             -> (CorpusQueries.kmeansTrain(_, _)),
+    "q128_groupwise_split"    -> (CorpusQueries.groupwiseSplit(_, _)),
+    "q129_label_outliers"     -> (CorpusQueries.labelOutliers(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

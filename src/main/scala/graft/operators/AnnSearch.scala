@@ -507,6 +507,51 @@ object AnnSearch {
         (col("proto_rank") * dropDenom > col("n_cluster")).as("keep"))
   }
 
+  /** Per-label embedding outlier candidates — the mislabeled-data
+    * detector an embedding-training curation pass runs over a labeled
+    * corpus: each label's centroid is its fixed-point per-dimension
+    * mean (floor-scaled long sums via
+    * [[graft.functions.LongVecSumAgg]] — associative, layout-
+    * independent, the X106/X111 moments trick), and the `k` members
+    * LEAST similar to their own label's centroid (csim ASC, vec_id
+    * tie-break) are flagged for review. Rank-based rather than
+    * z-score-based on purpose: a z-score needs mean/std over the
+    * members' cosines, an unordered float reduction no cross-engine
+    * gate can pin down — the bottom-k rank is exactly as actionable
+    * and fully deterministic.
+    *
+    * Shape: one fixed-width sum agg per label (map-side combine), the
+    * |labels|×dim centroid table broadcast back into the corpus scan,
+    * and the per-label bottom-k rides the native TopKPerKey partial
+    * exchange. corpus: (vec_id, embedding, label). */
+  def labelOutliers(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"labelOutliers: k=$k")
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.LongVecSumAgg
+    val c = corpus
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", norm("e"))
+    val sums = c
+      .withColumn("s1",
+        expr("transform(e, x -> cast(floor(x * 1000000000.0) AS bigint))"))
+      .groupBy("label")
+      .agg(exprColumn(LongVecSumAgg(columnExpr(col("s1")))
+          .toAggregateExpression()).as("ss"),
+        count(lit(1)).as("n"))
+    val cents = sums.select(col("label"),
+      expr("transform(ss, s -> (cast(s AS double) / 1000000000.0) / cast(n AS double))")
+        .as("cvec"))
+      .withColumn("ncv", norm("cvec"))
+    val w = Window.partitionBy("label").orderBy(asc("csim"), asc("vec_id"))
+    c.join(broadcast(cents), Seq("label"))
+      .withColumn("csim",
+        Vectors.dot(col("cvec"), col("e")) / (col("ncv") * col("nrm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("label", "vec_id", "csim", "rnk")
+  }
+
   /** Single-job emptiness + raggedness guard; returns the corpus
     * embedding width. */
   private def corpusDim(corpus: DataFrame, who: String): Int = {

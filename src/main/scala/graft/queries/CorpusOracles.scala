@@ -1617,6 +1617,72 @@ object CorpusOracles {
                 coalesce(n_docs, 0) AS n_docs
          FROM t LEFT JOIN pt USING (threshold) LEFT JOIN dt USING (threshold)
          ORDER BY threshold""",
+
+    // X111: deterministic Lloyd k-means, 2 unrolled rounds — lowest-id
+    // seeds, cosine-argmax assignment (csim DESC, cid tiebreak),
+    // fixed-point per-dim centroid means (floor-scaled long sums)
+    "q127_kmeans" -> {
+      def assignRn(cents: String) =
+        s"""SELECT e.vec_id, c.cid, ${cosine("c.cvec", "e.embedding")} AS csim,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("c.cvec", "e.embedding")} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN $cents c"""
+      def update(asg: String, m: String, c: String) =
+        s"""$m AS (SELECT a.cid, cl.dim,
+                sum(CAST(floor(cl.v * 1000000000.0) AS BIGINT)) AS ss,
+                count(*) AS n
+              FROM $asg a JOIN cells cl USING (vec_id) GROUP BY 1, 2),
+            $c AS (SELECT cid,
+                list((ss::DOUBLE / 1000000000.0) / n::DOUBLE ORDER BY dim) AS cvec
+              FROM $m GROUP BY cid)"""
+      s"""WITH cells AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+                         FROM embeddings, range(1, 65) t(i)),
+         c0 AS (SELECT vec_id AS cid, embedding AS cvec
+                FROM embeddings ORDER BY vec_id LIMIT 8),
+         a0 AS (SELECT vec_id, cid FROM (${assignRn("c0")}) WHERE rn = 1),
+         ${update("a0", "m1", "c1")},
+         a1 AS (SELECT vec_id, cid FROM (${assignRn("c1")}) WHERE rn = 1),
+         ${update("a1", "m2", "c2")}
+         SELECT vec_id, cid AS centroid_id, csim
+         FROM (${assignRn("c2")}) WHERE rn = 1
+         ORDER BY vec_id"""
+    },
+
+    // X112: leakage-safe groupwise split — the q50 components CTE, all
+    // docs LEFT JOINed (singletons key by doc_id), q53 bucket convention
+    "q128_groupwise_split" ->
+      s"""WITH RECURSIVE $dupGroupCtes,
+         g AS (SELECT node AS doc_id, min(reach) AS group_id
+               FROM r GROUP BY node),
+         wg AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN g USING (doc_id)),
+         b AS (SELECT doc_id, group_id,
+                 (${md5h56("group_id::VARCHAR")}) % 100 AS bkt FROM wg)
+         SELECT doc_id, group_id,
+                CASE WHEN bkt < 80 THEN 'train'
+                     WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+
+    // X113: per-label bottom-5 by cosine to the label's fixed-point
+    // centroid (mislabeled-embedding sweep)
+    "q129_label_outliers" ->
+      s"""WITH cells AS (SELECT vec_id, label, i - 1 AS dim,
+                  embedding[i]::DOUBLE AS v
+                FROM embeddings, range(1, 65) t(i)),
+         m AS (SELECT label, dim,
+                 sum(CAST(floor(v * 1000000000.0) AS BIGINT)) AS ss,
+                 count(*) AS n
+               FROM cells GROUP BY 1, 2),
+         c AS (SELECT label,
+                 list((ss::DOUBLE / 1000000000.0) / n::DOUBLE ORDER BY dim) AS cvec
+               FROM m GROUP BY label),
+         s AS (SELECT e.vec_id, e.label, ${cosine("c.cvec", "e.embedding")} AS csim
+               FROM embeddings e JOIN c USING (label)),
+         r AS (SELECT label, vec_id, csim,
+                 row_number() OVER (PARTITION BY label ORDER BY csim, vec_id) AS rnk
+               FROM s)
+         SELECT label, vec_id, csim, rnk FROM r WHERE rnk <= 5
+         ORDER BY label, vec_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, CurationOps, Dedup, ImportanceWeights, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1827,4 +1827,42 @@ object CorpusQueries {
     NearDup.thresholdCurve(dupArtifact(spark, dir).common,
         Seq(0.5, 0.6, 0.7, 0.8, 0.9))
       .orderBy("threshold")
+
+  /** Deterministic Lloyd k-means codebook training (X111): 2 exact
+    * rounds from lowest-id seeds, final cosine-argmax assignment — see
+    * [[graft.operators.KMeansExact]]. */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    KMeansExact.lloyd(
+        spread(Tables.load(spark, dir, "embeddings"))
+          .select("vec_id", "embedding"), k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  /** Leakage-safe train/val/test split (X112): the split key is the
+    * near-dup GROUP, not the document — near-duplicate docs can never
+    * straddle splits (the eval-contamination mode a doc-keyed split
+    * silently allows). Composes the session-shared components artifact
+    * with the q53 hash-bucket convention; singletons key by their own
+    * doc_id. */
+  def groupwiseSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val withG = docs.select("doc_id")
+      .join(dupArtifact(spark, dir).groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    val bucket = pmod(
+      TextFunctions.md5Hash56(col("group_id").cast("string")), lit(100L))
+    withG
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-label embedding outlier candidates (X113): bottom-5 members by
+    * cosine to their own label's fixed-point centroid — the
+    * mislabeled-data sweep; see
+    * [[graft.operators.AnnSearch.labelOutliers]]. */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame =
+    AnnSearch.labelOutliers(
+        spread(Tables.load(spark, dir, "embeddings")), k = 5)
+      .orderBy("label", "vec_id")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Dedup, ImportanceWeights, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Dedup, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -96,6 +96,15 @@ object syntax {
     /** Exact mutual-kNN graph over this embedding corpus. */
     def mutualKnnGraph(k: Int, blocks: Int = 16): DataFrame =
       AnnSearch.mutualKnnGraph(df, k, blocks)
+
+    /** Deterministic (oracle-exact) Lloyd k-means codebook training. */
+    def kmeansAssign(k: Int, iters: Int): DataFrame =
+      KMeansExact.lloyd(df, k, iters)
+
+    /** Per-label bottom-k cosine outliers (mislabeled-data sweep);
+      * this = labeled embedding corpus. */
+    def labelOutliers(k: Int): DataFrame =
+      AnnSearch.labelOutliers(df, k)
 
     /** Prototypicality pruning verdicts (drop the easiest
       * 1/dropDenom of each semantic cluster). */

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AnnSearch, ImportanceWeights, NearDup, QualityRules}
+import graft.operators.{AnnSearch, ImportanceWeights, KMeansExact, NearDup, QualityRules}
+import graft.queries.CorpusQueries
 
 /** Fixture specs for the round-6 curation extensions (X107–X110):
   * semantic properties the DuckDB hash gate replays but cannot explain —
@@ -87,6 +88,59 @@ class CurationExtSpec extends AnyFunSuite {
     assert(f(5, "r_mean_wl") == 0L)
     assert(f(6, "r_symbol") == 0L)
     assert(f(7, "r_stopwords") == 0L)
+  }
+
+  test("deterministic k-means: separable clusters converge from bad seeds") {
+    // two tight clusters around (1,0) and (0,1); the k=2 lowest-id seeds
+    // both sit in cluster A, so iteration must MOVE a centroid across —
+    // after 2 Lloyd rounds every vector is assigned with csim ≈ 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.00f)), (1L, Array(1.0f, 0.05f)),
+      (2L, Array(1.0f, 0.10f)), (3L, Array(0.05f, 1.0f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.10f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val asg = KMeansExact.lloyd(vecs, k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+    val byCluster = asg.groupBy(_.getAs[Long]("centroid_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byCluster.values.toSet == Set(Set(0L, 1L, 2L), Set(3L, 4L, 5L)),
+      s"clusters should separate: $byCluster")
+    assert(asg.forall(_.getAs[Double]("csim") > 0.99),
+      "converged centroids sit inside their tight clusters")
+    // zero iterations = pure seed assignment (both seeds in cluster A):
+    // the A/B split cannot exist yet
+    val seedOnly = KMeansExact.lloyd(vecs, k = 2, iters = 0).collect()
+      .groupBy(_.getAs[Long]("centroid_id")).keySet
+    assert(seedOnly == Set(0L, 1L))
+  }
+
+  test("groupwise split: no near-dup pair straddles a split boundary") {
+    val split = CorpusQueries.groupwiseSplit(spark, sf)
+    val pairs = NearDup.ngramJaccardPairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(pairs.count() > 0, "fixture should contain near-dup pairs")
+    assert(straddling.count() == 0,
+      "near-duplicate documents must land in the same split")
+    // and the split is total: one row per document
+    assert(split.count() == Tables.load(spark, sf, "documents").count())
+  }
+
+  test("label outliers: a planted mislabeled vector ranks first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7), (1L, Array(1.0f, 0.1f), 7),
+      (2L, Array(1.0f, 0.05f), 7), (3L, Array(0.0f, 1.0f), 7), // mislabeled
+      (10L, Array(0.0f, 1.0f), 9), (11L, Array(0.1f, 1.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = AnnSearch.labelOutliers(vecs, k = 2)
+      .filter(col("label") === 7 && col("rnk") === 1L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("vec_id") == 3L,
+      "the off-cluster member must be the top outlier of its label")
   }
 
   test("threshold curve: dense rows, monotone, zero-survivor kept as 0") {
