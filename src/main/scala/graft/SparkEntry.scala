@@ -152,6 +152,7 @@ object SparkEntry {
     "q127_kmeans"             -> (CorpusQueries.kmeansTrain(_, _)),
     "q128_groupwise_split"    -> (CorpusQueries.groupwiseSplit(_, _)),
     "q129_label_outliers"     -> (CorpusQueries.labelOutliers(_, _)),
+    "q130_kcenter_coreset"    -> (CorpusQueries.kcenterCoreset(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1683,6 +1683,44 @@ object CorpusOracles {
                FROM s)
          SELECT label, vec_id, csim, rnk FROM r WHERE rnk <= 5
          ORDER BY label, vec_id""",
+
+    // X114: k-center greedy coreset — 7 unrolled farthest-point rounds
+    // from the lowest-id seed (argmin of max-cosine-to-chosen, vec_id
+    // tiebreak), then nearest-center coverage with (csim DESC, center
+    // ASC) tiebreak. Mirrors Coreset.kCenterGreedy round for round.
+    "q130_kcenter_coreset" -> {
+      // MATERIALIZED throughout: the chained c0→c7 CTEs are each
+      // referenced twice per round, and inlining would re-evaluate the
+      // whole prefix exponentially.
+      def round(prev: String, i: Int): String =
+        s"""m$i AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+                max(${cosine("c.embedding", "e.embedding")}) AS maxsim
+              FROM embeddings e CROSS JOIN $prev c
+              WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+              GROUP BY e.vec_id, e.embedding),
+            s$i AS MATERIALIZED (SELECT vec_id, embedding FROM m$i
+                    ORDER BY maxsim, vec_id LIMIT 1),
+            c$i AS MATERIALIZED (SELECT vec_id, embedding FROM $prev
+                    UNION ALL SELECT vec_id, embedding FROM s$i)"""
+      val rounds = (1 to 7).map(i => round(s"c${i - 1}", i)).mkString(",\n")
+      val ranks = (1 to 7)
+        .map(i => s"SELECT vec_id, ${i + 1}::BIGINT AS sel_rank FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH c0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 1),
+         $rounds,
+         ranks AS (SELECT vec_id, 1::BIGINT AS sel_rank FROM c0
+                   UNION ALL $ranks),
+         cov AS (SELECT e.vec_id, c.vec_id AS center_id,
+                   ${cosine("c.embedding", "e.embedding")} AS csim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosine("c.embedding", "e.embedding")} DESC,
+                              c.vec_id) AS rn
+                 FROM embeddings e CROSS JOIN c7 c)
+         SELECT v.vec_id, v.center_id, v.csim, r.sel_rank
+         FROM cov v LEFT JOIN ranks r ON v.vec_id = r.vec_id
+         WHERE rn = 1 ORDER BY v.vec_id"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

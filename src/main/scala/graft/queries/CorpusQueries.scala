@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1865,4 +1865,13 @@ object CorpusQueries {
     AnnSearch.labelOutliers(
         spread(Tables.load(spark, dir, "embeddings")), k = 5)
       .orderBy("label", "vec_id")
+
+  /** Deterministic k-center greedy coreset (X114): 8 farthest-point
+    * picks from the lowest-id seed, then nearest-center coverage for
+    * every vector — see [[graft.operators.Coreset.kCenterGreedy]]. */
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    Coreset.kCenterGreedy(
+        spread(Tables.load(spark, dir, "embeddings"))
+          .select("vec_id", "embedding"), k = 8)
+      .orderBy("vec_id")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Dedup, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Coreset, Dedup, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -100,6 +100,11 @@ object syntax {
     /** Deterministic (oracle-exact) Lloyd k-means codebook training. */
     def kmeansAssign(k: Int, iters: Int): DataFrame =
       KMeansExact.lloyd(df, k, iters)
+
+    /** Deterministic k-center greedy coreset (farthest-point picks +
+      * nearest-center coverage). */
+    def kCenterCoreset(k: Int): DataFrame =
+      Coreset.kCenterGreedy(df, k)
 
     /** Per-label bottom-k cosine outliers (mislabeled-data sweep);
       * this = labeled embedding corpus. */

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AnnSearch, ImportanceWeights, KMeansExact, NearDup, QualityRules}
+import graft.operators.{AnnSearch, Coreset, ImportanceWeights, KMeansExact, NearDup, QualityRules}
 import graft.queries.CorpusQueries
 
 /** Fixture specs for the round-6 curation extensions (X107–X110):
@@ -165,5 +165,31 @@ class CurationExtSpec extends AnyFunSuite {
     val exact = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.3).count()
     assert(pairs(0) == exact)
+  }
+
+  test("k-center greedy: picks span the clusters, coverage is local") {
+    // three tight clusters on orthogonal axes; seed is the lowest id
+    // (cluster A), so picks 2 and 3 must each open a NEW cluster —
+    // farthest-point traversal spreads, unlike density-seeking k-means
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.05f)),
+      (2L, Array(0.98f, 0.02f, 0.02f)),                          // A
+      (10L, Array(0.0f, 1.0f, 0.05f)), (11L, Array(0.05f, 1.0f, 0.0f)),
+      (20L, Array(0.05f, 0.0f, 1.0f)), (21L, Array(0.0f, 0.05f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Coreset.kCenterGreedy(vecs, k = 3).collect()
+    assert(out.length == 7)
+    val centers = out.filter(!_.isNullAt(3))
+      .map(r => r.getAs[Long]("sel_rank") -> r.getAs[Long]("vec_id")).toMap
+    assert(centers(1L) == 0L, "seed = lowest vec_id")
+    val cluster = (id: Long) => id / 10
+    assert(Set(centers(1L), centers(2L), centers(3L)).map(cluster).size == 3,
+      "each greedy pick opens a new cluster")
+    // coverage: every vector lands on its own cluster's center
+    out.foreach { r =>
+      assert(cluster(r.getAs[Long]("center_id")) ==
+        cluster(r.getAs[Long]("vec_id")))
+      assert(r.getAs[Double]("csim") > 0.9)
+    }
   }
 }
