@@ -153,6 +153,7 @@ object SparkEntry {
     "q128_groupwise_split"    -> (CorpusQueries.groupwiseSplit(_, _)),
     "q129_label_outliers"     -> (CorpusQueries.labelOutliers(_, _)),
     "q130_kcenter_coreset"    -> (CorpusQueries.kcenterCoreset(_, _)),
+    "q131_knn_communities"    -> (CorpusQueries.knnCommunities(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

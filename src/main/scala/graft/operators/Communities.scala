@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (Raghavan '07
+  * "Near linear time algorithm to detect community structures in
+  * large-scale networks") over an undirected edge list — the clustering
+  * a graph-based curation pass runs on the mutual-kNN graph
+  * ([[AnnSearch.mutualKnnGraph]]) to find topic communities for
+  * pruning, balancing, or diversity sampling.
+  *
+  * Deterministic, engine-exact variant: all-integer state, SYNCHRONOUS
+  * rounds (every node updates from the previous round's labels — the
+  * async/random-order variant of the paper is irreproducible by
+  * design), new label = the most frequent label among neighbors with
+  * ties broken by MIN label, isolated nodes keep their own label. With
+  * a fixed round count the full trajectory is a pure function of the
+  * edge list, so a DuckDB oracle replays it round for round. (Label
+  * propagation differs from connected components ([[NearDup.dupGroups]])
+  * exactly in the frequency vote: a sparse bridge between two dense
+  * communities does NOT merge them, while CC would.)
+  *
+  * Scale shape: each round is one edge⋈label hash join (shuffle keyed
+  * on node id, the same partitioning every round) + two
+  * partial-aggregatable hash aggs ((node,label) counts, then per-node
+  * argmax) + a left join back to the node set. Nothing driver-side,
+  * state is one label per node, and the plan depth is `rounds` (small,
+  * fixed) so no checkpointing is needed.
+  */
+object Communities {
+
+  /** Run `rounds` synchronous label-propagation rounds. `nodes` must
+    * have a `vec_id` column; `edges` is undirected as (vec_a, vec_b).
+    * Output: (vec_id, community, n_members). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"labelPropagation: rounds=$rounds")
+    val bidir = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    var labels = nodes.select(col("vec_id"), col("vec_id").as("lbl"))
+    (0 until rounds).foreach { _ =>
+      val votes = bidir
+        .join(labels.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("lbl"), struct(col("cnt"), negate(col("lbl"))))
+          .as("nlbl"))
+        .withColumnRenamed("dst", "vec_id")
+      labels = labels.join(votes, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("vec_id"), col("lbl").as("community"), col("n_members"))
+  }
+}

@@ -1721,6 +1721,41 @@ object CorpusOracles {
          FROM cov v LEFT JOIN ranks r ON v.vec_id = r.vec_id
          WHERE rn = 1 ORDER BY v.vec_id"""
     },
+
+    // X115: synchronous label propagation over the mutual-5-NN graph —
+    // the q123 graph CTEs, then 3 unrolled frequency-vote rounds
+    // (count DESC, min-label ties), isolated nodes keep their label.
+    // MATERIALIZED: every label CTE feeds both the next vote and the
+    // next coalesce, and inlining re-evaluates the chain exponentially.
+    "q131_knn_communities" -> {
+      def round(i: Int): String =
+        s"""v$i AS MATERIALIZED (SELECT b.dst AS vec_id, l.lbl, count(*) AS cnt
+              FROM bid b JOIN l${i - 1} l ON b.src = l.vec_id GROUP BY 1, 2),
+            w$i AS MATERIALIZED (SELECT vec_id, lbl FROM
+              (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cnt DESC, lbl) AS rn FROM v$i) WHERE rn = 1),
+            l$i AS MATERIALIZED (SELECT l.vec_id, coalesce(w.lbl, l.lbl) AS lbl
+              FROM l${i - 1} l LEFT JOIN w$i w USING (vec_id))"""
+      s"""WITH p AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                  ${cosine("a.embedding", "b.embedding")} AS sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         d AS (SELECT ida AS src, idb AS dst, sim FROM p
+               UNION ALL SELECT idb, ida, sim FROM p),
+         r AS (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+               FROM d),
+         kk AS MATERIALIZED (SELECT src, dst FROM r WHERE rnk <= 5),
+         e AS MATERIALIZED (SELECT a.src AS vec_a, a.dst AS vec_b
+               FROM kk a JOIN kk b ON a.src = b.dst AND a.dst = b.src
+               WHERE a.src < a.dst),
+         bid AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM e
+               UNION ALL SELECT vec_b, vec_a FROM e),
+         l0 AS MATERIALIZED (SELECT vec_id, vec_id AS lbl FROM embeddings),
+         ${round(1)}, ${round(2)}, ${round(3)},
+         sizes AS (SELECT lbl, count(*) AS n_members FROM l3 GROUP BY 1)
+         SELECT vec_id, lbl AS community, n_members
+         FROM l3 JOIN sizes USING (lbl) ORDER BY vec_id"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

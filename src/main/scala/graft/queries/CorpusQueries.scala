@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1874,4 +1874,17 @@ object CorpusQueries {
         spread(Tables.load(spark, dir, "embeddings"))
           .select("vec_id", "embedding"), k = 8)
       .orderBy("vec_id")
+
+  /** Label-propagation communities over the mutual-5-NN graph (X115):
+    * 3 synchronous frequency-vote rounds, min-label ties — see
+    * [[graft.operators.Communities.labelPropagation]]. */
+  def knnCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spread(Tables.load(spark, dir, "embeddings"))
+      .select("vec_id", "embedding")
+    Communities.labelPropagation(
+        emb.select("vec_id"),
+        AnnSearch.mutualKnnGraph(emb, k = 5).select("vec_a", "vec_b"),
+        rounds = 3)
+      .orderBy("vec_id")
+  }
 }

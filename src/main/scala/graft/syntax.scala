@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Coreset, Dedup, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -105,6 +105,12 @@ object syntax {
       * nearest-center coverage). */
     def kCenterCoreset(k: Int): DataFrame =
       Coreset.kCenterGreedy(df, k)
+
+    /** Label-propagation communities over this corpus's mutual-kNN
+      * graph (synchronous frequency-vote rounds, min-label ties). */
+    def knnCommunities(k: Int, rounds: Int): DataFrame =
+      Communities.labelPropagation(df.select("vec_id"),
+        AnnSearch.mutualKnnGraph(df, k).select("vec_a", "vec_b"), rounds)
 
     /** Per-label bottom-k cosine outliers (mislabeled-data sweep);
       * this = labeled embedding corpus. */

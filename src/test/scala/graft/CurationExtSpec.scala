@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AnnSearch, Coreset, ImportanceWeights, KMeansExact, NearDup, QualityRules}
+import graft.operators.{AnnSearch, Communities, Coreset, ImportanceWeights, KMeansExact, NearDup, QualityRules}
 import graft.queries.CorpusQueries
 
 /** Fixture specs for the round-6 curation extensions (X107–X110):
@@ -165,6 +165,24 @@ class CurationExtSpec extends AnyFunSuite {
     val exact = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.3).count()
     assert(pairs(0) == exact)
+  }
+
+  test("label propagation: a bridge edge does not merge communities") {
+    // two triangles joined by one bridge (2–10): CC would fuse them into
+    // one component, but the frequency vote keeps them apart; node 99 is
+    // isolated and must keep its own label
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 99L).toDF("vec_id")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("vec_a", "vec_b")
+    val out = Communities.labelPropagation(nodes, edges, rounds = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("n_members"))).toMap
+    val comA = Set(0L, 1L, 2L).map(out(_)._1)
+    val comB = Set(10L, 11L, 12L).map(out(_)._1)
+    assert(comA.size == 1 && comB.size == 1, "each triangle is uniform")
+    assert(comA.head != comB.head, "the bridge must not merge them")
+    assert(Set(0L, 1L, 2L, 10L, 11L, 12L).forall(out(_)._2 == 3L))
+    assert(out(99L) == (99L, 1L), "isolated node keeps its own label")
   }
 
   test("k-center greedy: picks span the clusters, coverage is local") {
