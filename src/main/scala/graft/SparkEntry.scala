@@ -154,6 +154,7 @@ object SparkEntry {
     "q129_label_outliers"     -> (CorpusQueries.labelOutliers(_, _)),
     "q130_kcenter_coreset"    -> (CorpusQueries.kcenterCoreset(_, _)),
     "q131_knn_communities"    -> (CorpusQueries.knnCommunities(_, _)),
+    "q132_winnow_overlap"     -> (CorpusQueries.winnowOverlap(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

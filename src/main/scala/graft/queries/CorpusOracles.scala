@@ -1756,6 +1756,32 @@ object CorpusOracles {
          SELECT vec_id, lbl AS community, n_members
          FROM l3 JOIN sizes USING (lbl) ORDER BY vec_id"""
     },
+
+    // X116: winnowing (k=4-gram hashes, window w=4, rightmost-min
+    // selection) then overlap pairs on DISTINCT selected fingerprint
+    // values; replays WinnowFingerprints' selection rule relationally
+    "q132_winnow_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g0 AS (SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(ws)-4, 0) + 1),
+                 i -> struct_pack(pos := i,
+                        h := ${md5h56("array_to_string(ws[i+1:i+4], ' ')")}))) AS s
+             FROM toks),
+         g AS MATERIALIZED (SELECT doc_id, s.pos AS pos, s.h AS h FROM g0),
+         ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         wj AS (SELECT doc_id, unnest(range(0, greatest(n-4, 0) + 1)) AS j
+                FROM ng),
+         win AS (SELECT w.doc_id, w.j, g.pos, g.h
+                 FROM wj w JOIN g ON g.doc_id = w.doc_id
+                  AND g.pos >= w.j AND g.pos < w.j + 4),
+         sel AS (SELECT DISTINCT doc_id, h FROM
+                 (SELECT doc_id, j, pos, h, row_number() OVER
+                    (PARTITION BY doc_id, j ORDER BY h, pos DESC) AS rn
+                  FROM win) WHERE rn = 1)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY doc_a, doc_b""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

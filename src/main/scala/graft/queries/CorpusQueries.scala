@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1887,4 +1887,12 @@ object CorpusQueries {
         rounds = 3)
       .orderBy("vec_id")
   }
+
+  /** Winnowed-fingerprint overlap pairs (X116): local shared-run
+    * detection (≥ w+k−1 = 7 shared tokens guaranteed caught) — see
+    * [[graft.operators.Winnow]]. */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    Winnow.overlapPairs(spread(Tables.load(spark, dir, "documents")),
+        "doc_id", "text", k = 4, w = 4, minShared = 2)
+      .orderBy("doc_a", "doc_b")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, Winnow, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -60,6 +60,18 @@ object syntax {
     def dedupThresholdCurve(idCol: String, textCol: String, n: Int,
         thresholds: Seq[Double]): DataFrame =
       NearDup.thresholdCurve(df, idCol, textCol, n, thresholds)
+
+    /** Winnowed fingerprints (Schleimer '03 rightmost-min selection). */
+    def winnowFingerprints(idCol: String, textCol: String, k: Int = 4,
+        w: Int = 4): DataFrame =
+      Winnow.fingerprints(df, idCol, textCol, k, w)
+
+    /** Doc pairs sharing ≥ minShared winnowed fingerprints (local
+      * shared-run detector). */
+    def winnowOverlapPairs(idCol: String, textCol: String, k: Int = 4,
+        w: Int = 4, minShared: Long = 2,
+        dfCap: Int = Int.MaxValue): DataFrame =
+      Winnow.overlapPairs(df, idCol, textCol, k, w, minShared, dfCap)
 
     /** DSIR-style hashed importance scores for the non-target slice. */
     def importanceScores(isTarget: Column, idCol: String, textCol: String,

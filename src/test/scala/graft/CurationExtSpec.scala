@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AnnSearch, Communities, Coreset, ImportanceWeights, KMeansExact, NearDup, QualityRules}
+import graft.operators.{AnnSearch, Communities, Coreset, ImportanceWeights, KMeansExact, NearDup, QualityRules, Winnow}
 import graft.queries.CorpusQueries
 
 /** Fixture specs for the round-6 curation extensions (X107–X110):
@@ -183,6 +183,35 @@ class CurationExtSpec extends AnyFunSuite {
     assert(comA.head != comB.head, "the bridge must not merge them")
     assert(Set(0L, 1L, 2L, 10L, 11L, 12L).forall(out(_)._2 == 3L))
     assert(out(99L) == (99L, 1L), "isolated node keeps its own label")
+  }
+
+  test("winnowing: a shared w+k-1 run is caught, gaps <= w, cap works") {
+    // docs 1/2 share EXACTLY a 7-token run (= w+k-1 at k=4,w=4) inside
+    // different surroundings — the paper's guarantee says at least one
+    // selected fingerprint must be common; doc 3 is unrelated
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5 a6"),
+      (2L, s"b1 b2 $shared b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    ).toDF("doc_id", "text")
+    val pairs = Winnow.overlapPairs(docs, "doc_id", "text",
+      k = 4, w = 4, minShared = 1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L &&
+      pairs.head.getAs[Long]("doc_b") == 2L)
+    // density guarantee: consecutive selected positions differ by <= w
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .orderBy("doc_id", "pos").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    fps.values.foreach { rows =>
+      val ps = rows.map(_.getAs[Int]("pos"))
+      ps.sliding(2).foreach { case Array(a, b) => assert(b - a <= 4)
+                              case _ => () }
+    }
+    // df cap: dropping every fingerprint shared by >1 doc kills the pair
+    assert(Winnow.overlapPairs(docs, "doc_id", "text", k = 4, w = 4,
+      minShared = 1, dfCap = 1).count() == 0)
   }
 
   test("k-center greedy: picks span the clusters, coverage is local") {
