@@ -155,6 +155,7 @@ object SparkEntry {
     "q130_kcenter_coreset"    -> (CorpusQueries.kcenterCoreset(_, _)),
     "q131_knn_communities"    -> (CorpusQueries.knnCommunities(_, _)),
     "q132_winnow_overlap"     -> (CorpusQueries.winnowOverlap(_, _)),
+    "q133_interval_join"      -> (CorpusQueries.intervalJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1782,6 +1782,20 @@ object CorpusOracles {
          FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY doc_a, doc_b""",
+
+    // X117: interval-overlap join — closed intervals, exact micro
+    // intersection length; the banded plan is oracle-invisible
+    "q133_interval_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vs,
+                 ts + INTERVAL 600 SECOND AS ve
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS cs,
+                 ts + INTERVAL 300 SECOND AS ce
+               FROM events WHERE event_type = 'click')
+         SELECT v.user_id AS user_id, view_id, click_id,
+                (epoch_us(least(ve, ce)) - epoch_us(greatest(vs, cs))) AS overlap_micros
+         FROM v JOIN c ON v.user_id = c.user_id AND vs <= ce AND cs <= ve
+         ORDER BY v.user_id, view_id, click_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -1895,4 +1895,23 @@ object CorpusQueries {
     Winnow.overlapPairs(spread(Tables.load(spark, dir, "documents")),
         "doc_id", "text", k = 4, w = 4, minShared = 2)
       .orderBy("doc_a", "doc_b")
+
+  /** Banded interval-overlap join (X117): per user, view windows
+    * [ts, ts+600s] overlapping click windows [ts, ts+300s] — see
+    * [[graft.operators.RangeJoin.intervalOverlapJoin]]. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vs"), (col("ts") + expr("INTERVAL 600 SECONDS")).as("ve"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cs"), (col("ts") + expr("INTERVAL 300 SECONDS")).as("ce"))
+    RangeJoin.intervalOverlapJoin(views, clicks, "user_id",
+        "vs", "ve", "cs", "ce", bandSeconds = 600,
+        payload = Seq("click_id"))
+      .select(col("user_id"), col("view_id"),
+        col("interval_match.click_id").as("click_id"), col("overlap_micros"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
 }

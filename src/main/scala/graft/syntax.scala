@@ -154,6 +154,13 @@ object syntax {
         rightTs: String, windowSeconds: Long, payload: Seq[String]): DataFrame =
       RangeJoin.priorWindowJoin(df, right, key, leftTs, rightTs, windowSeconds, payload)
 
+    /** Banded interval-overlap join (closed intervals, exactly-once). */
+    def intervalOverlapJoin(right: DataFrame, key: String, lStart: String,
+        lEnd: String, rStart: String, rEnd: String, bandSeconds: Long,
+        payload: Seq[String]): DataFrame =
+      RangeJoin.intervalOverlapJoin(df, right, key, lStart, lEnd, rStart,
+        rEnd, bandSeconds, payload)
+
     def sessions(userCol: String, tsCol: String, gapSeconds: Long): DataFrame =
       Sessionize.sessions(df, userCol, tsCol, gapSeconds)
 

@@ -284,6 +284,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(banded === naive)
   }
 
+  test("interval join: banded result equals naive overlap join, exactly once") {
+    val e = Tables.load(spark, sf, "events")
+    val l = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("lid"), col("user_id"), col("ts").as("ls"),
+        (col("ts") + expr("INTERVAL 5400 SECONDS")).as("le")) // spans >1 band
+    val r = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("rid"), col("user_id"), col("ts").as("rs"),
+        (col("ts") + expr("INTERVAL 300 SECONDS")).as("re"))
+    val banded = RangeJoin.intervalOverlapJoin(l, r, "user_id",
+        "ls", "le", "rs", "re", bandSeconds = 600, payload = Seq("rid"))
+      .select(col("lid"), col("interval_match.rid").as("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val naive = l.as("l").join(r.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+        col("l.ls") <= col("r.re") && col("r.rs") <= col("l.le"))
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(naive.nonEmpty, "fixture should contain overlapping intervals")
+    // exactly-once: multiset equality (a 9-band interval must not
+    // re-emit its pairs once per spanned band)
+    assert(banded.length == naive.length)
+    assert(banded.toSet === naive.toSet)
+    // closed-interval touch: equal endpoints overlap with length 0
+    val lt = Seq((1L, 7L)).toDF("k", "lid")
+      .select(col("k"), col("lid"), expr("timestamp'2024-01-01 00:10:00'").as("ls"),
+        expr("timestamp'2024-01-01 00:20:00'").as("le"))
+    val rt = Seq((1L, 8L)).toDF("k", "rid")
+      .select(col("k"), col("rid"), expr("timestamp'2024-01-01 00:20:00'").as("rs"),
+        expr("timestamp'2024-01-01 00:30:00'").as("re"))
+    val touch = RangeJoin.intervalOverlapJoin(lt, rt, "k",
+      "ls", "le", "rs", "re", bandSeconds = 600, payload = Seq("rid")).collect()
+    assert(touch.length == 1 && touch.head.getAs[Long]("overlap_micros") == 0L)
+  }
+
   test("rolling fingerprint is order-sensitive; md5 fingerprint is whitespace/case-insensitive") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "Alpha  BETA gamma"))
       .toDF("doc_id", "text")
