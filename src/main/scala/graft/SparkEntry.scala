@@ -156,6 +156,8 @@ object SparkEntry {
     "q131_knn_communities"    -> (CorpusQueries.knnCommunities(_, _)),
     "q132_winnow_overlap"     -> (CorpusQueries.winnowOverlap(_, _)),
     "q133_interval_join"      -> (CorpusQueries.intervalJoin(_, _)),
+    "q134_cluster_sample"     -> (CorpusQueries.clusterBalancedSample(_, _)),
+    "q135_curriculum"         -> (CorpusQueries.curriculumSchedule(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -37,6 +37,38 @@ object CorpusOracles {
 
   private val shingleCte = shingleCteN(3)
 
+  /** Unrolled deterministic Lloyd k-means (twin of KMeansExact.lloyd,
+    * k=8): `rounds` assignment+fixed-point-update rounds from lowest-id
+    * seeds, ending in a CTE `fin`(vec_id, centroid_id, csim) holding the
+    * final cosine-argmax assignment; `finalSelect` reads from it. */
+  private def kmeansOracle(rounds: Int, finalSelect: String): String = {
+    def assignRn(cents: String) =
+      s"""SELECT e.vec_id, c.cid, ${cosine("c.cvec", "e.embedding")} AS csim,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosine("c.cvec", "e.embedding")} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN $cents c"""
+    def update(asg: String, m: String, c: String) =
+      s"""$m AS (SELECT a.cid, cl.dim,
+              sum(CAST(floor(cl.v * 1000000000.0) AS BIGINT)) AS ss,
+              count(*) AS n
+            FROM $asg a JOIN cells cl USING (vec_id) GROUP BY 1, 2),
+          $c AS (SELECT cid,
+              list((ss::DOUBLE / 1000000000.0) / n::DOUBLE ORDER BY dim) AS cvec
+            FROM $m GROUP BY cid)"""
+    val chain = (1 to rounds).map { i =>
+      s"""a${i - 1} AS (SELECT vec_id, cid FROM (${assignRn(s"c${i - 1}")}) WHERE rn = 1),
+         ${update(s"a${i - 1}", s"m$i", s"c$i")}"""
+    }.mkString(",\n")
+    s"""WITH cells AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+                       FROM embeddings, range(1, 65) t(i)),
+       c0 AS (SELECT vec_id AS cid, embedding AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+       $chain,
+       fin AS (SELECT vec_id, cid AS centroid_id, csim
+               FROM (${assignRn(s"c$rounds")}) WHERE rn = 1)
+       $finalSelect"""
+  }
+
   /** All-pairs n-gram Jaccard at `threshold` over the hashed shingle
     * space — oracle for both the exact pairs query and the MinHash+LSH
     * query (LSH recall at the data's observed pair similarities is 1 up
@@ -1621,32 +1653,9 @@ object CorpusOracles {
     // X111: deterministic Lloyd k-means, 2 unrolled rounds — lowest-id
     // seeds, cosine-argmax assignment (csim DESC, cid tiebreak),
     // fixed-point per-dim centroid means (floor-scaled long sums)
-    "q127_kmeans" -> {
-      def assignRn(cents: String) =
-        s"""SELECT e.vec_id, c.cid, ${cosine("c.cvec", "e.embedding")} AS csim,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosine("c.cvec", "e.embedding")} DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN $cents c"""
-      def update(asg: String, m: String, c: String) =
-        s"""$m AS (SELECT a.cid, cl.dim,
-                sum(CAST(floor(cl.v * 1000000000.0) AS BIGINT)) AS ss,
-                count(*) AS n
-              FROM $asg a JOIN cells cl USING (vec_id) GROUP BY 1, 2),
-            $c AS (SELECT cid,
-                list((ss::DOUBLE / 1000000000.0) / n::DOUBLE ORDER BY dim) AS cvec
-              FROM $m GROUP BY cid)"""
-      s"""WITH cells AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
-                         FROM embeddings, range(1, 65) t(i)),
-         c0 AS (SELECT vec_id AS cid, embedding AS cvec
-                FROM embeddings ORDER BY vec_id LIMIT 8),
-         a0 AS (SELECT vec_id, cid FROM (${assignRn("c0")}) WHERE rn = 1),
-         ${update("a0", "m1", "c1")},
-         a1 AS (SELECT vec_id, cid FROM (${assignRn("c1")}) WHERE rn = 1),
-         ${update("a1", "m2", "c2")}
-         SELECT vec_id, cid AS centroid_id, csim
-         FROM (${assignRn("c2")}) WHERE rn = 1
-         ORDER BY vec_id"""
-    },
+    "q127_kmeans" -> kmeansOracle(rounds = 2,
+      finalSelect = """SELECT vec_id, centroid_id, csim FROM fin
+         ORDER BY vec_id"""),
 
     // X112: leakage-safe groupwise split — the q50 components CTE, all
     // docs LEFT JOINed (singletons key by doc_id), q53 bucket convention
@@ -1796,6 +1805,29 @@ object CorpusOracles {
                 (epoch_us(least(ve, ce)) - epoch_us(greatest(vs, cs))) AS overlap_micros
          FROM v JOIN c ON v.user_id = c.user_id AND vs <= ce AND cs <= ve
          ORDER BY v.user_id, view_id, click_id""",
+
+    // X118: cluster-balanced sample — one Lloyd round, then exactly 25
+    // per cluster by md5 hash rank (the q88 strata convention)
+    "q134_cluster_sample" -> kmeansOracle(rounds = 1,
+      finalSelect = s"""SELECT centroid_id, vec_id, rnk FROM
+           (SELECT centroid_id, vec_id, row_number() OVER
+              (PARTITION BY centroid_id
+               ORDER BY ${md5h56("vec_id::VARCHAR")}, vec_id) AS rnk
+            FROM fin)
+         WHERE rnk <= 25 ORDER BY centroid_id, rnk"""),
+
+    // X119: curriculum interleave — per-source quality rank, then the
+    // (rnk, source) walk; position replayed as a global row_number
+    // (the engine side uses contiguousIds, not a partitionless window)
+    "q135_curriculum" ->
+      s"""WITH s AS (SELECT doc_id, source, $qualityExpr AS q FROM documents),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY q DESC, doc_id) AS rnk
+               FROM s)
+         SELECT row_number() OVER (ORDER BY rnk, source, doc_id) - 1 AS position,
+                doc_id, source, rnk
+         FROM r ORDER BY position""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

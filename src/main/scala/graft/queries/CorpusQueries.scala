@@ -1914,4 +1914,45 @@ object CorpusQueries {
         col("interval_match.click_id").as("click_id"), col("overlap_micros"))
       .orderBy("user_id", "view_id", "click_id")
   }
+
+  /** Cluster-balanced sampling (X118): one deterministic Lloyd round
+    * assigns every vector to a semantic cluster, then exactly 25 per
+    * cluster survive by hash rank — the uniform-per-topic subset a
+    * diverse eval slice wants (uniform-over-corpus sampling follows the
+    * corpus's topic skew instead). */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = KMeansExact.lloyd(
+      spread(Tables.load(spark, dir, "embeddings"))
+        .select("vec_id", "embedding"), k = 8, iters = 1)
+    asg.select(col("centroid_id"), col("vec_id"),
+        TextFunctions.md5Hash56(col("vec_id").cast("string")).as("h"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("centroid_id").orderBy("h", "vec_id"))
+        .cast("long"))
+      .where(col("rnk") <= 25)
+      .select("centroid_id", "vec_id", "rnk")
+      .orderBy("centroid_id", "rnk")
+  }
+
+  /** Curriculum interleave schedule (X119): rank docs inside each source
+    * by quality (easy→hard proxy), then emit the epoch order that walks
+    * rank-by-rank ACROSS sources — every training window sees the full
+    * source mix while quality decays over the epoch. The dense global
+    * ordinal rides [[graft.operators.RowIds.contiguousIds]] (range
+    * partition + offsets), never a partitionless window. */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    val ranked = s.withColumn("rnk", row_number()
+        .over(Window.partitionBy("source").orderBy(desc("q"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "source", "rnk")
+    RowIds.contiguousIds(ranked,
+        Seq(col("rnk"), col("source"), col("doc_id")), "position")
+      .select("position", "doc_id", "source", "rnk")
+      .orderBy("position")
+  }
 }

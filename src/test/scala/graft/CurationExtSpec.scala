@@ -214,6 +214,44 @@ class CurationExtSpec extends AnyFunSuite {
       minShared = 1, dfCap = 1).count() == 0)
   }
 
+  test("curriculum schedule: dense positions, source interleave, quality decay") {
+    val sched = CorpusQueries.curriculumSchedule(spark, sf).collect()
+    val n = sched.length
+    assert(sched.map(_.getAs[Long]("position")).toSet == (0L until n).toSet,
+      "positions are dense 0..n-1")
+    // the first |sources| positions are exactly the rank-1 docs, one per
+    // source — every training window starts with the full mix
+    val sources = sched.map(_.getAs[String]("source")).distinct.sorted
+    val head = sched.sortBy(_.getAs[Long]("position")).take(sources.length)
+    assert(head.map(_.getAs[String]("source")).toSeq == sources.toSeq)
+    assert(head.forall(_.getAs[Long]("rnk") == 1L))
+    // within each source the schedule follows ascending rank (quality ↓)
+    sched.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val byPos = rows.sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("rnk"))
+      assert(byPos.toSeq == byPos.sorted.toSeq)
+    }
+  }
+
+  test("cluster-balanced sample: skewed clusters contribute evenly") {
+    // cluster A: 12 tight vectors near (1,0); cluster B: 3 near (0,1) —
+    // a uniform sample would be ~80% A; the balanced sample takes
+    // min(5, size) per cluster
+    val vecs = ((0L until 12L).map(i => (i, Array(1.0f, i * 0.01f))) ++
+      Seq((100L, Array(0.0f, 1.0f)), (101L, Array(0.01f, 1.0f)),
+        (102L, Array(0.02f, 1.0f)))).toDF("vec_id", "embedding")
+    import org.apache.spark.sql.expressions.Window
+    val asg = KMeansExact.lloyd(vecs, k = 2, iters = 2)
+    val sample = asg.select(col("centroid_id"), col("vec_id"),
+        graft.functions.TextFunctions.md5Hash56(col("vec_id").cast("string")).as("h"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("centroid_id").orderBy("h", "vec_id")))
+      .where(col("rnk") <= 5)
+    val bySize = sample.groupBy("centroid_id").count().collect()
+      .map(_.getLong(1)).sorted
+    assert(bySize.toSeq == Seq(3L, 5L),
+      "capped at 5 for the big cluster, everything for the small one")
+  }
+
   test("k-center greedy: picks span the clusters, coverage is local") {
     // three tight clusters on orthogonal axes; seed is the lowest id
     // (cluster A), so picks 2 and 3 must each open a NEW cluster —
