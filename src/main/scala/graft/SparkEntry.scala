@@ -158,6 +158,7 @@ object SparkEntry {
     "q133_interval_join"      -> (CorpusQueries.intervalJoin(_, _)),
     "q134_cluster_sample"     -> (CorpusQueries.clusterBalancedSample(_, _)),
     "q135_curriculum"         -> (CorpusQueries.curriculumSchedule(_, _)),
+    "q136_pc1_projection"     -> (CorpusQueries.pc1Projection(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1828,6 +1828,40 @@ object CorpusOracles {
          SELECT row_number() OVER (ORDER BY rnk, source, doc_id) - 1 AS position,
                 doc_id, source, rnk
          FROM r ORDER BY position""",
+
+    // X120: top principal direction by power iteration — the q86
+    // fixed-point Gram cells, then 8 unrolled iterations whose
+    // matrix-vector products and norms are ORDERED list_sum folds (the
+    // exact fold order the engine's driver loop uses), then the
+    // projection via the shared dot kernel
+    "q136_pc1_projection" -> {
+      def iter(k: Int): String =
+        s"""u$k AS (SELECT i, list_sum(list_transform(range(1, 65),
+                j -> gr[j] * vv.v[j])) AS u
+              FROM gl, v${k - 1} vv),
+            n$k AS (SELECT list(u ORDER BY i) AS ul FROM u$k),
+            v$k AS MATERIALIZED (SELECT list_transform(ul, x ->
+                x / sqrt(list_sum(list_transform(ul, y -> y * y)))) AS v
+              FROM n$k)"""
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         cells AS (SELECT i, j FROM range(0, 64) t1(i), range(0, 64) t2(j)
+                   WHERE j >= i),
+         prods AS (SELECT i, j,
+                     CAST(round(v[i + 1]::DOUBLE * v[j + 1]::DOUBLE *
+                                1000000000.0) AS BIGINT) AS x
+                   FROM e, cells),
+         g AS MATERIALIZED (SELECT i, j, CAST(sum(x) AS BIGINT) AS gs
+              FROM prods GROUP BY 1, 2),
+         gf AS (SELECT i, j, gs FROM g
+                UNION ALL SELECT j, i, gs FROM g WHERE j > i),
+         gl AS MATERIALIZED (SELECT i + 1 AS i,
+              list(gs::DOUBLE ORDER BY j) AS gr FROM gf GROUP BY 1),
+         v0 AS (SELECT list_transform(range(1, 65), x -> 0.125) AS v),
+         ${(1 to 8).map(iter).mkString(",\n")}
+         SELECT e.vec_id, list_sum(list_transform(range(1, 65),
+                  i -> e.v[i]::DOUBLE * vv.v[i])) AS pc1_score
+         FROM e, v8 vv ORDER BY e.vec_id"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal, Winnow}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1955,4 +1955,14 @@ object CorpusQueries {
       .select("position", "doc_id", "source", "rnk")
       .orderBy("position")
   }
+
+  /** Top-principal-direction projection (X120): one fixed-point Gram
+    * pass + driver-side power iteration + one projection map — the
+    * all-but-the-top anisotropy diagnostic; see
+    * [[graft.operators.PowerIteration]]. */
+  def pc1Projection(spark: SparkSession, dir: String): DataFrame =
+    PowerIteration.pc1Projection(
+        spread(Tables.load(spark, dir, "embeddings"))
+          .select("vec_id", "embedding"))
+      .orderBy("vec_id")
 }

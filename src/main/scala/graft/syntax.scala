@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, Winnow, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, Winnow, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, PowerIteration, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -123,6 +123,11 @@ object syntax {
     def knnCommunities(k: Int, rounds: Int): DataFrame =
       Communities.labelPropagation(df.select("vec_id"),
         AnnSearch.mutualKnnGraph(df, k).select("vec_a", "vec_b"), rounds)
+
+    /** Projection onto the corpus's top principal direction
+      * (power-iteration, engine-exact). */
+    def pc1Projection(dim: Int = 64, iters: Int = 8): DataFrame =
+      PowerIteration.pc1Projection(df, dim, iters)
 
     /** Per-label bottom-k cosine outliers (mislabeled-data sweep);
       * this = labeled embedding corpus. */

@@ -252,6 +252,36 @@ class CurationExtSpec extends AnyFunSuite {
       "capped at 5 for the big cluster, everything for the small one")
   }
 
+  test("power iteration: planted dominant direction is recovered") {
+    // 20 vectors spread along (3,1,0,0)/sqrt(10) with small noise in the
+    // 3rd axis: pc1 must align with the planted direction, so the
+    // projection ranking must follow the planted coefficient exactly
+    val dir0 = Array(3.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(10.0))
+    val vecs = (0 until 20).map { i =>
+      val a = (i - 10).toDouble               // planted coefficient
+      val noise = 0.01 * (i % 3 - 1)
+      (i.toLong, Array(
+        (a * dir0(0)).toFloat, (a * dir0(1)).toFloat,
+        noise.toFloat, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.PowerIteration.pc1Projection(vecs, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1_score"))
+      .toMap
+    // alignment: scores are (anti)monotone in the planted coefficient
+    val scores = (0 until 20).map(i => out(i.toLong))
+    val diffs = scores.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    assert(diffs.forall(_ > 0) || diffs.forall(_ < 0),
+      "projections must be monotone in the planted coefficient")
+    // magnitude: the extreme vectors project ~|a|·1, the middle ~0
+    assert(math.abs(out(10L)) < 0.1)
+    assert(math.abs(math.abs(out(0L)) - 10.0) < 0.1)
+    // deterministic: recompute bit-identically
+    val again = graft.operators.PowerIteration.pc1Projection(vecs, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1_score"))
+      .toMap
+    assert((0 until 20).forall(i => again(i.toLong) == out(i.toLong)))
+  }
+
   test("k-center greedy: picks span the clusters, coverage is local") {
     // three tight clusters on orthogonal axes; seed is the lowest id
     // (cluster A), so picks 2 and 3 must each open a NEW cluster —
