@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Merkle-style corpus integrity manifest: deterministic shard
+  * assignment (md5 hash-bucket of the id — the X29 split convention),
+  * one content digest per shard over the SORTED member fingerprints,
+  * and a root digest over the sorted shard digests. Two corpus copies
+  * agree iff the root rows agree; a mismatch localizes to the shard
+  * rows that differ — the cheap cross-site/cross-snapshot equality
+  * check a 100 TB replication or migration job runs instead of a full
+  * diff (the X78 snapshot diff is the expensive follow-up that names
+  * the rows, run only on shards this manifest flags).
+  *
+  * Determinism: member digests are the X12 normalized-content md5s,
+  * shard digests hash the members in SORTED order (hex strings, ASCII
+  * collation — engine-portable), so the manifest is independent of
+  * partitioning, arrival order, and engine. Scale shape: one hash-agg
+  * keyed by shard (map-side combined), per-shard state bounded by
+  * members/shard — `shards` scales with the corpus like any partition
+  * count; the root fold is over `shards` rows (control plane).
+  */
+object Manifest {
+
+  /** (shard, n_docs, shard_hash) per shard plus a root row
+    * (shard = −1, total docs, root hash). */
+  def corpusManifest(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int = 64): DataFrame = {
+    val f = docs.select(
+      pmod(TextFunctions.md5Hash56(col(idCol).cast("string")),
+        lit(shards.toLong)).as("shard"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val per = f.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("", array_sort(collect_list(col("fp"))))
+          .cast("binary")).as("shard_hash"))
+    val root = per.agg(
+        sum(col("n_docs")).as("n_docs"),
+        md5(concat_ws("",
+            transform(
+              array_sort(collect_list(struct(col("shard"), col("shard_hash")))),
+              x => x.getField("shard_hash")))
+          .cast("binary")).as("shard_hash"))
+      .select(lit(-1L).as("shard"), col("n_docs"), col("shard_hash"))
+    per.unionByName(root)
+  }
+}

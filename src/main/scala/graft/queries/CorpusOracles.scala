@@ -1862,6 +1862,21 @@ object CorpusOracles {
                   i -> e.v[i]::DOUBLE * vv.v[i])) AS pc1_score
          FROM e, v8 vv ORDER BY e.vec_id"""
     },
+
+    // X121: Merkle corpus manifest — q28 fingerprints, md5 over the
+    // SORTED member digests per shard, root over sorted shard digests
+    "q137_corpus_manifest" ->
+      s"""WITH f AS (SELECT (${md5h56("doc_id::VARCHAR")}) % 64 AS shard,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+               FROM documents),
+         s AS (SELECT shard, count(*) AS n_docs,
+                 md5(string_agg(fp, '' ORDER BY fp)) AS shard_hash
+               FROM f GROUP BY 1),
+         r AS (SELECT -1::BIGINT AS shard,
+                 (SELECT sum(n_docs) FROM s)::BIGINT AS n_docs,
+                 md5(string_agg(shard_hash, '' ORDER BY shard)) AS shard_hash
+               FROM s)
+         SELECT * FROM s UNION ALL SELECT * FROM r ORDER BY shard""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

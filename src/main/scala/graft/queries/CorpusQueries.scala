@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal, Winnow}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1965,4 +1965,12 @@ object CorpusQueries {
         spread(Tables.load(spark, dir, "embeddings"))
           .select("vec_id", "embedding"))
       .orderBy("vec_id")
+
+  /** Merkle-style corpus manifest (X121): per-shard sorted-fingerprint
+    * digests + root — see [[graft.operators.Manifest.corpusManifest]]. */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame =
+    Manifest.corpusManifest(
+        spread(Tables.load(spark, dir, "documents")), "doc_id", "text",
+        shards = 64)
+      .orderBy("shard")
 }

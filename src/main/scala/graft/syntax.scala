@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, Winnow, ImportanceWeights, KMeansExact, NearDup, PageRank, Percentiles, PowerIteration, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, Winnow, ImportanceWeights, KMeansExact, Manifest, NearDup, PageRank, Percentiles, PowerIteration, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -77,6 +77,11 @@ object syntax {
     def importanceScores(isTarget: Column, idCol: String, textCol: String,
         buckets: Int = 4096): DataFrame =
       ImportanceWeights.hashedRatioScores(df, isTarget, idCol, textCol, buckets)
+
+    /** Merkle-style corpus integrity manifest (per-shard + root). */
+    def corpusManifest(idCol: String, textCol: String,
+        shards: Int = 64): DataFrame =
+      Manifest.corpusManifest(df, idCol, textCol, shards)
 
     /** C4/Gopher rule-filter report (per-rule verdicts + keep). */
     def qualityRuleReport(idCol: String, textCol: String): DataFrame =

@@ -252,6 +252,30 @@ class CurationExtSpec extends AnyFunSuite {
       "capped at 5 for the big cluster, everything for the small one")
   }
 
+  test("manifest: layout-invariant, a single edit localizes to one shard") {
+    import graft.operators.Manifest
+    val docs = (0L until 200L).map(i => (i, s"doc body number $i with words"))
+      .toDF("doc_id", "text")
+    val m1 = Manifest.corpusManifest(docs, "doc_id", "text", shards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // identical corpus, different physical layout → identical manifest
+    val m2 = Manifest.corpusManifest(
+        docs.repartition(7).sortWithinPartitions(desc("text")),
+        "doc_id", "text", shards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(m1 == m2)
+    assert(m1.keySet == (-1L until 8L).toSet)
+    assert(m1(-1L)._1 == 200L)
+    // mutate one document: exactly its shard and the root change
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("TAMPERED")).otherwise(col("text")))
+    val m3 = Manifest.corpusManifest(edited, "doc_id", "text", shards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val changed = m1.keySet.filter(k => m1(k) != m3(k))
+    assert(changed.size == 2 && changed.contains(-1L),
+      s"one shard + root must differ, got $changed")
+  }
+
   test("power iteration: planted dominant direction is recovered") {
     // 20 vectors spread along (3,1,0,0)/sqrt(10) with small noise in the
     // 3rd axis: pc1 must align with the planted direction, so the
