@@ -215,4 +215,18 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(exchangeIdx < partialIdx,
       s"partial not below the exchange:\n$plan")
   }
+
+  test("ANN probe-side ranks plan natively: q35/q49 carry no Window exec") {
+    // the IVF nProbe rank, the IVF candidate rank and the LSH rerank are
+    // all row_number-then-filter idioms — with the rewrite installed the
+    // executed plans must contain ONLY TopKPerKey nodes, no WindowExec
+    installTopK(spark)
+    for (q <- Seq("q35_ann_ivf_topk", "q49_ann_lsh_topk")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKeyFinal"), s"$q not rewritten:\n$plan")
+      assert(!plan.contains("Window "), s"$q still windows:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
 }
