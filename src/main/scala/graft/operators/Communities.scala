@@ -36,9 +36,23 @@ object Communities {
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"labelPropagation: rounds=$rounds")
-    val bidir = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .union(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    import org.apache.spark.storage.StorageLevel
+    // Materialization discipline (the dupGroups pattern): the edge list
+    // is often an EXPENSIVE derivation (the mutual-kNN block-grid
+    // pass), and every round references it plus the previous round's
+    // labels twice — left lazy, the plan re-derives the whole prefix
+    // per reference, compounding per round (measured 11 s vs 2 s at
+    // sf0.1). So: both directions in ONE explode pass (a union's two
+    // branches each re-evaluate the subtree when the persist
+    // materializes), persist it, and persist + eagerly settle each
+    // round's labels before unpersisting the previous round's.
+    val bidir = edges.select(explode(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("vec_id"), col("vec_id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     (0 until rounds).foreach { _ =>
       val votes = bidir
         .join(labels.withColumnRenamed("vec_id", "src"), Seq("src"))
@@ -48,8 +62,12 @@ object Communities {
         .agg(max_by(col("lbl"), struct(col("cnt"), negate(col("lbl"))))
           .as("nlbl"))
         .withColumnRenamed("dst", "vec_id")
-      labels = labels.join(votes, Seq("vec_id"), "left")
+      val next = labels.join(votes, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // full materialization BEFORE dropping the parent
+      labels.unpersist()
+      labels = next
     }
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"))

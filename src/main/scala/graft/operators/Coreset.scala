@@ -46,9 +46,13 @@ object Coreset {
     require(k >= 1, s"kCenterGreedy: k=$k")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the greedy trajectory scans this working set k+1 times by
+    // construction — pin the casted+normed projection once (the ivfTopK
+    // pinned-working-set rationale; Bench sweeps it after the query)
     val c = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(Vectors.dot(col("e"), col("e"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Greedy farthest-point trajectory; chosen is k×dim driver state.
     var chosen: Seq[(Long, Array[Double])] = c

@@ -1877,6 +1877,19 @@ object CorpusOracles {
                  md5(string_agg(shard_hash, '' ORDER BY shard)) AS shard_hash
                FROM s)
          SELECT * FROM s UNION ALL SELECT * FROM r ORDER BY shard""",
+
+    // X122: quality-vs-length Pareto frontier — NOT EXISTS dominance
+    // (identical points keep each other; the engine's local-frontier
+    // merge must produce the same SET)
+    "q138_pareto" ->
+      s"""WITH s AS MATERIALIZED (SELECT doc_id, $qualityExpr AS quality,
+                 $tokenCount::BIGINT AS n_tokens
+               FROM documents)
+         SELECT doc_id, quality, n_tokens FROM s a
+         WHERE NOT EXISTS (SELECT 1 FROM s b
+           WHERE b.quality >= a.quality AND b.n_tokens <= a.n_tokens
+             AND (b.quality > a.quality OR b.n_tokens < a.n_tokens))
+         ORDER BY doc_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

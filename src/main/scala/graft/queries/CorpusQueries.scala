@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Temporal, Winnow}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1973,4 +1973,16 @@ object CorpusQueries {
         spread(Tables.load(spark, dir, "documents")), "doc_id", "text",
         shards = 64)
       .orderBy("shard")
+
+  /** Quality-vs-length Pareto frontier (X122): documents no other doc
+    * beats on both quality (maximize) and token count (minimize) — see
+    * [[graft.operators.Skyline.paretoFrontier]]. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
+    Skyline.paretoFrontier(
+        spread(Tables.load(spark, dir, "documents"))
+          .select(col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        xCol = "quality", yCol = "n_tokens")
+      .orderBy("doc_id")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, Winnow, ImportanceWeights, KMeansExact, Manifest, NearDup, PageRank, Percentiles, PowerIteration, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, Winnow, ImportanceWeights, KMeansExact, Manifest, NearDup, PageRank, Percentiles, PowerIteration, Skyline, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -173,6 +173,10 @@ object syntax {
 
     def sessions(userCol: String, tsCol: String, gapSeconds: Long): DataFrame =
       Sessionize.sessions(df, userCol, tsCol, gapSeconds)
+
+    /** 2-D Pareto frontier (maximize xCol, minimize yCol). */
+    def paretoFrontier(xCol: String, yCol: String): DataFrame =
+      Skyline.paretoFrontier(df, xCol, yCol)
 
     // ---- aggregation helpers ----
     def exactPercentiles(key: String, value: String,

@@ -276,6 +276,39 @@ class CurationExtSpec extends AnyFunSuite {
       s"one shard + root must differ, got $changed")
   }
 
+  test("pareto frontier: planted dominance, ties kept, layout-invariant") {
+    import graft.operators.Skyline
+    // a true trade-off frontier (better quality costs more tokens):
+    // (10,9) (8,5) (5,2); dominated: (7,6) by (8,5), (5,3) by (5,2);
+    // the exact duplicate of (8,5) must ALSO survive (ties kept)
+    val rows = Seq(
+      (1L, 10.0, 9L), (2L, 8.0, 5L), (3L, 5.0, 2L),
+      (4L, 7.0, 6L), (5L, 5.0, 3L), (6L, 8.0, 5L)
+    ).toDF("doc_id", "quality", "n_tokens")
+    val f1 = Skyline.paretoFrontier(rows, "quality", "n_tokens")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(f1 == Set(1L, 2L, 3L, 6L))
+    // pure function of the set: any partitioning gives the same frontier
+    val f2 = Skyline.paretoFrontier(
+        rows.repartition(5).sortWithinPartitions(desc("n_tokens")),
+        "quality", "n_tokens")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(f2 == f1)
+    // cross-check against the quadratic definition on real data
+    val docs = CorpusQueries.textStats(spark, sf)
+      .select(col("doc_id"), col("n_tokens"),
+        col("mean_tok_len").as("quality"))
+    val fast = Skyline.paretoFrontier(docs, "quality", "n_tokens")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val naive = docs.as("a").join(docs.as("b"),
+        col("b.quality") >= col("a.quality") &&
+        col("b.n_tokens") <= col("a.n_tokens") &&
+        (col("b.quality") > col("a.quality") ||
+         col("b.n_tokens") < col("a.n_tokens")), "left_anti")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("power iteration: planted dominant direction is recovered") {
     // 20 vectors spread along (3,1,0,0)/sqrt(10) with small noise in the
     // 3rd axis: pc1 must align with the planted direction, so the
