@@ -161,6 +161,7 @@ object SparkEntry {
     "q136_pc1_projection"     -> (CorpusQueries.pc1Projection(_, _)),
     "q137_corpus_manifest"    -> (CorpusQueries.corpusManifest(_, _)),
     "q138_pareto"             -> (CorpusQueries.paretoFrontier(_, _)),
+    "q139_knn_triangles"      -> (CorpusQueries.knnTriangles(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -48,16 +48,21 @@ object CurationOps {
   private final case class Key(appId: String, corpus: String, n: Int, threshold: Double)
   private final case class BpeKey(appId: String, corpus: String,
       textCol: String, rounds: Int)
+  private final case class KnnKey(appId: String, corpus: String, k: Int)
 
   private final case class Entry(artifact: DupArtifact,
       sc: org.apache.spark.SparkContext, rddIds: Set[Int])
   private final case class BpeEntry(model: BpeModel,
       sc: org.apache.spark.SparkContext, rddIds: Set[Int])
+  private final case class KnnEntry(graph: DataFrame,
+      sc: org.apache.spark.SparkContext, rddIds: Set[Int])
 
   private val memo = scala.collection.mutable.HashMap.empty[Key, Entry]
   private val bpeMemo = scala.collection.mutable.HashMap.empty[BpeKey, BpeEntry]
+  private val knnMemo = scala.collection.mutable.HashMap.empty[KnnKey, KnnEntry]
   private val nDerivations = new java.util.concurrent.atomic.AtomicLong(0)
   private val nBpeDerivations = new java.util.concurrent.atomic.AtomicLong(0)
+  private val nKnnDerivations = new java.util.concurrent.atomic.AtomicLong(0)
   private val nonceGen = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var pinned: Set[Int] = Set.empty
 
@@ -67,6 +72,10 @@ object CurationOps {
 
   /** How many times BPE training actually ran (spec hook, as above). */
   def bpeDerivationCount: Long = nBpeDerivations.get
+
+  /** How many times the mutual-kNN graph was actually derived (spec
+    * hook: the q123/q131/q139 family over one corpus must leave 1). */
+  def knnDerivationCount: Long = nKnnDerivations.get
 
   /** RDD ids backing memoized artifacts — benchmark harnesses that sweep
     * query-local persisted state between queries must exempt these (the
@@ -147,6 +156,32 @@ object CurationOps {
     }
   }
 
+  /** The session-shared exact mutual-kNN graph for an embedding corpus
+    * — the graph-artifact counterpart of [[dupArtifact]]: the block-grid
+    * pair pass is the expensive stage, and its consumers (the edge
+    * listing itself, label-propagation communities, triangle/cohesion
+    * diagnostics) are cheap reads over it. Keyed by (corpus path, k);
+    * the nonce tag defends against CacheManager plan-aliasing exactly as
+    * in [[dupArtifact]]. */
+  def knnGraph(emb: DataFrame, corpusKey: String, k: Int): DataFrame = {
+    val sc = emb.sparkSession.sparkContext
+    val key = KnnKey(sc.applicationId, corpusKey, k)
+    knnMemo.synchronized {
+      knnMemo.getOrElseUpdate(key, {
+        nKnnDerivations.incrementAndGet()
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val nonce = nonceGen.incrementAndGet()
+        val g = AnnSearch.mutualKnnGraph(emb, k)
+          .where(lit(nonce) === lit(nonce))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        g.count() // fully resident before memoizing
+        val ids = sc.getPersistentRDDs.keySet.toSet -- before
+        pinned = pinned ++ ids
+        KnnEntry(g, sc, ids)
+      }).graph
+    }
+  }
+
   /** Drop every memoized artifact and unpersist its tables (test/loop
     * hygiene — the session-long memo is the intended production shape).
     * Cache entries are removed by a CASCADING uncache from the pairs
@@ -178,6 +213,19 @@ object CurationOps {
             .values.foreach(_.unpersist(blocking = false))
       }
       bpeMemo.clear()
+    }
+    knnMemo.synchronized {
+      knnMemo.values.foreach { e =>
+        if (!e.sc.isStopped) {
+          val g = e.graph.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          g.sparkSession.sharedState.cacheManager
+            .uncacheQuery(g, cascade = true, blocking = false)
+          e.sc.getPersistentRDDs
+            .filter { case (id, _) => e.rddIds(id) }
+            .values.foreach(_.unpersist(blocking = false))
+        }
+      }
+      knnMemo.clear()
     }
     pinned = Set.empty
   }

@@ -37,6 +37,22 @@ object CorpusOracles {
 
   private val shingleCte = shingleCteN(3)
 
+  /** Mutual-5-NN graph CTEs (twin of AnnSearch.mutualKnnGraph, k=5),
+    * ending in `e`(vec_a < vec_b) — shared by the q131/q139 family. */
+  private lazy val mutual5Ctes: String =
+    s"""p AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb,
+             ${cosine("a.embedding", "b.embedding")} AS sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+       d AS (SELECT ida AS src, idb AS dst, sim FROM p
+             UNION ALL SELECT idb, ida, sim FROM p),
+       r AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+             FROM d),
+       kk AS MATERIALIZED (SELECT src, dst FROM r WHERE rnk <= 5),
+       e AS MATERIALIZED (SELECT a.src AS vec_a, a.dst AS vec_b
+             FROM kk a JOIN kk b ON a.src = b.dst AND a.dst = b.src
+             WHERE a.src < a.dst)"""
+
   /** Unrolled deterministic Lloyd k-means (twin of KMeansExact.lloyd,
     * k=8): `rounds` assignment+fixed-point-update rounds from lowest-id
     * seeds, ending in a CTE `fin`(vec_id, centroid_id, csim) holding the
@@ -1745,18 +1761,7 @@ object CorpusOracles {
                  ORDER BY cnt DESC, lbl) AS rn FROM v$i) WHERE rn = 1),
             l$i AS MATERIALIZED (SELECT l.vec_id, coalesce(w.lbl, l.lbl) AS lbl
               FROM l${i - 1} l LEFT JOIN w$i w USING (vec_id))"""
-      s"""WITH p AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb,
-                  ${cosine("a.embedding", "b.embedding")} AS sim
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-         d AS (SELECT ida AS src, idb AS dst, sim FROM p
-               UNION ALL SELECT idb, ida, sim FROM p),
-         r AS (SELECT src, dst,
-                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
-               FROM d),
-         kk AS MATERIALIZED (SELECT src, dst FROM r WHERE rnk <= 5),
-         e AS MATERIALIZED (SELECT a.src AS vec_a, a.dst AS vec_b
-               FROM kk a JOIN kk b ON a.src = b.dst AND a.dst = b.src
-               WHERE a.src < a.dst),
+      s"""WITH $mutual5Ctes,
          bid AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM e
                UNION ALL SELECT vec_b, vec_a FROM e),
          l0 AS MATERIALIZED (SELECT vec_id, vec_id AS lbl FROM embeddings),
@@ -1890,6 +1895,25 @@ object CorpusOracles {
            WHERE b.quality >= a.quality AND b.n_tokens <= a.n_tokens
              AND (b.quality > a.quality OR b.n_tokens < a.n_tokens))
          ORDER BY doc_id""",
+
+    // X123: triangles + clustering coefficients on the mutual-5-NN
+    // graph — wedge join + closing-edge join, each triangle a<b<c once
+    "q139_knn_triangles" ->
+      s"""WITH $mutual5Ctes,
+         eo AS MATERIALIZED (SELECT vec_a AS lo, vec_b AS hi FROM e),
+         w AS (SELECT x.lo AS a, x.hi AS b, y.hi AS c
+               FROM eo x JOIN eo y ON x.lo = y.lo AND x.hi < y.hi),
+         t AS (SELECT a, b, c FROM w JOIN eo ON w.b = eo.lo AND w.c = eo.hi),
+         pn AS (SELECT vec_id, count(*) AS n_triangles
+                FROM (SELECT unnest([a, b, c]) AS vec_id FROM t) GROUP BY 1),
+         dg AS (SELECT vec_id, count(*) AS degree
+                FROM (SELECT unnest([lo, hi]) AS vec_id FROM eo) GROUP BY 1)
+         SELECT dg.vec_id, degree, coalesce(n_triangles, 0) AS n_triangles,
+                CASE WHEN degree >= 2 THEN
+                  coalesce(n_triangles, 0)::DOUBLE * 2.0 /
+                    (degree * (degree - 1))::DOUBLE
+                ELSE 0.0 END AS clustering_coeff
+         FROM dg LEFT JOIN pn USING (vec_id) ORDER BY dg.vec_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Winnow}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -81,6 +81,14 @@ object CorpusQueries {
   private def bpe(spark: SparkSession, dir: String): CurationOps.BpeModel =
     CurationOps.bpeModel(spread(Tables.load(spark, dir, "documents")), dir,
       "text", rounds = 5)
+
+  /** The session-shared mutual-5-NN graph artifact (block-grid pass run
+    * once; q123/q131/q139 are reads over it —
+    * [[graft.operators.CurationOps.knnGraph]]). */
+  private def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.knnGraph(
+      spread(Tables.load(spark, dir, "embeddings"))
+        .select("vec_id", "embedding"), dir, k = 5)
 
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -1797,9 +1805,7 @@ object CorpusQueries {
     * consumes; see [[graft.operators.AnnSearch.mutualKnnGraph]] for the
     * block-grid + partial-topk shape. */
   def mutualKnn(spark: SparkSession, dir: String): DataFrame =
-    AnnSearch.mutualKnnGraph(
-        Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"), k = 5)
-      .orderBy("vec_a", "vec_b")
+    knnGraph(spark, dir).orderBy("vec_a", "vec_b")
 
   /** DSIR-style hashed importance scores (X108): raw docs scored by
     * hashed-unigram likelihood ratio against the deterministic eval-like
@@ -1878,15 +1884,12 @@ object CorpusQueries {
   /** Label-propagation communities over the mutual-5-NN graph (X115):
     * 3 synchronous frequency-vote rounds, min-label ties — see
     * [[graft.operators.Communities.labelPropagation]]. */
-  def knnCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spread(Tables.load(spark, dir, "embeddings"))
-      .select("vec_id", "embedding")
+  def knnCommunities(spark: SparkSession, dir: String): DataFrame =
     Communities.labelPropagation(
-        emb.select("vec_id"),
-        AnnSearch.mutualKnnGraph(emb, k = 5).select("vec_a", "vec_b"),
+        Tables.load(spark, dir, "embeddings").select("vec_id"),
+        knnGraph(spark, dir).select("vec_a", "vec_b"),
         rounds = 3)
       .orderBy("vec_id")
-  }
 
   /** Winnowed-fingerprint overlap pairs (X116): local shared-run
     * detection (≥ w+k−1 = 7 shared tokens guaranteed caught) — see
@@ -1985,4 +1988,12 @@ object CorpusQueries {
             TextFunctions.tokenCount(col("text")).as("n_tokens")),
         xCol = "quality", yCol = "n_tokens")
       .orderBy("doc_id")
+
+  /** Triangle counts + clustering coefficients over the mutual-5-NN
+    * graph (X123): neighborhood-cohesion diagnostic — see
+    * [[graft.operators.Triangles.clusteringCoefficients]]. */
+  def knnTriangles(spark: SparkSession, dir: String): DataFrame =
+    Triangles.clusteringCoefficients(
+        knnGraph(spark, dir).select("vec_a", "vec_b"))
+      .orderBy("vec_id")
 }

@@ -276,6 +276,23 @@ class CurationExtSpec extends AnyFunSuite {
       s"one shard + root must differ, got $changed")
   }
 
+  test("triangles: K4, shared-edge triangle and pendant count exactly") {
+    import graft.operators.Triangles
+    // K3 {0,1,2} with pendant 3 on node 2, plus a disjoint K4 {10..13}
+    val edges = (Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)) ++
+      (for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)))
+      .toDF("vec_a", "vec_b")
+    val out = Triangles.clusteringCoefficients(edges).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering_coeff")))).toMap
+    assert(out(0L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(3L) == ((1L, 0L, 0.0)), "pendant closes nothing")
+    (10L to 13L).foreach(v => assert(out(v) == ((3L, 3L, 1.0)),
+      s"K4 node $v must sit in 3 triangles at coeff 1"))
+  }
+
   test("pareto frontier: planted dominance, ties kept, layout-invariant") {
     import graft.operators.Skyline
     // a true trade-off frontier (better quality costs more tokens):

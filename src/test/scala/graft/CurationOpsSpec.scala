@@ -113,6 +113,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(CurationOps.pinnedRddIds.isEmpty)
   }
 
+  test("knn graph artifact: one derivation feeds q123/q131/q139, results unshared-equal") {
+    import graft.operators.{AnnSearch, CurationOps}
+    CurationOps.clear()
+    val before = CurationOps.knnDerivationCount
+    val edges = CorpusQueries.mutualKnn(spark, sf).collect()
+    CorpusQueries.knnCommunities(spark, sf).collect()
+    CorpusQueries.knnTriangles(spark, sf).collect()
+    assert(CurationOps.knnDerivationCount - before == 1,
+      "three graph consumers must trigger exactly one block-grid derivation")
+    // shared-artifact edges must equal a fresh unshared derivation
+    val fresh = AnnSearch.mutualKnnGraph(
+        Tables.load(spark, sf, "embeddings").select("vec_id", "embedding"),
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.map(r => (r.getLong(0), r.getLong(1))).toSet == fresh)
+    CurationOps.clear()
+  }
+
   test("bpe artifact: one training feeds q103/q104/q111, results untrained-equal") {
     import graft.operators.{BpeTrain, CurationOps}
     CurationOps.clear()
