@@ -162,6 +162,7 @@ object SparkEntry {
     "q137_corpus_manifest"    -> (CorpusQueries.corpusManifest(_, _)),
     "q138_pareto"             -> (CorpusQueries.paretoFrontier(_, _)),
     "q139_knn_triangles"      -> (CorpusQueries.knnTriangles(_, _)),
+    "q140_decayed_counts"     -> (CorpusQueries.decayedCounts(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

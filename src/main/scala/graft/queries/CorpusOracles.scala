@@ -1914,6 +1914,20 @@ object CorpusOracles {
                     (degree * (degree - 1))::DOUBLE
                 ELSE 0.0 END AS clustering_coeff
          FROM dg LEFT JOIN pn USING (vec_id) ORDER BY dg.vec_id""",
+
+    // X124: half-life-decayed counts — exact 2^-h weights ((1<<h)
+    // shifts, never libm pow/exp), ordered fold over the ≤53 buckets
+    "q140_decayed_counts" ->
+      """WITH pd AS (SELECT event_type AS k,
+                 epoch_us(ts) // 86400000000 AS d, count(*) AS c
+               FROM events GROUP BY 1, 2),
+         st AS (SELECT max(d) AS maxd FROM pd),
+         hb AS (SELECT k, (maxd - d) // 7 AS hl, sum(c)::BIGINT AS cnt
+                FROM pd, st GROUP BY 1, 2)
+         SELECT k AS event_type, sum(cnt)::BIGINT AS n_events,
+                list_sum(list(cnt::DOUBLE / (1::BIGINT << hl)::DOUBLE
+                    ORDER BY hl) FILTER (WHERE hl <= 52)) AS decayed_count
+         FROM hb GROUP BY k ORDER BY event_type""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -1996,4 +1996,12 @@ object CorpusQueries {
     Triangles.clusteringCoefficients(
         knnGraph(spark, dir).select("vec_a", "vec_b"))
       .orderBy("vec_id")
+
+  /** Half-life-decayed event counts (X124): freshness weights with
+    * engine-exact power-of-two decay — see
+    * [[graft.operators.Decay.decayedCounts]]. */
+  def decayedCounts(spark: SparkSession, dir: String): DataFrame =
+    Decay.decayedCounts(Tables.load(spark, dir, "events"),
+        "event_type", "ts", halfLifeDays = 7)
+      .orderBy("event_type")
 }

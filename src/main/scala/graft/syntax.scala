@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Dedup, Winnow, ImportanceWeights, KMeansExact, Manifest, NearDup, PageRank, Percentiles, PowerIteration, Skyline, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
+import graft.operators.{AnnSearch, AsOfJoin, BpeTrain, ChunkDedup, Communities, Coreset, Decay, Dedup, Winnow, ImportanceWeights, KMeansExact, Manifest, NearDup, PageRank, Percentiles, PowerIteration, Skyline, QualityRules, RangeJoin, Sampling, Sessionize, Sketches, Skew, Temporal}
 import graft.sources.Sinks
 
 /** Fluent entry point: `import graft.syntax._` puts the engine's operator
@@ -189,6 +189,11 @@ object syntax {
     /** this = skewed fact side; `dim` replicated `salts` ways. */
     def saltedJoin(dim: DataFrame, key: String, salts: Int): DataFrame =
       Skew.saltedJoin(df, dim, key, salts)
+
+    /** Half-life-decayed counts per key (engine-exact 2^-h weights). */
+    def decayedCounts(key: String, tsCol: String,
+        halfLifeDays: Int = 7): DataFrame =
+      Decay.decayedCounts(df, key, tsCol, halfLifeDays)
 
     // ---- deterministic sampling ----
     def deterministicSample(idCol: String, rate: Double): DataFrame =

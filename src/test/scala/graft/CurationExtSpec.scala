@@ -276,6 +276,22 @@ class CurationExtSpec extends AnyFunSuite {
       s"one shard + root must differ, got $changed")
   }
 
+  test("decayed counts: exact 2^-h weights, >52-half-life buckets truncate") {
+    import graft.operators.Decay
+    val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def ts(daysAgo: Int) =
+      new java.sql.Timestamp(base.getTime - daysAgo.toLong * 86400000L)
+    val events = (Seq.fill(4)(("A", ts(0))) ++ Seq.fill(2)(("A", ts(1))) ++
+      Seq(("A", ts(2))) ++ Seq(("B", ts(0))) ++ Seq.fill(5)(("B", ts(60))))
+      .toDF("event_type", "ts")
+    val out = Decay.decayedCounts(events, "event_type", "ts", halfLifeDays = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("decayed_count")))).toMap
+    // EXACT doubles: 4 + 2/2 + 1/4; B's 60-half-life bucket is cut
+    assert(out("A") == ((7L, 5.25)))
+    assert(out("B") == ((6L, 1.0)))
+  }
+
   test("triangles: K4, shared-edge triangle and pendant count exactly") {
     import graft.operators.Triangles
     // K3 {0,1,2} with pendant 3 on node 2, plus a disjoint K4 {10..13}
