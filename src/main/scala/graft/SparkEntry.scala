@@ -163,6 +163,7 @@ object SparkEntry {
     "q138_pareto"             -> (CorpusQueries.paretoFrontier(_, _)),
     "q139_knn_triangles"      -> (CorpusQueries.knnTriangles(_, _)),
     "q140_decayed_counts"     -> (CorpusQueries.decayedCounts(_, _)),
+    "q141_manifest_diff"      -> (CorpusQueries.manifestDiff(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -47,4 +47,28 @@ object Manifest {
       .select(lit(-1L).as("shard"), col("n_docs"), col("shard_hash"))
     per.unionByName(root)
   }
+
+  /** Shard-level diff of two corpus manifests: (shard, status,
+    * n_docs_a, n_docs_b) with status ∈ {same, changed, only_a, only_b}
+    * (root rows compared like any shard, as shard −1). This is the
+    * CHEAP first stage of a cross-copy reconciliation: only `changed`
+    * shards proceed to the row-level [[Temporal.snapshotDiff]] — at
+    * 100 TB the manifests are `shards`-row tables, so the diff costs
+    * nothing regardless of corpus size. */
+  def manifestDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, shards: Int = 64): DataFrame = {
+    val ma = corpusManifest(a, idCol, textCol, shards)
+      .withColumnRenamed("n_docs", "n_docs_a")
+      .withColumnRenamed("shard_hash", "__ha")
+    val mb = corpusManifest(b, idCol, textCol, shards)
+      .withColumnRenamed("n_docs", "n_docs_b")
+      .withColumnRenamed("shard_hash", "__hb")
+    ma.join(mb, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("__ha").isNull, "only_b")
+          .when(col("__hb").isNull, "only_a")
+          .when(col("__ha") === col("__hb"), "same")
+          .otherwise("changed").as("status"),
+        col("n_docs_a"), col("n_docs_b"))
+  }
 }

@@ -1928,6 +1928,38 @@ object CorpusOracles {
                 list_sum(list(cnt::DOUBLE / (1::BIGINT << hl)::DOUBLE
                     ORDER BY hl) FILTER (WHERE hl <= 52)) AS decayed_count
          FROM hb GROUP BY k ORDER BY event_type""",
+
+    // X125: shard-level manifest diff vs a deterministically tampered
+    // copy (1/97 edited, 1/89 dropped) — two q137 manifests full-outer
+    // joined on shard
+    "q141_manifest_diff" -> {
+      def man(src: String, out: String) =
+        s"""f$out AS (SELECT (${md5h56("doc_id::VARCHAR")}) % 64 AS shard,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+               FROM $src),
+           s$out AS (SELECT shard, count(*) AS n_docs,
+                 md5(string_agg(fp, '' ORDER BY fp)) AS shard_hash
+               FROM f$out GROUP BY 1),
+           m$out AS (SELECT * FROM s$out UNION ALL
+               SELECT -1::BIGINT, (SELECT sum(n_docs) FROM s$out)::BIGINT,
+                      md5(string_agg(shard_hash, '' ORDER BY shard))
+               FROM s$out)"""
+      s"""WITH bdocs AS (SELECT doc_id,
+               CASE WHEN (${md5h56("doc_id::VARCHAR")}) % 97 = 0
+                    THEN text || ' v2' ELSE text END AS text
+             FROM documents
+             WHERE (${md5h56("doc_id::VARCHAR")}) % 89 <> 0),
+         ${man("documents", "a")},
+         ${man("bdocs", "b")}
+         SELECT coalesce(ma.shard, mb.shard) AS shard,
+                CASE WHEN ma.shard_hash IS NULL THEN 'only_b'
+                     WHEN mb.shard_hash IS NULL THEN 'only_a'
+                     WHEN ma.shard_hash = mb.shard_hash THEN 'same'
+                     ELSE 'changed' END AS status,
+                ma.n_docs AS n_docs_a, mb.n_docs AS n_docs_b
+         FROM ma FULL OUTER JOIN mb ON ma.shard = mb.shard
+         ORDER BY shard"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

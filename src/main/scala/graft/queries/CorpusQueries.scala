@@ -2004,4 +2004,20 @@ object CorpusQueries {
     Decay.decayedCounts(Tables.load(spark, dir, "events"),
         "event_type", "ts", halfLifeDays = 7)
       .orderBy("event_type")
+
+  /** Shard-level manifest diff (X125) between the corpus and a
+    * deterministically tampered copy (1/97 of docs edited, 1/89
+    * dropped) — the cheap first stage of cross-copy reconciliation;
+    * see [[graft.operators.Manifest.manifestDiff]]. */
+  def manifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(Tables.load(spark, dir, "documents"))
+    val h = TextFunctions.md5Hash56(col("doc_id").cast("string"))
+    val b = docs
+      .where(pmod(h, lit(89L)) =!= 0L)
+      .withColumn("text",
+        when(pmod(h, lit(97L)) === 0L, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    Manifest.manifestDiff(docs, b, "doc_id", "text", shards = 64)
+      .orderBy("shard")
+  }
 }

@@ -83,6 +83,11 @@ object syntax {
         shards: Int = 64): DataFrame =
       Manifest.corpusManifest(df, idCol, textCol, shards)
 
+    /** Shard-level manifest diff vs another corpus copy. */
+    def manifestDiff(other: DataFrame, idCol: String, textCol: String,
+        shards: Int = 64): DataFrame =
+      Manifest.manifestDiff(df, other, idCol, textCol, shards)
+
     /** C4/Gopher rule-filter report (per-rule verdicts + keep). */
     def qualityRuleReport(idCol: String, textCol: String): DataFrame =
       QualityRules.report(df, idCol, textCol)

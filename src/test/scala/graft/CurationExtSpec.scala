@@ -274,6 +274,21 @@ class CurationExtSpec extends AnyFunSuite {
     val changed = m1.keySet.filter(k => m1(k) != m3(k))
     assert(changed.size == 2 && changed.contains(-1L),
       s"one shard + root must differ, got $changed")
+    // shard-level diff names exactly those shards; dropping every doc
+    // of one shard yields only_a
+    val diff = Manifest.manifestDiff(docs, edited, "doc_id", "text", shards = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff.count(_._2 == "changed") == 2 && diff(-1L) == "changed")
+    assert(diff.count(_._2 == "same") == 7)
+    val shardOf7 = Manifest.corpusManifest(
+        docs.filter(col("doc_id") === 7L), "doc_id", "text", shards = 8)
+      .filter(col("shard") >= 0).collect().head.getLong(0)
+    val dropped = Manifest.manifestDiff(docs,
+        docs.filter(pmod(graft.functions.TextFunctions.md5Hash56(
+          col("doc_id").cast("string")), lit(8L)) =!= shardOf7),
+        "doc_id", "text", shards = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dropped(shardOf7) == "only_a")
   }
 
   test("decayed counts: exact 2^-h weights, >52-half-life buckets truncate") {
