@@ -38,7 +38,10 @@ object ScaleSweep {
       "q91_equidepth_hist", "q93_quantize_int8", "q94_token_pagerank",
       "q101_pq_ann", "q102_span_excise", "q106_semdedup",
       "q107_incremental_neardup", "q121_containment", "q123_mutual_knn",
-      "q124_dsir_weights", "q127_kmeans")
+      "q124_dsir_weights", "q127_kmeans",
+      // round-6 late additions with data-dominated stages
+      "q130_kcenter_coreset", "q131_knn_communities", "q132_winnow_overlap",
+      "q136_pc1_projection", "q138_pareto", "q139_knn_triangles")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -164,6 +164,7 @@ object SparkEntry {
     "q139_knn_triangles"      -> (CorpusQueries.knnTriangles(_, _)),
     "q140_decayed_counts"     -> (CorpusQueries.decayedCounts(_, _)),
     "q141_manifest_diff"      -> (CorpusQueries.manifestDiff(_, _)),
+    "q142_join_preflight"     -> (CorpusQueries.joinPreflight(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -63,6 +63,52 @@ object Sketches {
       .orderBy(col(key))
   }
 
+  /** Sketch-based join preflight: estimate the distinct-key cardinality
+    * of BOTH join sides, their union and their intersection from two
+    * k-sized KMV bottom-k sketches — the O(k)-state answer to "how big
+    * is this join, and how contained is A in B?" a planner or a
+    * pipeline author asks BEFORE shuffling 100 TB. Intersection rides
+    * inclusion–exclusion over the merged sketch (est_a + est_b −
+    * est_union, clamped at 0); the sketch merge is the documented KMV
+    * algebra (`slice(array_sort(array_union), 1, k)`), so the whole
+    * preflight re-aggregates from per-side sketches without touching
+    * the raw keys again. Every estimate is order-statistic arithmetic
+    * on exact doubles — a SQL oracle replays it bit-for-bit — and the
+    * verdict compares the intersection estimate to the exact overlap
+    * (small-side join at probe scale; the production mode trusts the
+    * sketch). */
+  def joinPreflight(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      k: Int = 256, tol: Double = 0.35): DataFrame = {
+    import graft.functions.TextFunctions
+    def sketch(df: DataFrame, key: String) = df
+      .select(TextFunctions.md5Hash56(col(key).cast("string")).as("__h"))
+      .agg(exprColumn(KmvAgg(columnExpr(col("__h")), k)
+          .toAggregateExpression()).as("sk"),
+        count_distinct(col("__h")).as("nd"))
+    def est(sk: org.apache.spark.sql.Column) =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(7.2057594037927936e16) /
+          element_at(sk, k).cast("double"))
+    val sa = sketch(a, aKey).select(col("sk").as("ska"), col("nd").as("nd_a"))
+    val sb = sketch(b, bKey).select(col("sk").as("skb"), col("nd").as("nd_b"))
+    val exact = a.select(col(aKey).as("__k")).distinct()
+      .join(b.select(col(bKey).as("__k")).distinct(), Seq("__k"))
+      .agg(count(lit(1)).as("nd_intersect"))
+    val merged = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
+    sa.crossJoin(sb).crossJoin(exact)
+      .withColumn("est_a", est(col("ska")))
+      .withColumn("est_b", est(col("skb")))
+      .withColumn("est_union", est(merged))
+      .withColumn("est_intersect",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("est_ok",
+        abs(col("est_intersect") -
+            col("nd_intersect").cast("double")) <=
+          lit(tol) * greatest(col("nd_intersect").cast("double"), lit(1.0)))
+      .select("nd_a", "nd_b", "nd_intersect", "est_a", "est_b",
+        "est_union", "est_intersect", "est_ok")
+  }
+
   /** Per-group q-digest quantile sketch next to exact interpolated
     * percentiles and a deterministic rank-error verdict — the
     * oracle-gateable shape ([[approxDistinctChecked]]'s pattern): exact

@@ -1960,6 +1960,45 @@ object CorpusOracles {
          FROM ma FULL OUTER JOIN mb ON ma.shard = mb.shard
          ORDER BY shard"""
     },
+
+    // X126: KMV join preflight — bottom-256 order statistics, the q85
+    // estimator, inclusion-exclusion intersection over the merged sketch
+    "q142_join_preflight" -> {
+      def side(src: String, key: String, out: String) =
+        s"""h$out AS (SELECT DISTINCT ${md5h56(s"$key::VARCHAR")} AS h FROM $src),
+           r$out AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h$out),
+           g$out AS (SELECT count(*) AS nd,
+                 count(*) FILTER (WHERE rn <= 256) AS sz,
+                 max(CASE WHEN rn = 256 THEN h END) AS hk FROM r$out)"""
+      def est(g: String) =
+        s"""CASE WHEN $g.sz < 256 THEN $g.sz::DOUBLE
+            ELSE 255.0 * 7.2057594037927936e16 / $g.hk::DOUBLE END"""
+      s"""WITH ${side("orders", "o_custkey", "a")},
+         ${side("customer", "c_custkey", "b")},
+         hu AS (SELECT DISTINCT h FROM
+                (SELECT h FROM ra WHERE rn <= 256
+                 UNION ALL SELECT h FROM rb WHERE rn <= 256)),
+         ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hu),
+         gu AS (SELECT count(*) AS sz,
+                max(CASE WHEN rn = 256 THEN h END) AS hk FROM ru),
+         ex AS (SELECT count(*) AS nd_intersect FROM
+                (SELECT DISTINCT o_custkey FROM orders) o
+                JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                  ON o.o_custkey = c.c_custkey),
+         e AS (SELECT ga.nd::BIGINT AS nd_a, gb.nd::BIGINT AS nd_b,
+                 ex.nd_intersect::BIGINT AS nd_intersect,
+                 ${est("ga")} AS est_a, ${est("gb")} AS est_b,
+                 CASE WHEN gu.sz < 256 THEN gu.sz::DOUBLE
+                      ELSE 255.0 * 7.2057594037927936e16 / gu.hk::DOUBLE
+                 END AS est_union
+               FROM ga, gb, gu, ex)
+         SELECT nd_a, nd_b, nd_intersect, est_a, est_b, est_union,
+                greatest(0.0, est_a + est_b - est_union) AS est_intersect,
+                abs(greatest(0.0, est_a + est_b - est_union) -
+                    nd_intersect::DOUBLE) <=
+                  0.35 * greatest(nd_intersect::DOUBLE, 1.0) AS est_ok
+         FROM e"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

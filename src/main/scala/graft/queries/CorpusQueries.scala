@@ -2020,4 +2020,13 @@ object CorpusQueries {
     Manifest.manifestDiff(docs, b, "doc_id", "text", shards = 64)
       .orderBy("shard")
   }
+
+  /** Sketch-based join preflight (X126): KMV cardinality/containment
+    * estimates for orders⋈customer on custkey — see
+    * [[graft.operators.Sketches.joinPreflight]]. */
+  def joinPreflight(spark: SparkSession, dir: String): DataFrame =
+    Sketches.joinPreflight(
+      Tables.load(spark, dir, "orders").select("o_custkey"), "o_custkey",
+      Tables.load(spark, dir, "customer").select("c_custkey"), "c_custkey",
+      k = 256)
 }

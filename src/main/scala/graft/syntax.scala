@@ -200,6 +200,11 @@ object syntax {
         halfLifeDays: Int = 7): DataFrame =
       Decay.decayedCounts(df, key, tsCol, halfLifeDays)
 
+    /** KMV sketch join preflight vs `other` (cardinalities, overlap). */
+    def joinPreflight(other: DataFrame, thisKey: String, otherKey: String,
+        k: Int = 256): DataFrame =
+      Sketches.joinPreflight(df, thisKey, other, otherKey, k)
+
     // ---- deterministic sampling ----
     def deterministicSample(idCol: String, rate: Double): DataFrame =
       Sampling.deterministicSample(df, idCol, rate)

@@ -291,6 +291,29 @@ class CurationExtSpec extends AnyFunSuite {
     assert(dropped(shardOf7) == "only_a")
   }
 
+  test("join preflight: estimates track exact overlap across regimes") {
+    import graft.operators.Sketches
+    val a = (0L until 10000L).toDF("k")
+    val bHalf = (5000L until 15000L).toDF("k")   // 5000-key overlap
+    val half = Sketches.joinPreflight(a, "k", bHalf, "k", k = 256).head()
+    assert(half.getAs[Long]("nd_intersect") == 5000L)
+    assert(half.getAs[Boolean]("est_ok"),
+      s"half-overlap estimate off: ${half.getAs[Double]("est_intersect")}")
+    // disjoint sets: the clamped estimate must stay a small fraction of
+    // either side (KMV noise ~1/sqrt(k) of the union)
+    val bFar = (20000L until 30000L).toDF("k")
+    val disj = Sketches.joinPreflight(a, "k", bFar, "k", k = 256).head()
+    assert(disj.getAs[Long]("nd_intersect") == 0L)
+    assert(disj.getAs[Double]("est_intersect") <
+      0.25 * disj.getAs[Long]("nd_a"),
+      s"disjoint estimate too large: ${disj.getAs[Double]("est_intersect")}")
+    // sub-k sides are exact: the sketch IS the distinct set
+    val small = Sketches.joinPreflight(
+      (0L until 100L).toDF("k"), "k", (50L until 150L).toDF("k"), "k",
+      k = 256).head()
+    assert(small.getAs[Double]("est_intersect") == 50.0)
+  }
+
   test("decayed counts: exact 2^-h weights, >52-half-life buckets truncate") {
     import graft.operators.Decay
     val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
