@@ -62,12 +62,15 @@ object Communities {
         .agg(max_by(col("lbl"), struct(col("cnt"), negate(col("lbl"))))
           .as("nlbl"))
         .withColumnRenamed("dst", "vec_id")
-      val next = labels.join(votes, Seq("vec_id"), "left")
+      // lazy persist: the final action materializes each level exactly
+      // once bottom-up — the cache breaks the double-reference blowup
+      // without a per-round driver sync (rounds here, unlike the
+      // convergence loop in dupGroups, need no driver decision). All
+      // `rounds` label levels are resident together; each is one
+      // (id, label) row per node, MEMORY_AND_DISK.
+      labels = labels.join(votes, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // full materialization BEFORE dropping the parent
-      labels.unpersist()
-      labels = next
     }
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"))

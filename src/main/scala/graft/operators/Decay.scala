@@ -33,12 +33,23 @@ object Decay {
     * Σ_buckets count(bucket) · 2^−h, h = whole `halfLifeDays`-day
     * half-lives between the bucket's day and the corpus max day. */
   def decayedCounts(df: DataFrame, key: String, tsCol: String,
-      halfLifeDays: Int = 7): DataFrame = {
-    require(halfLifeDays >= 1, s"decayedCounts: halfLifeDays=$halfLifeDays")
-    val perDay = df
-      .select(col(key).as("__k"),
+      halfLifeDays: Int = 7): DataFrame =
+    decayedFromDayCounts(dayCounts(df, key, tsCol), key, halfLifeDays)
+
+  /** The compact (key, day, count) reduction of an event stream — the
+    * STATE a streaming maintenance pass carries between batches
+    * ([[graft.streaming.EventStreams]] face): bounded by
+    * keys × active days regardless of event volume, and mergeable by
+    * re-aggregation. Columns: (__k, __d, __c). */
+  def dayCounts(df: DataFrame, key: String, tsCol: String): DataFrame =
+    df.select(col(key).as("__k"),
         expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("__d"))
       .groupBy("__k", "__d").agg(count(lit(1)).as("__c"))
+
+  /** Decayed scores from a (__k, __d, __c) day-count table. */
+  def decayedFromDayCounts(perDay: DataFrame, key: String,
+      halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, s"decayedCounts: halfLifeDays=$halfLifeDays")
     val stats = perDay.agg(max(col("__d")).as("__maxd"))
     val byHl = perDay.crossJoin(broadcast(stats))
       .withColumn("__hl", expr(s"(__maxd - __d) div $halfLifeDays"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
-import graft.operators.NearDup
+import graft.operators.{Decay, NearDup}
 
 /** Streaming faces of the corpus-pipeline operators.
   *
@@ -38,5 +38,37 @@ object CorpusStreams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(NearDup.incrementalDedupVerdicts(
           batch, index, idCol, textCol, n, threshold), id)
+      }
+
+  /** Incrementally-maintained half-life-decayed counts (X127, the
+    * streaming face of [[graft.operators.Decay]]): each micro-batch
+    * reduces to its (key, day) counts and MERGES into a state table
+    * that is bounded by keys × active days regardless of event volume —
+    * no history rescan, the X80-style maintenance shape. State is
+    * versioned BY BATCH ID (`state_dir/v=<batchId>` reads v=batchId−1),
+    * so a re-delivered batch recomputes the same version from the same
+    * predecessor instead of double-counting — idempotence under
+    * exactly-once replay comes from the versioning, not from the sink.
+    * `sink` receives the decayed scores derived from the merged state
+    * (the identical fold the batch operator runs — parity is by shared
+    * code, and spec-asserted across arbitrary batch boundaries). */
+  def decayedIngest(events: DataFrame, key: String, tsCol: String,
+      halfLifeDays: Int, stateDir: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val newCounts = Decay.dayCounts(batch, key, tsCol)
+        val prevPath = s"$stateDir/v=${id - 1}"
+        val merged = (if (new java.io.File(prevPath).exists())
+            spark.read.parquet(prevPath).unionByName(newCounts)
+          else newCounts)
+          .groupBy("__k", "__d")
+          .agg(org.apache.spark.sql.functions.sum("__c").as("__c"))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$id")
+        sink(Decay.decayedFromDayCounts(
+          spark.read.parquet(s"$stateDir/v=$id"), key, halfLifeDays), id)
       }
 }
