@@ -165,6 +165,7 @@ object SparkEntry {
     "q140_decayed_counts"     -> (CorpusQueries.decayedCounts(_, _)),
     "q141_manifest_diff"      -> (CorpusQueries.manifestDiff(_, _)),
     "q142_join_preflight"     -> (CorpusQueries.joinPreflight(_, _)),
+    "q143_boilerplate"        -> (CorpusQueries.boilerplateStrip(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -160,7 +160,7 @@ object ChunkDedup {
     * pure expression — fuses into the scan stage, no explode needed to
     * build the chunks themselves. `floor` over the double quotient is
     * exact here (token counts are far below 2^53). */
-  private def chunkArray(textCol: String, size: Int): Column = {
+  def chunkArray(textCol: String, size: Int): Column = {
     val toks = split(col(textCol), " ")
     val nChunks =
       floor((org.apache.spark.sql.functions.size(toks) + lit(size - 1)) / lit(size)).cast("int")

@@ -1999,6 +1999,32 @@ object CorpusOracles {
                   0.35 * greatest(nd_intersect::DOUBLE, 1.0) AS est_ok
          FROM e"""
     },
+
+    // X128: per-source boilerplate strip — 2-token chunks with
+    // within-source doc-frequency ≥ max(2, ceil(10% of the source's
+    // docs)) excised from every doc of the source (no keeper);
+    // integer threshold arithmetic mirrors the Spark side exactly
+    "q143_boilerplate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         ch AS (SELECT doc_id, source, unnest(range(0, ((len(w) + 1) // 2))) AS idx, w
+                FROM w),
+         c2 AS (SELECT doc_id, source, idx,
+                  array_to_string(w[idx*2+1 : idx*2+2], ' ') AS chunk
+                FROM ch),
+         nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         b AS (SELECT df.source, df.chunk FROM
+                 (SELECT source, chunk, count(DISTINCT doc_id) AS df
+                  FROM c2 GROUP BY 1, 2) df
+               JOIN nd USING (source)
+               WHERE df >= greatest(2, (n_docs * 10 + 99) // 100)),
+         m AS (SELECT c2.doc_id, c2.source, c2.idx, c2.chunk,
+                 (b.chunk IS NOT NULL) AS is_b
+               FROM c2 LEFT JOIN b
+                 ON c2.source = b.source AND c2.chunk = b.chunk)
+         SELECT doc_id, any_value(source) AS source, count(*) AS n_chunks,
+                count(*) FILTER (is_b) AS n_boiler,
+                string_agg(chunk, ' ' ORDER BY idx) FILTER (NOT is_b) AS new_text
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2020,6 +2020,16 @@ object CorpusQueries {
     Manifest.manifestDiff(docs, b, "doc_id", "text", shards = 64)
       .orderBy("shard")
   }
+
+  /** Per-source boilerplate strip (X128): chunks repeated across ≥10% of
+    * one source's documents (min 2) are that source's header/footer
+    * boilerplate and are excised from every document of the source —
+    * see [[graft.operators.Boilerplate.stripBoilerplate]]. */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    Boilerplate.stripBoilerplate(
+      spread(Tables.load(spark, dir, "documents")),
+      "doc_id", "text", "source", size = 2, ratioPct = 10, minDf = 2)
+      .orderBy("doc_id")
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
