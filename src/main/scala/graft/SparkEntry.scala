@@ -166,6 +166,7 @@ object SparkEntry {
     "q141_manifest_diff"      -> (CorpusQueries.manifestDiff(_, _)),
     "q142_join_preflight"     -> (CorpusQueries.joinPreflight(_, _)),
     "q143_boilerplate"        -> (CorpusQueries.boilerplateStrip(_, _)),
+    "q144_heavy_hitters"      -> (CorpusQueries.heavyHitters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -202,4 +202,39 @@ object Sketches {
   /** Direct global estimate, for merge-consistency checks. */
   def hllDirectEstimate(df: DataFrame, value: String): DataFrame =
     df.agg(hll_sketch_estimate(hll_sketch_agg(col(value))).as("direct_estimate"))
+
+  /** Exact φ=1/k heavy hitters via Misra–Gries prefilter
+    * ([[graft.functions.MisraGriesAgg]]): items whose true frequency
+    * exceeds n/k, with their EXACT counts.
+    *
+    * Three-stage shape, none of which shuffles the full item cardinality:
+    *   1. ONE pass folds every partition into a ≤k-counter MG summary
+    *      (partial aggregation; the exchange carries ≤k strings per map
+    *      task) alongside the total item count — the MG guarantee says
+    *      the summary ⊇ every item with count > n/k;
+    *   2. the ≤k candidates broadcast into a semi-join that restricts the
+    *      recount to candidate rows only — the heavy tail (at web scale,
+    *      billions of near-unique items) is filtered BEFORE the exchange,
+    *      so the recount aggregate's key space is ≤k, not |vocab|;
+    *   3. the exact filter `cnt · k > n` is integer arithmetic — the
+    *      output is exact, not an estimate, and the DuckDB twin (a plain
+    *      GROUP BY + HAVING) hash-matches bit-for-bit.
+    *
+    * Contrast with an exact global top-k (full-vocab shuffle, no bound on
+    * reducer state) and with CMS top-k (X22's q73: estimate-valued,
+    * tolerance-gated): this is the 100 TB pattern that is BOTH bounded
+    * and exact. */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int = 64): DataFrame = {
+    val it = items.select(col(itemCol).cast("string").as("item"))
+    val pre = it.agg(
+      exprColumn(graft.functions.MisraGriesAgg(columnExpr(col("item")), k)
+        .toAggregateExpression()).as("__cand"),
+      count(lit(1)).as("__n"))
+    val cand = pre.select(explode(col("__cand")).as("item"), col("__n"))
+    it.join(broadcast(cand), Seq("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"), min("__n").as("n_total"))
+      .where(col("cnt") * lit(k.toLong) > col("n_total"))
+      .orderBy(desc("cnt"), col("item"))
+  }
 }

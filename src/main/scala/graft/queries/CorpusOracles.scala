@@ -2025,6 +2025,16 @@ object CorpusOracles {
                 count(*) FILTER (is_b) AS n_boiler,
                 string_agg(chunk, ' ' ORDER BY idx) FILTER (NOT is_b) AS new_text
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    // X129: φ=1/64 heavy hitters — the Spark side runs Misra–Gries
+    // prefilter + broadcast recount, but its OUTPUT is exact, so the
+    // twin is the plain definition (GROUP BY + integer HAVING)
+    "q144_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+         n AS (SELECT count(*) AS n_total FROM t),
+         c AS (SELECT item, count(*) AS cnt FROM t GROUP BY 1)
+         SELECT item, cnt, n_total FROM c CROSS JOIN n
+         WHERE cnt * 64 > n_total ORDER BY cnt DESC, item""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

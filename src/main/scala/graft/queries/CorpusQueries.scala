@@ -2031,6 +2031,15 @@ object CorpusQueries {
       "doc_id", "text", "source", size = 2, ratioPct = 10, minDf = 2)
       .orderBy("doc_id")
 
+  /** Exact heavy hitters via Misra–Gries prefilter (X129): tokens with
+    * frequency > n/64, exact counts, bounded O(k) sketch state — see
+    * [[graft.operators.Sketches.heavyHitters]]. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(
+      spread(Tables.load(spark, dir, "documents"))
+        .select(explode(TextFunctions.tokens(col("text"))).as("token")),
+      "token", k = 64)
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
