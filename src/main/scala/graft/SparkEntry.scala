@@ -167,6 +167,7 @@ object SparkEntry {
     "q142_join_preflight"     -> (CorpusQueries.joinPreflight(_, _)),
     "q143_boilerplate"        -> (CorpusQueries.boilerplateStrip(_, _)),
     "q144_heavy_hitters"      -> (CorpusQueries.heavyHitters(_, _)),
+    "q145_token_hits"         -> (CorpusQueries.docTokenHits(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

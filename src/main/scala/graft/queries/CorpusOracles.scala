@@ -2035,6 +2035,34 @@ object CorpusOracles {
          c AS (SELECT item, count(*) AS cnt FROM t GROUP BY 1)
          SELECT item, cnt, n_total FROM c CROSS JOIN n
          WHERE cnt * 64 > n_total ORDER BY cnt DESC, item""",
+
+    // X130: HITS token authorities — 4 unrolled fixed-point rounds,
+    // multiply-free max-normalization `s // (m // SCALE)` (the Spark
+    // side's exact arithmetic; CASTs pin DuckDB's HUGEINT sums back to
+    // the BIGINT lattice Spark computes on)
+    "q145_token_hits" -> {
+      val S = 1000000000000L
+      def aRound(i: Int, hubSrc: String) =
+        s"""a${i}r AS (SELECT dst, CAST(sum(score) AS BIGINT) AS s
+               FROM e JOIN $hubSrc USING (src) GROUP BY 1),
+           a$i AS (SELECT dst, CAST(s // (m // $S) AS BIGINT) AS score
+               FROM a${i}r, (SELECT max(s) AS m FROM a${i}r))"""
+      def hRound(i: Int) =
+        s"""h${i}r AS (SELECT src, CAST(sum(score) AS BIGINT) AS s
+               FROM e JOIN a$i USING (dst) GROUP BY 1),
+           h$i AS (SELECT src, CAST(s // (m // $S) AS BIGINT) AS score
+               FROM h${i}r, (SELECT max(s) AS m FROM h${i}r))"""
+      val rounds = (1 to 4).map { i =>
+        aRound(i, s"h${i - 1}") + (if (i < 4) ",\n" + hRound(i) else "")
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT doc_id AS src, unnest(string_split(text, ' ')) AS dst
+                       FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM tok),
+         h0 AS (SELECT DISTINCT src, CAST($S AS BIGINT) AS score FROM e),
+         $rounds
+         SELECT dst AS token, score AS auth_scaled FROM a4
+         ORDER BY auth_scaled DESC, token"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

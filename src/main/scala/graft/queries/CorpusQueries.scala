@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2039,6 +2039,19 @@ object CorpusQueries {
       spread(Tables.load(spark, dir, "documents"))
         .select(explode(TextFunctions.tokens(col("text"))).as("token")),
       "token", k = 64)
+
+  /** HITS token authorities (X130) over doc–token incidence: 4
+    * fixed-point hub↔authority rounds — see
+    * [[graft.operators.Hits.bipartiteAuthorities]]. */
+  def docTokenHits(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id").as("src"),
+        explode(TextFunctions.tokens(col("text"))).as("dst"))
+      .distinct()
+    Hits.bipartiteAuthorities(e, iters = 4)
+      .select(col("dst").as("token"), col("auth_scaled"))
+      .orderBy(desc("auth_scaled"), col("token"))
+  }
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
