@@ -168,6 +168,7 @@ object SparkEntry {
     "q143_boilerplate"        -> (CorpusQueries.boilerplateStrip(_, _)),
     "q144_heavy_hitters"      -> (CorpusQueries.heavyHitters(_, _)),
     "q145_token_hits"         -> (CorpusQueries.docTokenHits(_, _)),
+    "q146_rrf_fusion"         -> (CorpusQueries.rrfFusion(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2063,6 +2063,38 @@ object CorpusOracles {
          SELECT dst AS token, score AS auth_scaled FROM a4
          ORDER BY auth_scaled DESC, token"""
     },
+
+    // X131: RRF fusion of the full and 16-dim matryoshka cosine top-10
+    // rankings — Σ 1000000 // (60+rank), exact integer, top-5 per query
+    "q146_rrf_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         sf AS (SELECT query_id, vec_id, ${cosine("qv", "embedding")} AS sim
+                FROM c, q),
+         rf AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk_full
+                FROM sf QUALIFY rnk_full <= 10),
+         st AS (SELECT query_id, vec_id, ${cosineD("qv", "embedding", 16)} AS sim
+                FROM c, q),
+         rt AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk_trunc
+                FROM st QUALIFY rnk_trunc <= 10),
+         u AS (SELECT coalesce(rf.query_id, rt.query_id) AS query_id,
+                 coalesce(rf.vec_id, rt.vec_id) AS vec_id,
+                 CAST(coalesce(1000000 // (60 + rnk_full), 0) +
+                      coalesce(1000000 // (60 + rnk_trunc), 0) AS BIGINT)
+                   AS rrf_scaled,
+                 rnk_full IS NOT NULL AS in_full,
+                 rnk_trunc IS NOT NULL AS in_trunc
+               FROM rf FULL OUTER JOIN rt
+                 ON rf.query_id = rt.query_id AND rf.vec_id = rt.vec_id),
+         r AS (SELECT u.*, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_scaled DESC, vec_id) AS rnk FROM u)
+         SELECT query_id, vec_id, rrf_scaled, in_full, in_trunc, rnk
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2053,6 +2053,41 @@ object CorpusQueries {
       .orderBy(desc("auth_scaled"), col("token"))
   }
 
+  /** Reciprocal-rank fusion (X131): fuse the full-precision and the
+    * 16-dim matryoshka cosine rankings per query with RRF (Cormack '09),
+    * `Σ 1/(60+rank)` in exact integer arithmetic (`1000000 div
+    * (60+rnk)`) — the standard no-training rank combiner a retrieval
+    * stack applies across heterogeneous scorers. Each input ranking is
+    * already ≤k rows/query (X6's bounded top-k exchange); the fusion is
+    * a (query, vec)-keyed full-outer join of two tiny ranked sets plus
+    * one more TopKPerKey-rewritten window — nothing rescans the corpus. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+    def qs(df: DataFrame) = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    def cs(df: DataFrame) = df.filter(col("vec_id") >= 10)
+      .select("vec_id", "embedding")
+    val trunc = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val full = AnnSearch.bruteForceTopK(qs(e), cs(e), k = 10)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("rnk_full"))
+    val tr = AnnSearch.bruteForceTopK(qs(trunc), cs(trunc), k = 10)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("rnk_trunc"))
+    full.join(tr, Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"),
+        (coalesce(expr("1000000 div (60 + rnk_full)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rnk_trunc)"), lit(0L)))
+          .as("rrf_scaled"),
+        col("rnk_full").isNotNull.as("in_full"),
+        col("rnk_trunc").isNotNull.as("in_trunc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("rrf_scaled"), col("vec_id"))).cast("long"))
+      .where(col("rnk") <= 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
