@@ -169,6 +169,7 @@ object SparkEntry {
     "q144_heavy_hitters"      -> (CorpusQueries.heavyHitters(_, _)),
     "q145_token_hits"         -> (CorpusQueries.docTokenHits(_, _)),
     "q146_rrf_fusion"         -> (CorpusQueries.rrfFusion(_, _)),
+    "q147_silhouette"         -> (CorpusQueries.kmeansSilhouette(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

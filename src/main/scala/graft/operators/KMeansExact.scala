@@ -37,17 +37,28 @@ object KMeansExact {
 
   /** Train `iters` Lloyd rounds, return the final assignment:
     * (vec_id, centroid_id, csim). corpus: (vec_id, embedding). */
-  def lloyd(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 0, s"lloyd: k=$k iters=$iters")
+  def lloyd(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(prep(corpus), trainCentroids(corpus, k, iters))
+      .select(col("vec_id"), col("cid").as("centroid_id"), col("csim"))
+
+  /** The prepped corpus lloyd/silhouette score against: normalized
+    * doubles + the floor-scaled long vector the exact mean sums. */
+  private def prep(corpus: DataFrame): DataFrame = corpus
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    .withColumn("nrm", sqrt(Vectors.dot(col("e"), col("e"))))
+    .withColumn("s1",
+      expr("transform(e, x -> cast(floor(x * 1000000000.0) AS bigint))"))
+
+  /** The training loop alone: final k×dim centroid table (control-plane
+    * driver state, exactly MLlib's centers shape). */
+  def trainCentroids(corpus: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Array[Double])] = {
+    require(k >= 1 && iters >= 0, s"trainCentroids: k=$k iters=$iters")
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
     import graft.functions.LongVecSumAgg
-    val c = corpus
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(Vectors.dot(col("e"), col("e"))))
-      .withColumn("s1",
-        expr("transform(e, x -> cast(floor(x * 1000000000.0) AS bigint))"))
+    val c = prep(corpus)
     var cents: Seq[(Long, Array[Double])] = corpus
       .orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -66,8 +77,48 @@ object KMeansExact {
         }
         .sortBy(_._1)
     }
-    assign(c, cents)
-      .select(col("vec_id"), col("cid").as("centroid_id"), col("csim"))
+    cents
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster: with cosine
+    * distance a = 1−sim(own centroid), b = 1−sim(runner-up centroid),
+    * s = (b−a)/b ∈ [0, 1) (b ≥ a by argmax; b = 0 ⇒ s = 0) — the
+    * O(n·k) clustering-quality diagnostic (full silhouette is O(n²),
+    * unusable at corpus scale; the centroid form is the standard
+    * approximation). Per-vector s floor-scales to a long BEFORE the
+    * per-cluster mean, so the reduction is an exact integer sum
+    * (reduction-order-independent — the X106 fixed-point-moments trick)
+    * and the DuckDB twin replays training AND scoring bit-for-bit.
+    *
+    * Shape: one broadcast k×dim scan over the corpus, a per-vector
+    * 8-struct sorted fold (bounded by k, no window), one hash agg. */
+  def silhouette(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, k, iters)
+    val ce = broadcast(cents.toDF("cid", "cvec")
+      .withColumn("ncv", sqrt(Vectors.dot(col("cvec"), col("cvec")))))
+    // ascending (csim, −cid) sort: last = assignment argmax with the
+    // (csim DESC, cid ASC) tie-break, second-last = runner-up
+    val top2 = prep(corpus).crossJoin(ce)
+      .withColumn("csim",
+        Vectors.dot(col("cvec"), col("e")) / (col("ncv") * col("nrm")))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(
+        struct(col("csim"), negate(col("cid")).as("nc"), col("cid")))),
+        -2, 2).as("t2"))
+    val a = lit(1.0) - element_at(col("t2"), 2).getField("csim")
+    val b = lit(1.0) - element_at(col("t2"), 1).getField("csim")
+    top2
+      .select(element_at(col("t2"), 2).getField("cid").as("centroid_id"),
+        when(b > lit(0.0), floor(((b - a) / b) * lit(1.0e9)))
+          .otherwise(lit(0L)).as("s_scaled"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), sum("s_scaled").as("__ss"))
+      .select(col("centroid_id"), col("n"),
+        ((col("__ss").cast("double") / lit(1.0e9)) / col("n").cast("double"))
+          .as("sil_avg"))
+      .orderBy("centroid_id")
   }
 
   /** Cosine-argmax assignment of the prepped corpus against literal

@@ -2095,6 +2095,30 @@ object CorpusOracles {
                  ORDER BY rrf_scaled DESC, vec_id) AS rnk FROM u)
          SELECT query_id, vec_id, rrf_scaled, in_full, in_trunc, rnk
          FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // X132: simplified (centroid-based) silhouette over the X111
+    // k-means clustering — per-vector s floor-scales to a long BEFORE
+    // the per-cluster mean (exact integer sum, reduction-order-free)
+    "q147_silhouette" -> kmeansOracle(rounds = 2,
+      s"""SELECT centroid_id, count(*) AS n,
+            (sum(s_scaled)::DOUBLE / 1000000000.0) / count(*)::DOUBLE AS sil_avg
+          FROM (
+            SELECT vec_id,
+              max(CASE WHEN rn = 1 THEN cid END) AS centroid_id,
+              CAST(floor(CASE
+                WHEN (1.0 - max(CASE WHEN rn = 2 THEN csim END)) > 0.0
+                THEN (((1.0 - max(CASE WHEN rn = 2 THEN csim END)) -
+                       (1.0 - max(CASE WHEN rn = 1 THEN csim END))) /
+                      (1.0 - max(CASE WHEN rn = 2 THEN csim END))) * 1000000000.0
+                ELSE 0.0 END) AS BIGINT) AS s_scaled
+            FROM (SELECT e.vec_id, c.cid,
+                    ${cosine("c.cvec", "e.embedding")} AS csim,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosine("c.cvec", "e.embedding")} DESC, c.cid)
+                      AS rn
+                  FROM embeddings e CROSS JOIN c2 c)
+            WHERE rn <= 2 GROUP BY vec_id)
+          GROUP BY centroid_id ORDER BY centroid_id"""),
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2088,6 +2088,13 @@ object CorpusQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Per-cluster simplified silhouette (X132) over the X111 k-means
+    * clustering — see [[graft.operators.KMeansExact.silhouette]]. */
+  def kmeansSilhouette(spark: SparkSession, dir: String): DataFrame =
+    KMeansExact.silhouette(
+      spread(Tables.load(spark, dir, "embeddings"))
+        .select("vec_id", "embedding"), k = 8, iters = 2)
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
