@@ -170,6 +170,7 @@ object SparkEntry {
     "q145_token_hits"         -> (CorpusQueries.docTokenHits(_, _)),
     "q146_rrf_fusion"         -> (CorpusQueries.rrfFusion(_, _)),
     "q147_silhouette"         -> (CorpusQueries.kmeansSilhouette(_, _)),
+    "q148_url_canonical"      -> (CorpusQueries.urlCanonical(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2119,6 +2119,40 @@ object CorpusOracles {
                   FROM embeddings e CROSS JOIN c2 c)
             WHERE rn <= 2 GROUP BY vec_id)
           GROUP BY centroid_id ORDER BY centroid_id"""),
+
+    // X133: URL canonicalization over deterministically synthesized
+    // messy URLs — every rule an explicit regex shared verbatim with
+    // the Spark expressions
+    "q148_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+             source || '.Example.COM' ||
+             (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+             '/p/' || doc_id::VARCHAR ||
+             (CASE WHEN doc_id % 7 = 0 THEN '/index.html' ELSE '' END) ||
+             '?utm_source=feed&id=' || doc_id::VARCHAR || '&ref=twitter' ||
+             (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+           FROM documents),
+         h AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               '^www\.', ''), ':443$', '') AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+             regexp_extract(url, '\?([^#]*)', 1) AS q0
+           FROM u),
+         p AS (SELECT doc_id, url, host,
+             CASE WHEN len(path0) = 0 THEN '/'
+                  ELSE regexp_replace(path0, '/index\.html$', '/') END AS path,
+             array_to_string(list_sort(list_filter(string_split(q0, '&'),
+               x -> len(x) > 0 AND substr(x, 1, 4) <> 'utm_'
+                    AND substr(x, 1, 4) <> 'ref=')), '&') AS qs
+           FROM h)
+         SELECT doc_id, url, host,
+                'https://' || host || path ||
+                (CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END)
+                  AS canonical_url
+         FROM p ORDER BY doc_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, UrlFunctions}
 import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
@@ -2094,6 +2094,30 @@ object CorpusQueries {
     KMeansExact.silhouette(
       spread(Tables.load(spark, dir, "embeddings"))
         .select("vec_id", "embedding"), k = 8, iters = 2)
+
+  /** URL canonicalization (X133): deterministic messy URLs synthesized
+    * from (doc_id, source) — scheme case, WWW., :443, /index.html,
+    * utm_/ref params, fragments — then canonicalized by
+    * [[graft.functions.UrlFunctions.urlCanonicalize]]; per-host alias
+    * rate from one follow-up agg. All scan-fused string expressions. */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2L)) === 0L, lit("https")).otherwise(lit("HTTPS")),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(pmod(col("doc_id"), lit(4L)) === 0L, lit(":443")).otherwise(lit("")),
+      lit("/p/"), col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(7L)) === 0L, lit("/index.html")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), col("doc_id").cast("string"), lit("&ref=twitter"),
+      when(pmod(col("doc_id"), lit(6L)) === 0L, lit("#sec2")).otherwise(lit("")))
+    d.select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        UrlFunctions.urlHost(col("url")).as("host"),
+        UrlFunctions.urlCanonicalize(col("url")).as("canonical_url"))
+      .orderBy("doc_id")
+  }
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
