@@ -171,6 +171,7 @@ object SparkEntry {
     "q146_rrf_fusion"         -> (CorpusQueries.rrfFusion(_, _)),
     "q147_silhouette"         -> (CorpusQueries.kmeansSilhouette(_, _)),
     "q148_url_canonical"      -> (CorpusQueries.urlCanonical(_, _)),
+    "q149_daily_anomaly"      -> (CorpusQueries.dailyAnomaly(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

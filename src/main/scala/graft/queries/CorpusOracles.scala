@@ -2153,6 +2153,35 @@ object CorpusOracles {
                 (CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END)
                   AS canonical_url
          FROM p ORDER BY doc_id""",
+
+    // X134: trailing-7-observed-days anomaly z-scores — exact long
+    // window sums, then the identical double chain (sqrt is correctly
+    // rounded in IEEE, so both engines agree)
+    "q149_daily_anomaly" ->
+      """WITH d AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                count(*) AS n
+              FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, n,
+                 sum(n) OVER f AS s, sum(n * n) OVER f AS ss,
+                 count(n) OVER f AS c
+               FROM d
+               WINDOW f AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n,
+                CAST(s AS DOUBLE) / 7.0 AS mean7,
+                CASE WHEN (CAST(ss AS DOUBLE) -
+                           CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0) / 7.0 > 0.0
+                     THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / 7.0) /
+                          sqrt((CAST(ss AS DOUBLE) -
+                                CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0) / 7.0)
+                     ELSE 0.0 END AS z,
+                abs(CASE WHEN (CAST(ss AS DOUBLE) -
+                               CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0) / 7.0 > 0.0
+                         THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / 7.0) /
+                              sqrt((CAST(ss AS DOUBLE) -
+                                    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0) / 7.0)
+                         ELSE 0.0 END) > 2.0 AS is_anomaly
+         FROM w WHERE c = 7 ORDER BY event_type, day""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

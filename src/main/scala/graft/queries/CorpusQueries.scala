@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2118,6 +2118,23 @@ object CorpusQueries {
         UrlFunctions.urlCanonicalize(col("url")).as("canonical_url"))
       .orderBy("doc_id")
   }
+
+  /** Trailing-window daily anomaly z-scores (X134): per (event_type,
+    * day) counts vs the trailing-7-observed-days mean/stddev — the
+    * ingest-volume tripwire a pipeline reads before trusting a day's
+    * data. ROWS frame (observed days, not calendar days — gap days
+    * shift the frame, documented); stats from EXACT long window sums
+    * (n and n² — n² caps the per-day count at ~3·10^9 before a long
+    * overflows, scale note), then one identical double expression chain
+    * per row: mean = s/7, var = (ss − s²/7)/7, z = (n−mean)/sqrt(var)
+    * — sqrt is correctly-rounded IEEE so both engines agree bit-for-bit.
+    * Only warm windows (7 trailing rows) emit. The window partitions by
+    * event_type: bounded parallelism at |types|, but each partition's
+    * state is one day-row per group — never the raw events. */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Anomaly.trailingZScores(
+      Tables.load(spark, dir, "events"), "event_type", "ts")
+      .orderBy("event_type", "day")
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
