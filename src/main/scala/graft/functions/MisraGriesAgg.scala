@@ -31,12 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * every counter and drop non-positives — the PODS'12 mergeable-summary
   * reduction, associative enough that partial aggregation over any
   * partitioning preserves the n/k guarantee. eval: the candidate items,
-  * lexicographically sorted (estimates intentionally NOT emitted — they
-  * are lower bounds, and the exact recount replaces them).
+  * lexicographically sorted — counters intentionally NOT emitted by
+  * default (they are lower bounds, and the exact recount replaces
+  * them); `emitCounts = true` emits (item, counter) structs, the
+  * mergeable form the streaming state table persists
+  * ([[graft.streaming.CorpusStreams.heavyHitterIngest]]).
   */
 case class MisraGriesAgg(
     child: Expression,
     k: Int = 64,
+    emitCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
@@ -92,7 +96,13 @@ case class MisraGriesAgg(
     java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
     val out = new Array[Any](keys.length)
     var i = 0
-    while (i < keys.length) { out(i) = UTF8String.fromString(keys(i)); i += 1 }
+    while (i < keys.length) {
+      out(i) =
+        if (emitCounts)
+          InternalRow(UTF8String.fromString(keys(i)), buf(keys(i)))
+        else UTF8String.fromString(keys(i))
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -121,7 +131,14 @@ case class MisraGriesAgg(
     buf
   }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    if (emitCounts)
+      ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+        containsNull = false)
+    else ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "misra_gries_agg"
 

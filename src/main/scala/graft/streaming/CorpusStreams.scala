@@ -71,4 +71,72 @@ object CorpusStreams {
         sink(Decay.decayedFromDayCounts(
           spark.read.parquet(s"$stateDir/v=$id"), key, halfLifeDays), id)
       }
+
+  /** Streaming heavy hitters (X135, the streaming face of
+    * [[graft.operators.Sketches.heavyHitters]]): state is a
+    * Misra–Gries summary — ≤k (item, counter) rows + the running total
+    * — merged per micro-batch with the SAME PODS'12 reduction the batch
+    * aggregate applies (counter-wise sum, subtract the (k+1)-largest,
+    * drop ≤0), so state stays O(k) forever regardless of stream volume
+    * and vocabulary. The guarantee survives composition: after ANY
+    * batch boundaries, every item with total count > n/k is in the
+    * state, and each counter undercounts by at most n/k — `sink`
+    * receives (item, cnt_lower, n_total) and applies its own
+    * threshold. Versioned by batch id (v=N reads v=N−1) exactly like
+    * [[decayedIngest]]: re-delivered batches recompute, never
+    * double-count. The (k+1)-largest cut is one ≤(k+1)-row
+    * TakeOrdered to the driver — control-plane, the BPE-scalar
+    * pattern. */
+  def heavyHitterIngest(items: DataFrame, itemCol: String, k: Int,
+      stateDir: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    items.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+        val spark = batch.sparkSession
+        val summary = batch
+          .select(col(itemCol).cast("string").as("item"))
+          .agg(exprColumn(graft.functions.MisraGriesAgg(
+              columnExpr(col("item")), k, emitCounts = true)
+            .toAggregateExpression()).as("s"),
+            count(lit(1)).as("n"))
+          .select(explode_outer(col("s")).as("e"), col("n"))
+          .select(coalesce(col("e.item"), lit("")).as("item"),
+            coalesce(col("e.cnt"), lit(0L)).as("cnt"), col("n"))
+          .where(col("cnt") > 0)
+        val prevPath = s"$stateDir/v=${id - 1}"
+        val prev = if (new java.io.File(prevPath).exists())
+            Some(spark.read.parquet(prevPath)) else None
+        val unioned = prev match {
+          case Some(p) => p.select("item", "cnt", "n").unionByName(summary)
+          case None => summary
+        }
+        val summed = unioned.groupBy("item")
+          .agg(sum("cnt").as("cnt"))
+        // every row of a version carries the same n — read one, not sum
+        // (the "" sentinel row below guarantees a version is never empty)
+        val nPrev = prev.map(_.select("n").head.getLong(0)).getOrElse(0L)
+        val nBatch = batch.count()
+        val n = nPrev + nBatch
+        val top = summed.orderBy(desc("cnt"), col("item")).limit(k + 1)
+          .collect()
+        val reduced =
+          if (top.length > k) {
+            val cut = top(k).getAs[Long]("cnt")
+            summed.select(col("item"), (col("cnt") - lit(cut)).as("cnt"))
+              .where(col("cnt") > 0)
+          } else summed
+        val sentinel = spark.range(1)
+          .select(lit("").as("item"), lit(0L).as("cnt"))
+        reduced.where(col("item") =!= "").unionByName(sentinel)
+          .withColumn("n", lit(n))
+          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
+        sink(spark.read.parquet(s"$stateDir/v=$id")
+          .where(col("cnt") > 0)
+          .select(col("item"), col("cnt").as("cnt_lower"),
+            col("n").as("n_total")), id)
+      }
 }

@@ -112,6 +112,41 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(v1.nonEmpty)
   }
 
+  test("streaming heavy hitters: O(k) state keeps the n/k superset guarantee across boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    // 2 true heavies in a 300-type tail; vocab >> k=8 forces eviction
+    val all = (Seq.fill(400)("heavy_a") ++ Seq.fill(300)("heavy_b") ++
+      (0 until 300).map(i => s"tail_$i")).sorted // adversarial: tail interleaved
+    val in = MemoryStream[String]
+    val got = scala.collection.mutable.Map.empty[Long, Map[String, (Long, Long)]]
+    val ckpt = java.nio.file.Files.createTempDirectory("hh-ingest").toString
+    val state = java.nio.file.Files.createTempDirectory("hh-state").toString
+    def run(): Unit = {
+      val q = graft.streaming.CorpusStreams.heavyHitterIngest(
+        in.toDF().toDF("item"), "item", k = 8, stateDir = state) { (cand, id) =>
+        got(id) = cand.collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      }.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val (b1, rest) = all.splitAt(all.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    in.addData(b1); run(); in.addData(b2); run(); in.addData(b3); run()
+    assert(got.size == 3)
+    val fin = got(2L)
+    // state is O(k): ≤ 8 candidates, n equals the full stream length
+    assert(fin.size <= 8 && fin.values.forall(_._2 == all.length.toLong))
+    // superset guarantee: every exact heavy (> n/k) is present, and its
+    // counter is within n/k below the exact count
+    val exact = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val thresh = all.length.toLong / 8
+    exact.filter(_._2 > thresh).foreach { case (item, c) =>
+      assert(fin.contains(item), s"heavy $item missing from $fin")
+      val lower = fin(item)._1
+      assert(lower <= c && c - lower <= thresh, s"$item: lower=$lower exact=$c")
+    }
+  }
+
   test("watermarked sliding-window counts finalize once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
