@@ -172,6 +172,7 @@ object SparkEntry {
     "q147_silhouette"         -> (CorpusQueries.kmeansSilhouette(_, _)),
     "q148_url_canonical"      -> (CorpusQueries.urlCanonical(_, _)),
     "q149_daily_anomaly"      -> (CorpusQueries.dailyAnomaly(_, _)),
+    "q150_fuzzy_linkage"      -> (CorpusQueries.fuzzyLinkage(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2182,6 +2182,28 @@ object CorpusOracles {
                                     CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0) / 7.0)
                          ELSE 0.0 END) > 2.0 AS is_anomaly
          FROM w WHERE c = 7 ORDER BY event_type, day""",
+
+    // X136: blocked fuzzy linkage — same digit-slice/length-band
+    // blocking, textbook Levenshtein verify (both engines agree on the
+    // exact distances)
+    "q150_fuzzy_linkage" ->
+      """WITH a AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+         b AS (SELECT c_custkey + 1000000 AS id,
+                 CASE WHEN c_custkey % 3 = 0
+                   THEN concat(
+                        substr(c_name, 1, CAST(10 + (c_custkey // 3) % 3 AS INT)),
+                        'X',
+                        substr(c_name, CAST(12 + (c_custkey // 3) % 3 AS INT)))
+                   ELSE c_name END AS name
+               FROM customer),
+         ab AS (SELECT a.id AS a_id, b.id AS b_id,
+                  a.name AS a_name, b.name AS b_name,
+                  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+                FROM a JOIN b
+                  ON substr(a.name, 14, 4) = substr(b.name, 14, 4)
+                 AND length(a.name) // 4 = length(b.name) // 4)
+         SELECT a_id, b_id, a_name, b_name, dist FROM ab
+         WHERE dist <= 1 ORDER BY a_id, b_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, FuzzyJoin, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2135,6 +2135,24 @@ object CorpusQueries {
     Anomaly.trailingZScores(
       Tables.load(spark, dir, "events"), "event_type", "ts")
       .orderBy("event_type", "day")
+
+  /** Blocked fuzzy-match linkage (X136): clean customer master vs a
+    * deterministically typo'd feed (every 3rd name gets one substituted
+    * char at a rotating position), blocked on a digit slice + length
+    * band so no cartesian forms, verified by bounded Levenshtein — see
+    * [[graft.operators.FuzzyJoin.blockedLevenshteinJoin]]. */
+  def fuzzyLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val a = c.select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val b = c.select((col("c_custkey") + lit(1000000L)).as("id"),
+      when(col("c_custkey") % 3 === 0,
+        expr("""concat(substr(c_name, 1, 10 + (c_custkey div 3) % 3), 'X',
+                       substr(c_name, 12 + (c_custkey div 3) % 3))"""))
+        .otherwise(col("c_name")).as("name"))
+    FuzzyJoin.blockedLevenshteinJoin(a, b, maxDist = 1,
+        blockAt = 14, blockLen = 4)
+      .orderBy("a_id", "b_id")
+  }
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
