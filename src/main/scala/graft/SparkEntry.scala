@@ -173,6 +173,7 @@ object SparkEntry {
     "q148_url_canonical"      -> (CorpusQueries.urlCanonical(_, _)),
     "q149_daily_anomaly"      -> (CorpusQueries.dailyAnomaly(_, _)),
     "q150_fuzzy_linkage"      -> (CorpusQueries.fuzzyLinkage(_, _)),
+    "q151_covisit"            -> (CorpusQueries.covisitPairs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

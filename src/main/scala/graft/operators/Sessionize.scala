@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** (key, session_seq, session_start, session_end, n_events) per session. */
-  def sessions(events: DataFrame, key: String, ts: String,
+  /** Every input event tagged with its `session_seq` (1-based per key)
+    * — the per-event form session-scoped operators (X137 co-visitation)
+    * compose on; [[sessions]] folds it to one row per session. */
+  def tagSessions(events: DataFrame, key: String, ts: String,
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ts)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -27,6 +29,13 @@ object Sessionize {
     events
       .withColumn("__new", isNew)
       .withColumn("session_seq", sum(col("__new")).over(run))
+      .drop("__new")
+  }
+
+  /** (key, session_seq, session_start, session_end, n_events) per session. */
+  def sessions(events: DataFrame, key: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    tagSessions(events, key, ts, gapSeconds)
       .groupBy(col(key), col("session_seq"))
       .agg(
         min(col(ts)).as("session_start"),

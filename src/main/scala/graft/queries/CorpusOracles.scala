@@ -2204,6 +2204,37 @@ object CorpusOracles {
                  AND length(a.name) // 4 = length(b.name) // 4)
          SELECT a_id, b_id, a_name, b_name, dist FROM ab
          WHERE dist <= 1 ORDER BY a_id, b_id""",
+
+    // X137: session-scoped co-visitation — q42's session CTE, distinct
+    // per-session item sets, a<b pairs, exact-ratio lift (X97 trick)
+    "q151_covisit" ->
+      """WITH l AS (SELECT user_id, ts, event_type,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events),
+         g AS (SELECT user_id, event_type,
+                CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 14400 SECONDS
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq
+              FROM l),
+         d AS (SELECT DISTINCT user_id, session_seq, event_type FROM g),
+         pc AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+                  count(*) AS n_ab
+                FROM d a JOIN d b ON a.user_id = b.user_id
+                  AND a.session_seq = b.session_seq
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         ic AS (SELECT event_type AS item, count(*) AS n_i FROM d GROUP BY 1),
+         ns AS (SELECT count(*) AS n_sessions FROM
+                (SELECT DISTINCT user_id, session_seq FROM g))
+         SELECT item_a, item_b, n_ab, ca.n_i AS n_a, cb.n_i AS n_b,
+                n_sessions,
+                CAST(n_ab * n_sessions AS DOUBLE) /
+                  CAST(ca.n_i * cb.n_i AS DOUBLE) AS lift
+         FROM pc JOIN ic ca ON pc.item_a = ca.item
+                 JOIN ic cb ON pc.item_b = cb.item
+                 CROSS JOIN ns
+         ORDER BY lift DESC, item_a, item_b""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CurationOps, Decay, Dedup, FuzzyJoin, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2153,6 +2153,14 @@ object CorpusQueries {
         blockAt = 14, blockLen = 4)
       .orderBy("a_id", "b_id")
   }
+
+  /** Session-scoped co-visitation pairs (X137) over the q42 sessions:
+    * event types viewed together within one user session, ranked by
+    * exact-ratio lift — see [[graft.operators.CoVisit.pairs]]. */
+  def covisitPairs(spark: SparkSession, dir: String): DataFrame =
+    CoVisit.pairs(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_type", gapSeconds = 14400, minSupport = 5)
+      .orderBy(desc("lift"), col("item_a"), col("item_b"))
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
