@@ -174,6 +174,7 @@ object SparkEntry {
     "q149_daily_anomaly"      -> (CorpusQueries.dailyAnomaly(_, _)),
     "q150_fuzzy_linkage"      -> (CorpusQueries.fuzzyLinkage(_, _)),
     "q151_covisit"            -> (CorpusQueries.covisitPairs(_, _)),
+    "q152_sliding_distinct"   -> (CorpusQueries.slidingDistinct(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -203,6 +203,45 @@ object Sketches {
   def hllDirectEstimate(df: DataFrame, value: String): DataFrame =
     df.agg(hll_sketch_estimate(hll_sketch_agg(col(value))).as("direct_estimate"))
 
+  /** Trailing-`windowDays` distinct keys per day from MERGED daily KMV
+    * sketches — the re-aggregatable-rollup pattern at its purest: the
+    * raw stream is folded ONCE into per-day O(k) sketches, and every
+    * sliding window is answered by sketch-merge algebra
+    * (`slice(array_sort(array_distinct(flatten(...))), 1, k)` — the
+    * X126 documented KMV merge), never by rescanning events. At 100 TB
+    * the daily sketches are the only thing retained; a year of trailing
+    * windows costs 365 × O(k) merges.
+    *
+    * Estimates are the X67 order-statistic arithmetic (exact doubles →
+    * hash-matchable), and EXACT whenever the merged sketch is sub-k —
+    * so at k ≥ window cardinality this is an exact sliding
+    * COUNT(DISTINCT) maintained incrementally. Windows are DATE-range
+    * scoped via a tiny broadcast day-range join (not a rows-frame: gap
+    * days must shrink the window's content, not slide it). */
+  def kmvSlidingDailyDistinct(events: DataFrame, keyCol: String,
+      tsCol: String, k: Int = 256, windowDays: Int = 7): DataFrame = {
+    val h = graft.functions.TextFunctions.md5Hash56(col(keyCol).cast("string"))
+    val daily = events
+      .select(date_trunc("DAY", col(tsCol)).cast("date").as("day"), h.as("__h"))
+      .groupBy("day")
+      .agg(exprColumn(KmvAgg(columnExpr(col("__h")), k)
+        .toAggregateExpression()).as("sk"))
+    val days = daily.select(col("day").as("wday"))
+    val est = when(size(col("m")) < k, size(col("m")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(7.2057594037927936e16) /
+        element_at(col("m"), k).cast("double"))
+    daily
+      .join(broadcast(days),
+        datediff(col("wday"), col("day")).between(0, windowDays - 1))
+      .groupBy(col("wday").as("day"))
+      .agg(count(lit(1)).as("n_days"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+          1, k).as("m"))
+      .select(col("day"), col("n_days"), est.as("est_distinct"),
+        (size(col("m")) < k).as("is_exact"))
+      .orderBy("day")
+  }
+
   /** Exact φ=1/k heavy hitters via Misra–Gries prefilter
     * ([[graft.functions.MisraGriesAgg]]): items whose true frequency
     * exceeds n/k, with their EXACT counts.

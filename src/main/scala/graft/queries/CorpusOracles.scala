@@ -2235,6 +2235,37 @@ object CorpusOracles {
                  JOIN ic cb ON pc.item_b = cb.item
                  CROSS JOIN ns
          ORDER BY lift DESC, item_a, item_b""",
+
+    // X138: trailing-7-day distinct via merged daily KMV bottom-k —
+    // per-day bottom-256 hash sets, date-range window union, ranked
+    // merge, X67 order-statistic estimate (exact when sub-k)
+    "q152_sliding_distinct" -> {
+      val h = md5h56("user_id::VARCHAR")
+      s"""WITH e AS (SELECT date_trunc('day', ts)::DATE AS day, $h AS h
+                     FROM events),
+         dh AS (SELECT DISTINCT day, h FROM e),
+         dk AS (SELECT day, h FROM
+                 (SELECT day, h, row_number() OVER (PARTITION BY day
+                    ORDER BY h) AS rn FROM dh)
+                WHERE rn <= 256),
+         days AS (SELECT DISTINCT day FROM dh),
+         nd AS (SELECT d.day, count(DISTINCT d2.day) AS n_days
+                FROM days d JOIN days d2
+                  ON d.day - d2.day BETWEEN 0 AND 6 GROUP BY 1),
+         win AS (SELECT DISTINCT d.day, dk.h
+                 FROM days d JOIN dk ON d.day - dk.day BETWEEN 0 AND 6),
+         wd AS (SELECT day, h, row_number() OVER (PARTITION BY day
+                  ORDER BY h) AS rn FROM win),
+         g AS (SELECT day, count(*) FILTER (rn <= 256) AS sz,
+                 max(CASE WHEN rn = 256 THEN h END) AS hk
+               FROM wd GROUP BY 1)
+         SELECT g.day, nd.n_days,
+                CASE WHEN g.sz < 256 THEN g.sz::DOUBLE
+                     ELSE 255.0 * 7.2057594037927936e16 / g.hk::DOUBLE
+                END AS est_distinct,
+                g.sz < 256 AS is_exact
+         FROM g JOIN nd USING (day) ORDER BY g.day"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2162,6 +2162,14 @@ object CorpusQueries {
         "user_id", "ts", "event_type", gapSeconds = 14400, minSupport = 5)
       .orderBy(desc("lift"), col("item_a"), col("item_b"))
 
+  /** Sliding 7-day distinct users from merged daily KMV sketches
+    * (X138) — exact at k=256 ≥ |users|, incremental at scale; see
+    * [[graft.operators.Sketches.kmvSlidingDailyDistinct]]. */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.kmvSlidingDailyDistinct(
+      Tables.load(spark, dir, "events"), "user_id", "ts",
+      k = 256, windowDays = 7)
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
