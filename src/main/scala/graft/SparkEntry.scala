@@ -175,6 +175,7 @@ object SparkEntry {
     "q150_fuzzy_linkage"      -> (CorpusQueries.fuzzyLinkage(_, _)),
     "q151_covisit"            -> (CorpusQueries.covisitPairs(_, _)),
     "q152_sliding_distinct"   -> (CorpusQueries.slidingDistinct(_, _)),
+    "q153_gap_fill"           -> (CorpusQueries.gapFill(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

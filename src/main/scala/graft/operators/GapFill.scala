@@ -40,17 +40,25 @@ object GapFill {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wNext = Window.partitionBy(keyCol).orderBy("day")
       .rowsBetween(1, Window.unboundedFollowing)
-    val prev = last(struct(col("day"), col("n")), ignoreNulls = true).over(wPrev)
-    val next = first(struct(col("day"), col("n")), ignoreNulls = true).over(wNext)
+    // per-column conditional IGNORE-NULLS edges: a calendar row's
+    // (day, n) STRUCT is never null even when n is, so the observed
+    // guard must sit inside each windowed column (same frame + same
+    // guard ⇒ the (day, n) pair stays consistent)
+    def obs(c: String) = when(col("n").isNotNull, col(c))
+    val pn = last(obs("n"), ignoreNulls = true).over(wPrev)
+    val pd = last(obs("day"), ignoreNulls = true).over(wPrev)
+    val xn = first(obs("n"), ignoreNulls = true).over(wNext)
+    val xd = first(obs("day"), ignoreNulls = true).over(wNext)
     joined
-      .withColumn("__p", prev).withColumn("__x", next)
+      .withColumn("__pn", pn).withColumn("__pd", pd)
+      .withColumn("__xn", xn).withColumn("__xd", xd)
       .select(col(keyCol), col("day"),
         when(col("n").isNotNull, col("n").cast("double"))
           .otherwise(
-            col("__p.n").cast("double") +
-              ((col("__x.n") - col("__p.n")) *
-                datediff(col("day"), col("__p.day"))).cast("double") /
-              datediff(col("__x.day"), col("__p.day")).cast("double"))
+            col("__pn").cast("double") +
+              ((col("__xn") - col("__pn")) *
+                datediff(col("day"), col("__pd"))).cast("double") /
+              datediff(col("__xd"), col("__pd")).cast("double"))
           .as("n_filled"),
         col("n").isNull.as("is_interpolated"))
   }

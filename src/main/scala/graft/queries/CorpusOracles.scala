@@ -2266,6 +2266,44 @@ object CorpusOracles {
                 g.sz < 256 AS is_exact
          FROM g JOIN nd USING (day) ORDER BY g.day"""
     },
+
+    // X139: calendar gap-fill with linear interpolation — per-column
+    // conditional IGNORE-NULLS window edges (same frame + same guard
+    // keeps the (day, n) neighbor pair consistent), exact-operand
+    // interpolation arithmetic
+    "q153_gap_fill" ->
+      """WITH d0 AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                count(*) AS n
+              FROM events GROUP BY 1, 2),
+         d AS (SELECT * FROM d0 WHERE extract(day FROM day) % 5 <> 0),
+         cal AS (SELECT event_type,
+                   unnest(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS day
+                 FROM (SELECT event_type, min(day) AS mind, max(day) AS maxd
+                       FROM d GROUP BY 1)),
+         j AS (SELECT cal.event_type, cal.day, d.n
+               FROM cal LEFT JOIN d
+                 ON cal.event_type = d.event_type AND cal.day = d.day),
+         w AS (SELECT event_type, day, n,
+                 last_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+                   OVER p AS pn,
+                 last_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER p AS pd,
+                 first_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+                   OVER x AS xn,
+                 first_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER x AS xd
+               FROM j
+               WINDOW p AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      x AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT event_type, day,
+                CASE WHEN n IS NOT NULL THEN n::DOUBLE
+                     ELSE pn::DOUBLE +
+                          CAST((xn - pn) * (day - pd) AS DOUBLE) /
+                          CAST(xd - pd AS DOUBLE) END AS n_filled,
+                n IS NULL AS is_interpolated
+         FROM w ORDER BY event_type, day""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

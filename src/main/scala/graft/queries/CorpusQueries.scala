@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2169,6 +2169,21 @@ object CorpusQueries {
     Sketches.kmvSlidingDailyDistinct(
       Tables.load(spark, dir, "events"), "user_id", "ts",
       k = 256, windowDays = 7)
+
+  /** Calendar gap-fill (X139): daily event counts with simulated source
+    * outages (every day-of-month divisible by 5 dropped — the X78
+    * missing-partition convention) re-gridded to the dense per-type
+    * calendar with linear interpolation — see
+    * [[graft.operators.GapFill.linearDaily]]. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .where(dayofmonth(col("day")) % 5 =!= 0)
+    GapFill.linearDaily(daily, "event_type")
+      .orderBy("event_type", "day")
+  }
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
