@@ -176,6 +176,7 @@ object SparkEntry {
     "q151_covisit"            -> (CorpusQueries.covisitPairs(_, _)),
     "q152_sliding_distinct"   -> (CorpusQueries.slidingDistinct(_, _)),
     "q153_gap_fill"           -> (CorpusQueries.gapFill(_, _)),
+    "q154_ks_drift"           -> (CorpusQueries.ksDrift(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

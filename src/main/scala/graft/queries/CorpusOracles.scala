@@ -2304,6 +2304,32 @@ object CorpusOracles {
                           CAST(xd - pd AS DOUBLE) END AS n_filled,
                 n IS NULL AS is_interpolated
          FROM w ORDER BY event_type, day""",
+
+    // X140: exact per-source two-sample KS — integer ECDF numerators,
+    // one final double division
+    "q154_ks_drift" ->
+      """WITH d AS (SELECT source AS k, n_chars::BIGINT AS v FROM documents),
+         svc AS (SELECT k, v, count(*) AS c_sv FROM d GROUP BY 1, 2),
+         ks AS (SELECT k, count(*) AS n_s FROM d GROUP BY 1),
+         vs AS (SELECT v, count(*) AS c_v FROM d GROUP BY 1),
+         cv AS (SELECT v, CAST(sum(c_v) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v FROM vs),
+         t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM ks),
+         g AS (SELECT ks.k, ks.n_s, cv.v, cv.cum_v,
+                 coalesce(svc.c_sv, 0) AS c_sv
+               FROM ks CROSS JOIN cv
+               LEFT JOIN svc ON svc.k = ks.k AND svc.v = cv.v),
+         c AS (SELECT k, n_s, v, cum_v,
+                 CAST(sum(c_sv) OVER (PARTITION BY k ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a
+               FROM g)
+         SELECT k AS source, min(n_s) AS n_source,
+                min(n_total - n_s) AS n_rest,
+                CAST(max(abs(cum_a * (n_total - n_s) -
+                             (cum_v - cum_a) * n_s)) AS DOUBLE) /
+                  CAST(min(n_s) * min(n_total - n_s) AS DOUBLE) AS ks
+         FROM c CROSS JOIN t
+         GROUP BY k ORDER BY k""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

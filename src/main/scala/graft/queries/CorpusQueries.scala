@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KMeansExact, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KMeansExact, KsDrift, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2184,6 +2184,14 @@ object CorpusQueries {
     GapFill.linearDaily(daily, "event_type")
       .orderBy("event_type", "day")
   }
+
+  /** Exact per-source KS drift (X140) of the document-length
+    * distribution vs the rest of the corpus — see
+    * [[graft.operators.KsDrift.perGroupVsRest]]. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    KsDrift.perGroupVsRest(
+      spread(Tables.load(spark, dir, "documents")), "source", "n_chars")
+      .orderBy("source")
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
