@@ -177,6 +177,7 @@ object SparkEntry {
     "q152_sliding_distinct"   -> (CorpusQueries.slidingDistinct(_, _)),
     "q153_gap_fill"           -> (CorpusQueries.gapFill(_, _)),
     "q154_ks_drift"           -> (CorpusQueries.ksDrift(_, _)),
+    "q155_consistent_hash"    -> (CorpusQueries.consistentRebalance(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2330,6 +2330,29 @@ object CorpusOracles {
                   CAST(min(n_s) * min(n_total - n_s) AS DOUBLE) AS ks
          FROM c CROSS JOIN t
          GROUP BY k ORDER BY k""",
+
+    // X141: consistent-hash rebalancing matrix — same 56-bit ring, same
+    // vnode naming, successor-with-wraparound via FILTERed arg_min
+    "q155_consistent_hash" -> {
+      def vn(n: Int, name: String) =
+        s"""$name AS (SELECT s.s::BIGINT AS shard,
+              ${md5h56("(s.s::VARCHAR || ':' || r.r::VARCHAR)")} AS pos
+            FROM range(0, $n) s(s), range(0, 16) r(r))"""
+      def own(vt: String, out: String, c: String) =
+        s"""$out AS (SELECT k.doc_id,
+              coalesce(arg_min(v.shard, v.pos) FILTER (v.pos >= k.h),
+                       arg_min(v.shard, v.pos)) AS $c
+            FROM k CROSS JOIN $vt v GROUP BY 1)"""
+      s"""WITH k AS (SELECT doc_id, ${md5h56("doc_id::VARCHAR")} AS h
+                     FROM documents),
+         ${vn(8, "v8")},
+         ${vn(9, "v9")},
+         ${own("v8", "o8", "shard_before")},
+         ${own("v9", "o9", "shard_after")}
+         SELECT shard_before, shard_after, count(*) AS n_keys
+         FROM o8 JOIN o9 USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

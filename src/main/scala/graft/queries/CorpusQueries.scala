@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KMeansExact, KsDrift, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, ConsistentHash, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KMeansExact, KsDrift, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2192,6 +2192,15 @@ object CorpusQueries {
     KsDrift.perGroupVsRest(
       spread(Tables.load(spark, dir, "documents")), "source", "n_chars")
       .orderBy("source")
+
+  /** Consistent-hash rebalancing matrix (X141): document placement
+    * under 8 → 9 shards, 16 vnodes each — the minimal-movement audit;
+    * see [[graft.operators.ConsistentHash.rebalanceMatrix]]. */
+  def consistentRebalance(spark: SparkSession, dir: String): DataFrame =
+    ConsistentHash.rebalanceMatrix(
+      spread(Tables.load(spark, dir, "documents")).select("doc_id"),
+      "doc_id", shards = 8, replicas = 16)
+      .orderBy("shard_before", "shard_after")
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
