@@ -178,6 +178,7 @@ object SparkEntry {
     "q153_gap_fill"           -> (CorpusQueries.gapFill(_, _)),
     "q154_ks_drift"           -> (CorpusQueries.ksDrift(_, _)),
     "q155_consistent_hash"    -> (CorpusQueries.consistentRebalance(_, _)),
+    "q156_benford"            -> (CorpusQueries.benfordAudit(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2353,6 +2353,34 @@ object CorpusOracles {
          FROM o8 JOIN o9 USING (doc_id)
          GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    // X142: Benford first-digit audit — the nine expectations are the
+    // same compile-time double literals the Spark side carries
+    "q156_benford" -> {
+      val benford = Seq(
+        1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+        3 -> "0.12493873660829993", 4 -> "0.09691001300805642",
+        5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+        7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+        9 -> "0.04575749056067514")
+      // CAST from string: DuckDB parses bare decimal literals as
+      // DECIMAL first (off by an ulp after conversion); string→DOUBLE
+      // is correctly rounded like the JVM literal
+      val cases = benford
+        .map { case (d, p) => s"WHEN $d THEN CAST('$p' AS DOUBLE)" }
+        .mkString(" ")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM orders),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+         SELECT digit, n,
+                CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS freq,
+                CASE digit $cases END AS benford,
+                (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) -
+                  (CASE digit $cases END) AS dev
+         FROM c CROSS JOIN t ORDER BY digit"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2202,6 +2202,40 @@ object CorpusQueries {
       "doc_id", shards = 8, replicas = 16)
       .orderBy("shard_before", "shard_after")
 
+  /** Benford first-digit audit (X142) over order totals — the
+    * fabricated-data / unit-mixing tripwire finance-style pipelines run
+    * on ingested numerics: observed leading-significant-digit
+    * frequencies against Benford's log10(1+1/d) expectation. The nine
+    * expectations are COMPILE-TIME CONSTANTS (no libm at runtime — the
+    * X124 shift-not-pow discipline applied to logarithms); the leading
+    * digit comes from the cents-integer's decimal string (×100 never
+    * changes the leading significant digit), so the whole audit is one
+    * map-side-combinable 9-key agg plus exact-count → double ratios. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val exp = benford.tail.foldLeft(
+      when(col("digit") === 1, lit(benford.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    val d = Tables.load(spark, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum("n").as("n_total"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("freq"),
+        exp.as("benford"),
+        ((col("n").cast("double") / col("n_total").cast("double")) - exp)
+          .as("dev"))
+      .orderBy("digit")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
