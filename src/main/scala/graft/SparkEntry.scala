@@ -179,6 +179,7 @@ object SparkEntry {
     "q154_ks_drift"           -> (CorpusQueries.ksDrift(_, _)),
     "q155_consistent_hash"    -> (CorpusQueries.consistentRebalance(_, _)),
     "q156_benford"            -> (CorpusQueries.benfordAudit(_, _)),
+    "q157_pseudonymize"       -> (CorpusQueries.pseudonymize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2381,6 +2381,19 @@ object CorpusOracles {
                   (CASE digit $cases END) AS dev
          FROM c CROSS JOIN t ORDER BY digit"""
     },
+
+    // X143: keyed pseudonymization — same salt:key md5-integer hash,
+    // join on pseudonyms only, top-10 by order count
+    "q157_pseudonymize" -> {
+      def pz(c: String) = md5h56(s"('graft-pz1:' || $c::VARCHAR)")
+      s"""WITH cust AS (SELECT ${pz("c_custkey")} AS pid, c_mktsegment
+                        FROM customer),
+         ords AS (SELECT ${pz("o_custkey")} AS pid FROM orders)
+         SELECT cust.pid AS pid, min(c_mktsegment) AS segment,
+                count(*) AS n_orders
+         FROM cust JOIN ords ON cust.pid = ords.pid
+         GROUP BY 1 ORDER BY n_orders DESC, cust.pid LIMIT 10"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2236,6 +2236,31 @@ object CorpusQueries {
       .orderBy("digit")
   }
 
+  /** Keyed pseudonymization with referential consistency (X143): both
+    * tables' customer keys map through the same keyed 56-bit hash, and
+    * the analysis joins ON PSEUDONYMS ONLY — the privacy transform that
+    * keeps cross-table analytics alive (GDPR-style pseudonymised
+    * analytical zone). Determinism: the pseudonym is the q71-family
+    * md5-integer hash over `salt:key`, so consistency is by
+    * construction, engine-exact, and the join cost is the same
+    * equi-join as the raw keys (hash keys distribute uniformly — if
+    * anything BETTER partitioned than skewed natural keys). Output:
+    * top-10 pseudonymous customers by order count, the shape an
+    * analyst sees without ever holding a real key. */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    def pseudo(c: org.apache.spark.sql.Column) =
+      TextFunctions.md5Hash56(concat(lit("graft-pz1:"), c.cast("string")))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(pseudo(col("c_custkey")).as("pid"), col("c_mktsegment"))
+    val ords = Tables.load(spark, dir, "orders")
+      .select(pseudo(col("o_custkey")).as("pid"))
+    cust.join(ords, Seq("pid"))
+      .groupBy("pid")
+      .agg(min("c_mktsegment").as("segment"), count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("pid"))
+      .limit(10)
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
