@@ -219,13 +219,26 @@ object Sketches {
     * scoped via a tiny broadcast day-range join (not a rows-frame: gap
     * days must shrink the window's content, not slide it). */
   def kmvSlidingDailyDistinct(events: DataFrame, keyCol: String,
-      tsCol: String, k: Int = 256, windowDays: Int = 7): DataFrame = {
+      tsCol: String, k: Int = 256, windowDays: Int = 7): DataFrame =
+    slidingFromDailySketches(
+      kmvDailySketches(events, keyCol, tsCol, k), k, windowDays)
+
+  /** The per-day O(k) sketch table alone — the state a streaming ingest
+    * maintains ([[graft.streaming.CorpusStreams.slidingDistinctIngest]]);
+    * merge two tables' same-day rows with the X126 algebra. */
+  def kmvDailySketches(events: DataFrame, keyCol: String, tsCol: String,
+      k: Int): DataFrame = {
     val h = graft.functions.TextFunctions.md5Hash56(col(keyCol).cast("string"))
-    val daily = events
+    events
       .select(date_trunc("DAY", col(tsCol)).cast("date").as("day"), h.as("__h"))
       .groupBy("day")
       .agg(exprColumn(KmvAgg(columnExpr(col("__h")), k)
         .toAggregateExpression()).as("sk"))
+  }
+
+  /** Sliding windows over an existing (day, sk) sketch table. */
+  def slidingFromDailySketches(daily: DataFrame, k: Int,
+      windowDays: Int): DataFrame = {
     val days = daily.select(col("day").as("wday"))
     val est = when(size(col("m")) < k, size(col("m")).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(7.2057594037927936e16) /

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
-import graft.operators.{Decay, NearDup}
+import graft.operators.{Anomaly, Decay, NearDup, Sketches}
 
 /** Streaming faces of the corpus-pipeline operators.
   *
@@ -138,5 +138,66 @@ object CorpusStreams {
           .where(col("cnt") > 0)
           .select(col("item"), col("cnt").as("cnt_lower"),
             col("n").as("n_total")), id)
+      }
+
+  /** Streaming trailing-window anomaly scores (X144, the streaming face
+    * of [[graft.operators.Anomaly]]): state is the SAME (key, day,
+    * count) table the X127 decay ingest maintains — bounded by keys ×
+    * active days, merged per batch, versioned for re-delivery
+    * idempotence — and each batch re-scores it through the IDENTICAL
+    * batch window code, so streaming == batch is by shared code, not
+    * reimplementation. The tripwire this buys: the day a batch lands,
+    * its z-score is already current. */
+  def anomalyIngest(events: DataFrame, key: String, tsCol: String,
+      stateDir: String, sigma: Double = 2.0)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val newCounts = Decay.dayCounts(batch, key, tsCol)
+        val prevPath = s"$stateDir/v=${id - 1}"
+        val merged = (if (new java.io.File(prevPath).exists())
+            spark.read.parquet(prevPath).unionByName(newCounts)
+          else newCounts)
+          .groupBy("__k", "__d")
+          .agg(sum("__c").as("__c"))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$id")
+        val daily = spark.read.parquet(s"$stateDir/v=$id")
+          .select(col("__k").as(key),
+            expr("date_add(date '1970-01-01', cast(__d AS int))").as("day"),
+            col("__c").as("n"))
+        sink(Anomaly.trailingZScoresDaily(daily, key, sigma), id)
+      }
+
+  /** Streaming sliding-window distinct (X145, the streaming face of
+    * X138): state is the per-day KMV sketch table — O(k) per active
+    * day regardless of batch volume — merged per batch with the X126
+    * sketch algebra (`slice(array_sort(array_union), 1, k)` per
+    * same-day pair), versioned like every ingest here. Each batch
+    * re-derives the sliding answer from the merged state through the
+    * SAME batch code ([[Sketches.slidingFromDailySketches]]). */
+  def slidingDistinctIngest(events: DataFrame, keyCol: String,
+      tsCol: String, k: Int, windowDays: Int, stateDir: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val newDaily = Sketches.kmvDailySketches(batch, keyCol, tsCol, k)
+        val prevPath = s"$stateDir/v=${id - 1}"
+        val merged = (if (new java.io.File(prevPath).exists())
+            spark.read.parquet(prevPath).unionByName(newDaily)
+          else newDaily)
+          .groupBy("day")
+          .agg(slice(array_sort(array_distinct(flatten(
+            collect_list(col("sk"))))), 1, k).as("sk"))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$id")
+        sink(Sketches.slidingFromDailySketches(
+          spark.read.parquet(s"$stateDir/v=$id"), k, windowDays), id)
       }
 }

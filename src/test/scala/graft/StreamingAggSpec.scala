@@ -147,6 +147,56 @@ class StreamingAggSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly scores: merged day-count state equals batch over any boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("ts"))
+    val all = events.collect().map(r => (r.getString(0), r.getTimestamp(1)))
+    val (b1, b2) = all.splitAt(2 * all.length / 5)
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val ckpt = java.nio.file.Files.createTempDirectory("anom-ingest").toString
+    val state = java.nio.file.Files.createTempDirectory("anom-state").toString
+    def run(): Unit = {
+      val q = graft.streaming.CorpusStreams.anomalyIngest(
+        in.toDF().toDF("event_type", "ts"), "event_type", "ts", state) { (z, id) =>
+        got(id) = z.orderBy("event_type", "day").collect().map(_.toString).toSeq
+      }.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    in.addData(b1.toSeq); run(); in.addData(b2.toSeq); run()
+    val expectAll = graft.operators.Anomaly
+      .trailingZScores(events, "event_type", "ts")
+      .orderBy("event_type", "day").collect().map(_.toString).toSeq
+    assert(got(1L) == expectAll)
+    assert(got(0L) != expectAll, "prefix state should differ from full history")
+  }
+
+  test("streaming sliding distinct: merged daily sketches equal batch over any boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"))
+    val all = events.collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val (b1, b2) = all.splitAt(all.length / 4)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val ckpt = java.nio.file.Files.createTempDirectory("skd-ingest").toString
+    val state = java.nio.file.Files.createTempDirectory("skd-state").toString
+    def run(): Unit = {
+      val q = graft.streaming.CorpusStreams.slidingDistinctIngest(
+        in.toDF().toDF("user_id", "ts"), "user_id", "ts",
+        k = 256, windowDays = 7, stateDir = state) { (d, id) =>
+        got(id) = d.orderBy("day").collect().map(_.toString).toSeq
+      }.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    in.addData(b1.toSeq); run(); in.addData(b2.toSeq); run()
+    val expectAll = graft.operators.Sketches
+      .kmvSlidingDailyDistinct(events, "user_id", "ts", k = 256, windowDays = 7)
+      .orderBy("day").collect().map(_.toString).toSeq
+    assert(got(1L) == expectAll)
+  }
+
   test("watermarked sliding-window counts finalize once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
