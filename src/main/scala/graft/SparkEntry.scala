@@ -180,6 +180,7 @@ object SparkEntry {
     "q155_consistent_hash"    -> (CorpusQueries.consistentRebalance(_, _)),
     "q156_benford"            -> (CorpusQueries.benfordAudit(_, _)),
     "q157_pseudonymize"       -> (CorpusQueries.pseudonymize(_, _)),
+    "q158_clipped_quantize"   -> (CorpusQueries.clippedQuantize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

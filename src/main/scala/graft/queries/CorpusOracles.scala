@@ -2394,6 +2394,31 @@ object CorpusOracles {
          FROM cust JOIN ords ON cust.pid = ords.pid
          GROUP BY 1 ORDER BY n_orders DESC, cust.pid LIMIT 10"""
     },
+
+    // X146: percentile-clipped int8 calibration — nearest-rank cuts in
+    // integer rank arithmetic, identical clamp/round/scale chain
+    "q158_clipped_quantize" ->
+      """WITH cells AS (SELECT t.i - 1 AS dim, embedding[t.i]::DOUBLE AS v
+                        FROM embeddings, range(1, 65) t(i)),
+         cnts AS (SELECT dim, v, count(*) AS c FROM cells GROUP BY 1, 2),
+         cum AS (SELECT dim, v, CAST(sum(c) OVER (PARTITION BY dim ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                 FROM cnts),
+         n AS (SELECT dim, count(*) AS n FROM cells GROUP BY 1),
+         cuts AS (SELECT cum.dim,
+                    min(CASE WHEN cum >= (n + 99) // 100 THEN v END) AS lo,
+                    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS hi
+                  FROM cum JOIN n USING (dim) GROUP BY 1),
+         q AS (SELECT cells.dim, v, lo, hi,
+                 CASE WHEN hi = lo THEN 0
+                   ELSE CAST(round((least(greatest(v, lo), hi) - lo) /
+                        (hi - lo) * 254.0 - 127.0) AS BIGINT) END AS qc
+               FROM cells JOIN cuts ON cells.dim = cuts.dim)
+         SELECT dim, min(lo) AS lo, min(hi) AS hi,
+                count(*) FILTER (v < lo) AS n_sat_lo,
+                count(*) FILTER (v > hi) AS n_sat_hi,
+                CAST(sum(qc) AS BIGINT) AS q_sum
+         FROM q GROUP BY dim ORDER BY dim""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

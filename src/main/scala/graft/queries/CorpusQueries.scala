@@ -2261,6 +2261,44 @@ object CorpusQueries {
       .limit(10)
   }
 
+  /** Percentile-clipped int8 calibration (X146): per-dim [p1, p99]
+    * nearest-rank cut points (exact integer rank arithmetic: min v with
+    * cum ≥ ceil(f·n), ceil as `(a+b−1) div b`), values clamped to the
+    * clipped range before quantization — the outlier-robust calibration
+    * that X75's min/max scheme lacks (one extreme cell there wastes the
+    * entire int8 range for its dimension). Output per dim: the cut
+    * points, saturation counts, and the exact long sum of quantized
+    * codes — gating the whole quantization, not just the bounds.
+    * Shape: one count-compressed (dim, v) agg + keyed cumsum window +
+    * a broadcast cut-point join back to the cell stream. */
+  def clippedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = spread(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+    val cnts = cells.groupBy("dim", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("dim").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = cells.groupBy("dim").agg(count(lit(1)).as("n"))
+    val cuts = cnts.join(broadcast(n), Seq("dim"))
+      .groupBy("dim")
+      .agg(
+        min(when(col("cum") >= expr("(n + 99) div 100"), col("v"))).as("lo"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("v"))).as("hi"))
+    val clip = least(greatest(col("v"), col("lo")), col("hi"))
+    val q = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(round((clip - col("lo")) / (col("hi") - col("lo")) * lit(254.0)
+        - lit(127.0)).cast("long"))
+    cells.join(broadcast(cuts), Seq("dim"))
+      .groupBy("dim")
+      .agg(min("lo").as("lo"), min("hi").as("hi"),
+        count(when(col("v") < col("lo"), 1)).as("n_sat_lo"),
+        count(when(col("v") > col("hi"), 1)).as("n_sat_hi"),
+        sum(q).as("q_sum"))
+      .orderBy("dim")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
