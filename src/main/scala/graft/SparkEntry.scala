@@ -181,6 +181,7 @@ object SparkEntry {
     "q156_benford"            -> (CorpusQueries.benfordAudit(_, _)),
     "q157_pseudonymize"       -> (CorpusQueries.pseudonymize(_, _)),
     "q158_clipped_quantize"   -> (CorpusQueries.clippedQuantize(_, _)),
+    "q159_kfold"              -> (CorpusQueries.kFold(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2419,6 +2419,24 @@ object CorpusOracles {
                 count(*) FILTER (v > hi) AS n_sat_hi,
                 CAST(sum(qc) AS BIGINT) AS q_sum
          FROM q GROUP BY dim ORDER BY dim""",
+
+    // X147: stratified k-fold — round-robin in content-hash order per
+    // source stratum; token count via the q69 whitespace formula
+    "q159_kfold" -> {
+      val h = md5h56("doc_id::VARCHAR")
+      s"""WITH d AS (SELECT doc_id, source,
+                (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok,
+                $h AS h
+              FROM documents),
+         f AS (SELECT doc_id, source, n_tok,
+                 (row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                  - 1) % 5 AS fold
+               FROM d)
+         SELECT source, fold, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                min(doc_id) AS first_doc
+         FROM f GROUP BY 1, 2 ORDER BY source, fold"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2299,6 +2299,30 @@ object CorpusQueries {
       .orderBy("dim")
   }
 
+  /** Stratified k-fold assignment (X147): round-robin folds in
+    * content-hash order WITHIN each source stratum — every fold gets
+    * the same source mix (per-stratum fold sizes differ by ≤1 by
+    * construction), and the assignment is a pure function of doc
+    * identity (reproducible across runs/layouts, the q53/q56 hash
+    * discipline; contrast X112's groupwise split, which trades balance
+    * for leakage-safety). One keyed window + one rollup agg. */
+  def kFold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.md5Hash56(col("doc_id").cast("string"))
+    val d = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+          + lit(1)).as("n_tok"), h.as("__h"))
+      .withColumn("fold",
+        (row_number().over(Window.partitionBy("source")
+          .orderBy("__h", "doc_id")) - lit(1)) % lit(5))
+    d.groupBy("source", "fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source", "fold")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
