@@ -182,6 +182,7 @@ object SparkEntry {
     "q157_pseudonymize"       -> (CorpusQueries.pseudonymize(_, _)),
     "q158_clipped_quantize"   -> (CorpusQueries.clippedQuantize(_, _)),
     "q159_kfold"              -> (CorpusQueries.kFold(_, _)),
+    "q160_gini"               -> (CorpusQueries.giniAudit(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -62,4 +62,28 @@ object Skew {
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Gini coefficient of a count distribution — the scalar skew verdict
+    * the X82 per-key report rolls up to: 0 = uniform keys, →1 = one key
+    * holds everything. The libm-free sorted-rank identity
+    * `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)` with x ascending: both
+    * Σ-terms are EXACT LONGS (tie permutations don't change Σ i·x, so
+    * the rank window's tie order is irrelevant — deterministic without
+    * a tiebreaker), and the single division is the only float op.
+    * Overflow bound: Σ i·x ≤ n·total — fine to n·total < 2^63; beyond,
+    * count-compress equal x first (rank arithmetic on (x, freq) pairs).
+    * The rank window is keyless but runs over the ENTITY table (one row
+    * per key), not the raw stream — |keys|-bounded, the q117 pattern. */
+  def gini(counts: DataFrame, xCol: String, label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .select(col(xCol).cast("long").as("__x"))
+      .withColumn("__i", row_number().over(Window.orderBy("__x")).cast("long"))
+      .agg(count(lit(1)).as("n"), sum("__x").as("total"),
+        sum(expr("__i * __x")).as("__s1"))
+      .select(lit(label).as("metric"), col("n"), col("total"),
+        ((lit(2L) * col("__s1") - (col("n") + lit(1L)) * col("total"))
+          .cast("double") /
+          (col("n") * col("total")).cast("double")).as("gini"))
+  }
 }

@@ -2437,6 +2437,30 @@ object CorpusOracles {
                 min(doc_id) AS first_doc
          FROM f GROUP BY 1, 2 ORDER BY source, fold"""
     },
+
+    // X148: Gini audit — sorted-rank identity, exact long sums, one
+    // double division per metric
+    "q160_gini" -> {
+      def g(src: String, label: String) =
+        s"""SELECT '$label' AS metric, count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS total,
+              CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE) /
+                CAST(count(*) * sum(x) AS DOUBLE) AS gini
+            FROM (SELECT x, row_number() OVER (ORDER BY x) AS i FROM ($src))"""
+      s"""${g("SELECT count(*) AS x FROM orders GROUP BY o_custkey",
+            "orders_per_customer")}
+         UNION ALL
+         ${g("SELECT count(*) AS x FROM events GROUP BY user_id",
+            "events_per_user")}
+         UNION ALL
+         ${g("SELECT count(*) AS x FROM documents GROUP BY source",
+            "docs_per_source")}
+         UNION ALL
+         ${g("""SELECT count(*) AS x FROM
+                 (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                GROUP BY t""", "tokens_per_type")}
+         ORDER BY metric"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

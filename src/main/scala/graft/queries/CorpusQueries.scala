@@ -2323,6 +2323,25 @@ object CorpusQueries {
       .orderBy("source", "fold")
   }
 
+  /** Gini concentration audit (X148): one scalar skew verdict per
+    * distribution — orders/customer, events/user, docs/source,
+    * token occurrences/type — see [[graft.operators.Skew.gini]]. */
+  def giniAudit(spark: SparkSession, dir: String): DataFrame = {
+    def counts(df: DataFrame, key: String) =
+      df.groupBy(col(key)).agg(count(lit(1)).as("x"))
+    val orders = counts(Tables.load(spark, dir, "orders"), "o_custkey")
+    val events = counts(Tables.load(spark, dir, "events"), "user_id")
+    val docs = counts(Tables.load(spark, dir, "documents"), "source")
+    val toks = counts(
+      spread(Tables.load(spark, dir, "documents"))
+        .select(explode(TextFunctions.tokens(col("text"))).as("t")), "t")
+    Skew.gini(orders, "x", "orders_per_customer")
+      .unionByName(Skew.gini(events, "x", "events_per_user"))
+      .unionByName(Skew.gini(docs, "x", "docs_per_source"))
+      .unionByName(Skew.gini(toks, "x", "tokens_per_type"))
+      .orderBy("metric")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
