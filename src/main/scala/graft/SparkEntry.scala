@@ -183,6 +183,8 @@ object SparkEntry {
     "q158_clipped_quantize"   -> (CorpusQueries.clippedQuantize(_, _)),
     "q159_kfold"              -> (CorpusQueries.kFold(_, _)),
     "q160_gini"               -> (CorpusQueries.giniAudit(_, _)),
+    "q161_winsorized"         -> (CorpusQueries.winsorized(_, _)),
+    "q162_kcore"              -> (CorpusQueries.kcorePeel(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

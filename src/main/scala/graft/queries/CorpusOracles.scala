@@ -2461,6 +2461,64 @@ object CorpusOracles {
                 GROUP BY t""", "tokens_per_type")}
          ORDER BY metric"""
     },
+
+    // X149: winsorized group means — nearest-rank [p5,p95] cuts on
+    // cents integers, clamp, exact long sum, one division
+    "q161_winsorized" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem),
+         cnts AS (SELECT flag, cents, count(*) AS c FROM li GROUP BY 1, 2),
+         cum AS (SELECT flag, cents, CAST(sum(c) OVER (PARTITION BY flag
+                   ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                 FROM cnts),
+         n AS (SELECT flag, count(*) AS n FROM li GROUP BY 1),
+         cuts AS (SELECT cum.flag,
+                    min(CASE WHEN cum >= (5 * n + 99) // 100 THEN cents END) AS lo,
+                    min(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS hi,
+                    min(n) AS n
+                  FROM cum JOIN n USING (flag) GROUP BY 1)
+         SELECT li.flag, min(cuts.n) AS n, min(lo) AS lo_cents,
+                min(hi) AS hi_cents,
+                count(*) FILTER (cents < lo OR cents > hi) AS n_clamped,
+                CAST(sum(least(greatest(cents, lo), hi)) AS DOUBLE) / 100.0 /
+                  CAST(min(cuts.n) AS DOUBLE) AS winsorized_mean
+         FROM li JOIN cuts ON li.flag = cuts.flag
+         GROUP BY li.flag ORDER BY li.flag""",
+
+    // X150: fixed-round 3-core peeling over the mutual-5-NN graph —
+    // 5 unrolled degree/filter rounds (MATERIALIZED: each alive set
+    // feeds two consumers)
+    "q162_kcore" -> {
+      def round(i: Int) =
+        s"""d$i AS MATERIALIZED (SELECT b.src AS vec_id, count(*) AS deg
+              FROM bid b JOIN a${i - 1} s ON b.src = s.vec_id
+                         JOIN a${i - 1} t ON b.dst = t.vec_id
+              GROUP BY 1),
+            a$i AS MATERIALIZED (SELECT a.vec_id FROM a${i - 1} a
+              JOIN d$i d ON a.vec_id = d.vec_id WHERE d.deg >= 3),
+            rm$i AS (SELECT a.vec_id, CAST($i AS BIGINT) AS rr
+              FROM a${i - 1} a LEFT JOIN a$i k ON a.vec_id = k.vec_id
+              WHERE k.vec_id IS NULL)"""
+      s"""WITH $mutual5Ctes,
+         bid AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM e
+               UNION ALL SELECT vec_b, vec_a FROM e),
+         a0 AS (SELECT vec_id FROM embeddings),
+         ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}, ${round(5)},
+         rem AS (SELECT * FROM rm1 UNION ALL SELECT * FROM rm2
+                 UNION ALL SELECT * FROM rm3 UNION ALL SELECT * FROM rm4
+                 UNION ALL SELECT * FROM rm5),
+         fd AS (SELECT b.src AS vec_id, count(*) AS deg
+                FROM bid b JOIN a5 s ON b.src = s.vec_id
+                           JOIN a5 t ON b.dst = t.vec_id
+                GROUP BY 1)
+         SELECT n.vec_id, rem.rr AS removed_round,
+                CASE WHEN rem.rr IS NULL THEN coalesce(fd.deg, 0) END
+                  AS final_deg
+         FROM embeddings n LEFT JOIN rem ON n.vec_id = rem.vec_id
+                           LEFT JOIN fd ON n.vec_id = fd.vec_id
+         ORDER BY n.vec_id"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, ConsistentHash, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KMeansExact, KsDrift, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, ConsistentHash, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KCore, KMeansExact, KsDrift, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2341,6 +2341,51 @@ object CorpusQueries {
       .unionByName(Skew.gini(toks, "x", "tokens_per_type"))
       .orderBy("metric")
   }
+
+  /** Winsorized group means (X149): per-returnflag means of
+    * extendedprice with the tails clamped to nearest-rank [p5, p95] —
+    * the robust location estimate an outlier-heavy feed needs instead
+    * of a raw AVG. Same integer machinery as X146: exact rank cuts
+    * over cents-integer count compression, clamp, then an EXACT LONG
+    * cents sum so the mean is one division (reduction-order-free). */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val cnts = li.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("flag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = li.groupBy("flag").agg(count(lit(1)).as("n"))
+    val cuts = cnts.join(broadcast(n), Seq("flag"))
+      .groupBy("flag")
+      .agg(
+        min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("cents"))).as("lo"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("cents"))).as("hi"),
+        min("n").as("n"))
+    li.join(broadcast(cuts), Seq("flag"))
+      .groupBy("flag")
+      .agg(min("n").as("n"), min("lo").as("lo_cents"), min("hi").as("hi_cents"),
+        sum(least(greatest(col("cents"), col("lo")), col("hi"))).as("__s"),
+        count(when(col("cents") < col("lo") || col("cents") > col("hi"), 1))
+          .as("n_clamped"))
+      .select(col("flag"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clamped"),
+        (col("__s").cast("double") / lit(100.0) / col("n").cast("double"))
+          .as("winsorized_mean"))
+      .orderBy("flag")
+  }
+
+  /** Fixed-round k-core peeling (X150) toward the 3-core of the mutual
+    * 5-NN graph — removal round ≈ coarse coreness rank; see
+    * [[graft.operators.KCore.peel]]. */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame =
+    KCore.peel(
+      Tables.load(spark, dir, "embeddings").select("vec_id"),
+      knnGraph(spark, dir).select("vec_a", "vec_b"),
+      k = 3, rounds = 5)
+      .orderBy("vec_id")
 
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
