@@ -41,7 +41,11 @@ object ScaleSweep {
       "q124_dsir_weights", "q127_kmeans",
       // round-6 late additions with data-dominated stages
       "q130_kcenter_coreset", "q131_knn_communities", "q132_winnow_overlap",
-      "q136_pc1_projection", "q138_pareto", "q139_knn_triangles")
+      "q136_pc1_projection", "q138_pareto", "q139_knn_triangles",
+      // round-6 session-2 additions: chunk/df aggs, HITS rounds,
+      // blocked fuzzy candidates, grid CDFs, k-core rounds
+      "q143_boilerplate", "q145_token_hits", "q150_fuzzy_linkage",
+      "q154_ks_drift", "q162_kcore")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -185,6 +185,9 @@ object SparkEntry {
     "q160_gini"               -> (CorpusQueries.giniAudit(_, _)),
     "q161_winsorized"         -> (CorpusQueries.winsorized(_, _)),
     "q162_kcore"              -> (CorpusQueries.kcorePeel(_, _)),
+    "q163_langid_eval"        -> (CorpusQueries.langIdEval(_, _)),
+    "q164_k_anonymity"        -> (CorpusQueries.kAnonymity(_, _)),
+    "q165_data_contract"      -> (CorpusQueries.dataContract(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -118,7 +118,9 @@ object CorpusOracles {
         * (CASE WHEN $meanTokLen >= 3.0 AND $meanTokLen <= 10.0 THEN 1.0 ELSE 0.5 END)"""
 
   /** Per-lang marker-hit sums + argmax — twin of TextFunctions.langId. */
-  private val langIdSql: String = {
+  /** CTE chain ending in `pred`(doc_id, lang_pred) — shared by the
+    * plain langid twin (q26) and the X151 eval twin (q165). */
+  private val langPredCtes: String = {
     val markers = graft.functions.TextFunctions.langMarkers
     val scores = markers.map { case (lang, words) =>
       val hits = words
@@ -130,11 +132,14 @@ object CorpusOracles {
     val cases = markers.map { case (l, _) =>
       s"WHEN s_$l > 0 AND s_$l = best THEN '$l'"
     }.mkString(" ")
-    s"""WITH s AS (SELECT doc_id, $scores FROM documents),
-       b AS (SELECT doc_id, *, $best AS best FROM s)
-       SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-       FROM b ORDER BY doc_id"""
+    s"""s AS (SELECT doc_id, $scores FROM documents),
+       b AS (SELECT doc_id, *, $best AS best FROM s),
+       pred AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b)"""
   }
+
+  private val langIdSql: String =
+    s"""WITH $langPredCtes
+       SELECT doc_id, lang_pred FROM pred ORDER BY doc_id"""
 
   /** 32-bit SimHash fingerprints — twin of NearDup.simhash(bits=32). */
   private val simhashCte: String = {
@@ -2519,6 +2524,60 @@ object CorpusOracles {
                            LEFT JOIN fd ON n.vec_id = fd.vec_id
          ORDER BY n.vec_id"""
     },
+
+    // X151: langid eval — shared prediction CTEs, harmonic-identity F1
+    "q163_langid_eval" ->
+      s"""WITH $langPredCtes,
+         j AS (SELECT d.lang, p.lang_pred FROM documents d
+               JOIN pred p ON d.doc_id = p.doc_id),
+         t AS (SELECT lang AS cls, count(*) AS n_true FROM j GROUP BY 1),
+         pr AS (SELECT lang_pred AS cls, count(*) AS n_pred FROM j GROUP BY 1),
+         tp AS (SELECT lang AS cls, count(*) AS tp FROM j
+                WHERE lang = lang_pred GROUP BY 1),
+         m AS (SELECT coalesce(t.cls, pr.cls) AS cls,
+                 coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred
+               FROM t FULL OUTER JOIN pr ON t.cls = pr.cls)
+         SELECT m.cls, m.n_true, m.n_pred, coalesce(tp.tp, 0) AS tp,
+                CASE WHEN m.n_pred > 0
+                     THEN coalesce(tp.tp, 0)::DOUBLE / m.n_pred::DOUBLE
+                END AS precision,
+                CASE WHEN m.n_true > 0
+                     THEN coalesce(tp.tp, 0)::DOUBLE / m.n_true::DOUBLE
+                END AS recall,
+                CASE WHEN m.n_true + m.n_pred > 0
+                     THEN 2.0 * coalesce(tp.tp, 0)::DOUBLE /
+                          (m.n_true + m.n_pred)::DOUBLE
+                END AS f1
+         FROM m LEFT JOIN tp ON m.cls = tp.cls ORDER BY m.cls""",
+
+    // X152: k-anonymity equivalence classes over (segment, nation)
+    "q164_k_anonymity" ->
+      """SELECT c_mktsegment AS segment, c_nationkey AS nation,
+                count(*) AS n, count(*) >= 5 AS k_anon_ok
+         FROM customer GROUP BY 1, 2 ORDER BY segment, nation""",
+
+    // X153: relational data-contract audit — one verdict row per rule
+    "q165_data_contract" ->
+      """SELECT rule, n_violations, n_violations = 0 AS ok FROM (
+         SELECT 'customer_null_segment' AS rule,
+                (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL)
+                  AS n_violations
+         UNION ALL
+         SELECT 'fk_orders_customer_orphans',
+                (SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+         UNION ALL
+         SELECT 'orders_nonpositive_total',
+                (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+         UNION ALL
+         SELECT 'orders_null_custkey',
+                (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+         UNION ALL
+         SELECT 'orders_status_domain',
+                (SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+         ) ORDER BY rule""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2387,6 +2387,83 @@ object CorpusQueries {
       k = 3, rounds = 5)
       .orderBy("vec_id")
 
+  /** Classifier eval against ground truth (X151): the X8 language-ID
+    * heuristic scored against the documents' `lang` labels — per-class
+    * confusion counts and precision/recall/F1. F1 rides the harmonic
+    * identity `2·tp/(n_true + n_pred)` — ONE division instead of a
+    * compound p/r chain, so the metric is engine-exact. One prediction
+    * pass (scan-fused scoring), three 5-key aggs, two outer joins over
+    * the class table — the class table is |langs|-bounded. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.load(spark, dir, "documents").select("doc_id", "lang")
+    val j = truth.join(langId(spark, dir), Seq("doc_id"))
+    val t = j.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_true"))
+    val p = j.groupBy(col("lang_pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+    val tp = j.where(col("lang") === col("lang_pred"))
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("tp"))
+    t.join(p, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          col("tp").cast("double") / col("n_true").cast("double")))
+      .withColumn("f1",
+        when(col("n_true") + col("n_pred") > 0,
+          lit(2.0) * col("tp").cast("double") /
+            (col("n_true") + col("n_pred")).cast("double")))
+      .orderBy("cls")
+  }
+
+  /** k-anonymity audit (X152): equivalence-class sizes over the
+    * customer quasi-identifier tuple (mktsegment, nationkey) — classes
+    * below k=5 are re-identification risks the release must suppress or
+    * generalize. One map-side-combinable agg keyed by the QI tuple; the
+    * risk roll-up (how many people sit in unsafe classes) is a second
+    * tiny agg. The X143 pseudonymization protects IDENTIFIERS; this
+    * audits what the remaining ATTRIBUTES still leak — the two ship
+    * together in a release pipeline. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anon_ok", col("n") >= 5)
+    g.orderBy("segment", "nation")
+  }
+
+  /** Relational data-contract audit (X153): the ingest-side DQ gate a
+    * warehouse runs before promoting a batch — FK orphans (orders →
+    * customer anti-join), domain violations (non-positive totals,
+    * out-of-enum status), and null-rate per contracted column, one
+    * verdict row per rule so the gate is greppable. Each rule is one
+    * scan-fused filter-count; the FK check is the standard anti-join.
+    * Exact counts only — no float in the verdict. */
+  def dataContract(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    def rule(name: String, violations: DataFrame) =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    rule("fk_orders_customer_orphans",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+      .unionByName(rule("orders_nonpositive_total",
+        o.where(col("o_totalprice") <= 0)))
+      .unionByName(rule("orders_status_domain",
+        o.where(!col("o_orderstatus").isin("O", "F", "P"))))
+      .unionByName(rule("orders_null_custkey",
+        o.where(col("o_custkey").isNull)))
+      .unionByName(rule("customer_null_segment",
+        c.where(col("c_mktsegment").isNull)))
+      .withColumn("ok", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
