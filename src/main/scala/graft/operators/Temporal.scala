@@ -1,3 +1,4 @@
+// (CDC net-effect compaction appended this round — see cdcCompact.)
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
