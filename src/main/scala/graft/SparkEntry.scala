@@ -188,6 +188,7 @@ object SparkEntry {
     "q163_langid_eval"        -> (CorpusQueries.langIdEval(_, _)),
     "q164_k_anonymity"        -> (CorpusQueries.kAnonymity(_, _)),
     "q165_data_contract"      -> (CorpusQueries.dataContract(_, _)),
+    "q166_cdc_compact"        -> (CorpusQueries.cdcCompact(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,4 +1,3 @@
-// (CDC net-effect compaction appended this round — see cdcCompact.)
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -135,5 +134,42 @@ object Temporal {
           .when(col("__pb").isNull, "removed")
           .when(!(col("__ha") <=> col("__hb")), "changed")
           .otherwise("unchanged").as("status"))
+  }
+
+  /** CDC net-effect compaction (log compaction): collapse each key's
+    * I/U/D change sequence to the single operation a downstream
+    * consumer needs — the standard pre-merge shrink before an X61
+    * applyChanges (a key touched 10 000 times in the window still
+    * produces ONE merge row).
+    *
+    * Net rules from (first op, last op) per key, in (ts, seq) order:
+    *   - last = D, first = I → `absent` (created and deleted inside the
+    *     window: nothing to apply downstream);
+    *   - last = D, first ≠ I → `D`;
+    *   - last ≠ D, first = I → `I` carrying the LAST value;
+    *   - otherwise             → `U` carrying the LAST value.
+    *
+    * One keyed aggregate: first/last ride `min_by`/`max_by` over the
+    * (ts, seq) struct — map-side combinable, no window, no sort; the
+    * whole log shrinks to |keys| rows in a single exchange. */
+  def cdcCompact(log: DataFrame, keyCol: String, opCol: String,
+      tsCol: String, seqCol: String, valCol: String): DataFrame = {
+    val ord = struct(col(tsCol), col(seqCol))
+    log
+      .groupBy(col(keyCol))
+      .agg(
+        min_by(col(opCol), ord).as("__first_op"),
+        max_by(col(opCol), ord).as("__last_op"),
+        max_by(col(valCol), ord).as("last_value"),
+        count(lit(1)).as("n_changes"))
+      .select(col(keyCol),
+        when(col("__last_op") === "D",
+          when(col("__first_op") === "I", lit("absent")).otherwise(lit("D")))
+          .when(col("__first_op") === "I", lit("I"))
+          .otherwise(lit("U")).as("net_op"),
+        when(col("__last_op") === "D", lit(null))
+          .otherwise(col("last_value")).as("last_value"),
+        col("n_changes"))
+      .where(col("net_op") =!= "absent")
   }
 }

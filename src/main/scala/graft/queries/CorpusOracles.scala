@@ -2578,6 +2578,37 @@ object CorpusOracles {
                 (SELECT count(*) FROM orders
                  WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
          ) ORDER BY rule""",
+
+    // X154: CDC net-effect compaction — first/last ops via asc/desc
+    // row_number (the Spark side's min_by/max_by over (ts, seq))
+    "q166_cdc_compact" ->
+      """WITH l AS (SELECT user_id,
+                CASE event_type WHEN 'signup' THEN 'I'
+                                WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                ts, event_id, value
+              FROM events),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+               FROM l),
+         f AS (SELECT user_id,
+                 max(CASE WHEN rn_a = 1 THEN op END) AS first_op,
+                 max(CASE WHEN rn_d = 1 THEN op END) AS last_op,
+                 max(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+                 count(*) AS n_changes
+               FROM r GROUP BY 1),
+         o AS (SELECT user_id,
+                 CASE WHEN last_op = 'D' THEN
+                        (CASE WHEN first_op = 'I' THEN 'absent' ELSE 'D' END)
+                      WHEN first_op = 'I' THEN 'I' ELSE 'U' END AS net_op,
+                 CASE WHEN last_op = 'D' THEN NULL ELSE last_value END
+                   AS last_value,
+                 n_changes
+               FROM f)
+         SELECT user_id, net_op, last_value, n_changes FROM o
+         WHERE net_op <> 'absent' ORDER BY user_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2464,6 +2464,21 @@ object CorpusQueries {
       .orderBy("rule")
   }
 
+  /** CDC net-effect compaction (X154): the events log mapped to an
+    * I/U/D change stream per user (signup→I, error→D, else U) and
+    * collapsed to one net row per key — see
+    * [[graft.operators.Temporal.cdcCompact]]. */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("ts"), col("event_id"), col("value"))
+    Temporal.cdcCompact(log, "user_id", "op", "ts", "event_id", "value")
+      .orderBy("user_id")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
