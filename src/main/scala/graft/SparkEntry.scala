@@ -189,6 +189,7 @@ object SparkEntry {
     "q164_k_anonymity"        -> (CorpusQueries.kAnonymity(_, _)),
     "q165_data_contract"      -> (CorpusQueries.dataContract(_, _)),
     "q166_cdc_compact"        -> (CorpusQueries.cdcCompact(_, _)),
+    "q167_centroid_drift"     -> (CorpusQueries.centroidDrift(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

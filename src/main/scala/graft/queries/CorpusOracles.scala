@@ -2609,6 +2609,28 @@ object CorpusOracles {
                FROM f)
          SELECT user_id, net_op, last_value, n_changes FROM o
          WHERE net_op <> 'absent' ORDER BY user_id""",
+
+    // X155: per-label centroid drift — X106 fixed-point means per
+    // (label, half, dim), list-assembled in dim order, shared cosine
+    "q167_centroid_drift" -> {
+      val h = md5h56("vec_id::VARCHAR")
+      s"""WITH cells AS (SELECT label, ($h) % 2 AS half, vec_id,
+                t.i - 1 AS dim,
+                CAST(floor(embedding[t.i]::DOUBLE * 1000000000.0) AS BIGINT) AS s
+              FROM embeddings, range(1, 65) t(i)),
+         m AS (SELECT label, half, dim,
+                 CAST(sum(s) AS BIGINT) AS ss,
+                 count(DISTINCT vec_id) AS n
+               FROM cells GROUP BY 1, 2, 3),
+         c AS (SELECT label, half, min(n) AS n,
+                 list((ss::DOUBLE / 1000000000.0) / n::DOUBLE ORDER BY dim)
+                   AS cv
+               FROM m GROUP BY 1, 2)
+         SELECT a.label, a.n AS n_a, b.n AS n_b,
+                ${cosine("a.cv", "b.cv")} AS centroid_cos
+         FROM c a JOIN c b ON a.label = b.label
+         WHERE a.half = 0 AND b.half = 1 ORDER BY a.label"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2479,6 +2479,52 @@ object CorpusQueries {
       .orderBy("user_id")
   }
 
+  /** Embedding centroid drift (X155): per-label centroid cosine between
+    * two deterministic snapshot halves (md5(vec_id) % 2 — the q98 split
+    * convention) — the embedding-space counterpart of X81/X140 drift: a
+    * re-embedding or upstream-data change shows up as centroid rotation
+    * long before per-vector diffs are tractable. Centroids ride the
+    * X106 fixed-point moments (floor-scaled long sums per dim via
+    * LongVecSumAgg, mean = `(s/1e9)/n` — reduction-order-free), and the
+    * cosine is the shared sequential-fold kernel, so both the training
+    * statistic AND the verdict hash-match. Shape: one fixed-width agg
+    * per (label, half) — 2·|labels| rows of k×dim state — then a tiny
+    * self-join; the corpus is scanned once. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame =
+    centroidDriftOf(spread(Tables.load(spark, dir, "embeddings")))
+
+  /** The operator body over any (vec_id, label, embedding) table —
+    * exposed for fixture specs (the synthetic corpus' labels carry no
+    * cluster structure, so its half-split cosine is meaningful only as
+    * a deterministic gate value, not a semantic one). */
+  def centroidDriftOf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    import graft.functions.{LongVecSumAgg, Vectors}
+    val e = emb
+      .select(col("label"),
+        pmod(TextFunctions.md5Hash56(col("vec_id").cast("string")), lit(2L))
+          .as("half"),
+        expr("transform(cast(embedding AS array<double>), x -> cast(floor(x * 1000000000.0) AS bigint))")
+          .as("s1"))
+    val cent = e.groupBy("label", "half")
+      .agg(exprColumn(LongVecSumAgg(columnExpr(col("s1")))
+          .toAggregateExpression()).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("half"), col("n"),
+        expr("transform(ss, s -> (cast(s AS double) / 1000000000.0) / cast(n AS double))")
+          .as("c"))
+    val a = cent.where(col("half") === 0)
+      .select(col("label"), col("n").as("n_a"), col("c").as("ca"))
+    val b = cent.where(col("half") === 1)
+      .select(col("label"), col("n").as("n_b"), col("c").as("cb"))
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (Vectors.dot(col("ca"), col("cb")) /
+          (sqrt(Vectors.dot(col("ca"), col("ca"))) *
+            sqrt(Vectors.dot(col("cb"), col("cb"))))).as("centroid_cos"))
+      .orderBy("label")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
