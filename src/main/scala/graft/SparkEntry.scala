@@ -190,6 +190,7 @@ object SparkEntry {
     "q165_data_contract"      -> (CorpusQueries.dataContract(_, _)),
     "q166_cdc_compact"        -> (CorpusQueries.cdcCompact(_, _)),
     "q167_centroid_drift"     -> (CorpusQueries.centroidDrift(_, _)),
+    "q168_vocab_growth"       -> (CorpusQueries.vocabGrowth(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

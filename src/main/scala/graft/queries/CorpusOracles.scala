@@ -2631,6 +2631,34 @@ object CorpusOracles {
          FROM c a JOIN c b ON a.label = b.label
          WHERE a.half = 0 AND b.half = 1 ORDER BY a.label"""
     },
+
+    // X156: bigram-type growth at hash-ordered 25/50/100% prefixes —
+    // one (source, bigram) agg with a min-prefix-level fold
+    "q168_vocab_growth" -> {
+      val h = md5h56("doc_id::VARCHAR")
+      s"""WITH d AS (SELECT doc_id, source, text, $h AS h FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY h, doc_id) AS rn FROM d),
+         n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         lvl AS (SELECT r.doc_id, r.source, r.text,
+                   CASE WHEN rn <= (n_docs + 3) // 4 THEN 1
+                        WHEN rn <= (n_docs + 1) // 2 THEN 2
+                        ELSE 3 END AS lv
+                 FROM r JOIN n USING (source)),
+         w AS (SELECT source, lv, string_split(text, ' ') AS w FROM lvl
+               WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT source, lv,
+                  unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+                    i -> w[i + 1] || ' ' || w[i + 2])) AS bg
+                FROM w),
+         m AS (SELECT source, bg, min(lv) AS minl FROM bg GROUP BY 1, 2)
+         SELECT m.source, n.n_docs,
+                count(*) FILTER (minl = 1) AS types_25,
+                count(*) FILTER (minl <= 2) AS types_50,
+                count(*) AS types_100
+         FROM m JOIN n ON m.source = n.source
+         GROUP BY 1, 2 ORDER BY m.source"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2525,6 +2525,44 @@ object CorpusQueries {
       .orderBy("label")
   }
 
+  /** Vocabulary growth curve (X156): distinct bigram types per source at
+    * hash-ordered 25%/50%/100% document prefixes — the Heaps-law
+    * saturation diagnostic (flattening growth ⇒ more data from this
+    * source adds repetition, not novelty; the read BEFORE X103/X104
+    * temperature decisions). Prefixes are exact integer ranks on the
+    * content-hash order (reproducible across layouts); the whole curve
+    * is ONE agg over (source, bigram) with a min-prefix-level fold, so
+    * the three cumulative counts come from one pass — not three scans.
+    * The per-source rank window holds one row per doc, never tokens. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.md5Hash56(col("doc_id").cast("string"))
+    val d = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"), h.as("__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("source").orderBy("__h", "doc_id")).cast("long"))
+    val n = d.groupBy("source").agg(count(lit(1)).as("__n"))
+    val lvl = d.join(broadcast(n), Seq("source"))
+      .withColumn("__lvl",
+        when(col("__rn") <= expr("(__n + 3) div 4"), lit(1))
+          .when(col("__rn") <= expr("(__n + 1) div 2"), lit(2))
+          .otherwise(lit(3)))
+    val bigrams = lvl.where(size(TextFunctions.tokens(col("text"))) >= 2)
+      .select(col("source"), col("__lvl"), explode(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 2),
+             i -> concat(element_at(split(text, ' '), i + 1), ' ',
+                         element_at(split(text, ' '), i + 2)))""")).as("bg"))
+    bigrams.groupBy("source", "bg").agg(min("__lvl").as("__minl"))
+      .groupBy("source")
+      .agg(count(when(col("__minl") === 1, 1)).as("types_25"),
+        count(when(col("__minl") <= 2, 1)).as("types_50"),
+        count(lit(1)).as("types_100"))
+      .join(broadcast(n.select(col("source"), col("__n").as("n_docs"))),
+        Seq("source"))
+      .select("source", "n_docs", "types_25", "types_50", "types_100")
+      .orderBy("source")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
