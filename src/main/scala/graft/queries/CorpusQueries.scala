@@ -2353,23 +2353,28 @@ object CorpusQueries {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    // ONE raw scan: everything downstream (cut ranks AND the clamped
+    // sum) reads the count-compressed (flag, cents, c) table — the
+    // clamped sum is Σ clamp(v)·c, identical to re-scanning the rows
     val cnts = li.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(
-        Window.partitionBy("flag").orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = li.groupBy("flag").agg(count(lit(1)).as("n"))
-    val cuts = cnts.join(broadcast(n), Seq("flag"))
+      .persist()
+    val cum = cnts.withColumn("cum", sum("c").over(
+      Window.partitionBy("flag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = cnts.groupBy("flag").agg(sum("c").as("n"))
+    val cuts = cum.join(broadcast(n), Seq("flag"))
       .groupBy("flag")
       .agg(
         min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("cents"))).as("lo"),
         min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("cents"))).as("hi"),
         min("n").as("n"))
-    li.join(broadcast(cuts), Seq("flag"))
+    cnts.join(broadcast(cuts), Seq("flag"))
       .groupBy("flag")
       .agg(min("n").as("n"), min("lo").as("lo_cents"), min("hi").as("hi_cents"),
-        sum(least(greatest(col("cents"), col("lo")), col("hi"))).as("__s"),
-        count(when(col("cents") < col("lo") || col("cents") > col("hi"), 1))
-          .as("n_clamped"))
+        sum(least(greatest(col("cents"), col("lo")), col("hi")) * col("c"))
+          .as("__s"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"),
+          col("c")).otherwise(lit(0L))).as("n_clamped"))
       .select(col("flag"), col("n"), col("lo_cents"), col("hi_cents"),
         col("n_clamped"),
         (col("__s").cast("double") / lit(100.0) / col("n").cast("double"))
