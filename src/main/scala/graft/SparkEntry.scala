@@ -191,6 +191,7 @@ object SparkEntry {
     "q166_cdc_compact"        -> (CorpusQueries.cdcCompact(_, _)),
     "q167_centroid_drift"     -> (CorpusQueries.centroidDrift(_, _)),
     "q168_vocab_growth"       -> (CorpusQueries.vocabGrowth(_, _)),
+    "q169_ann_multiprobe"     -> (CorpusQueries.annMultiProbeTopK(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

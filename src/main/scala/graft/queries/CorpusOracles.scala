@@ -378,6 +378,12 @@ object CorpusOracles {
                 TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
 
+    // X157: multi-probe LSH — same thresholded-recall verdict shape
+    "q169_ann_multiprobe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+                TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
+
     "q44_approx_distinct" ->
       """SELECT l_returnflag,
                 CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_l_suppkey,

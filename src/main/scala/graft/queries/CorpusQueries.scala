@@ -2568,6 +2568,22 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Multi-probe LSH top-k (X157): HALF of q49's tables (4 vs 8), each
+    * probed at the exact bucket + all 1-bit flips — the recall of many
+    * tables at the memory of few; gated at a HIGHER recall floor than
+    * q49 despite the smaller index — see
+    * [[graft.operators.AnnSearch.lshMultiProbeTopK]]. */
+  def annMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val corpus = e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+    val mp = AnnSearch.lshMultiProbeTopK(queries, corpus, k = 5,
+      numTables = 4, planesPerTable = 6)
+    val bf = AnnSearch.bruteForceTopK(queries, corpus, k = 5)
+    recallGate(mp, bf, queries, k = 5, minMeanRecall = 0.3)
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
