@@ -192,6 +192,7 @@ object SparkEntry {
     "q167_centroid_drift"     -> (CorpusQueries.centroidDrift(_, _)),
     "q168_vocab_growth"       -> (CorpusQueries.vocabGrowth(_, _)),
     "q169_ann_multiprobe"     -> (CorpusQueries.annMultiProbeTopK(_, _)),
+    "q170_span_corruption"    -> (CorpusQueries.spanCorruption(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2665,6 +2665,33 @@ object CorpusOracles {
          FROM m JOIN n ON m.source = n.source
          GROUP BY 1, 2 ORDER BY m.source"""
     },
+
+    // X158: span-corruption stats — same per-position hash mask, same
+    // gaps-and-islands span fold, exact-integer report
+    "q170_span_corruption" -> {
+      val h = md5h56("(doc_id::VARCHAR || ':' || pos::VARCHAR)")
+      s"""WITH t AS (SELECT doc_id,
+                unnest(range(0, len(string_split(text, ' ')))) AS pos
+              FROM documents),
+         m AS (SELECT doc_id, pos, ($h) % 100 < 15 AS msk FROM t),
+         s AS (SELECT doc_id,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS isl
+               FROM m WHERE msk),
+         sp AS (SELECT doc_id, count(*) AS n_masked,
+                  count(DISTINCT isl) AS n_spans
+                FROM s GROUP BY 1),
+         nt AS (SELECT doc_id, count(*) AS n_tok FROM m GROUP BY 1)
+         SELECT nt.doc_id, nt.n_tok,
+                coalesce(sp.n_masked, 0) AS n_masked,
+                coalesce(sp.n_spans, 0) AS n_spans,
+                coalesce(sp.n_masked, 0) * 100 // nt.n_tok AS mask_rate_pct,
+                CASE WHEN sp.n_spans > 0
+                     THEN sp.n_masked * 1000 // sp.n_spans ELSE 0 END
+                  AS span_len_milli
+         FROM nt LEFT JOIN sp ON nt.doc_id = sp.doc_id
+         ORDER BY nt.doc_id"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2584,6 +2584,42 @@ object CorpusQueries {
     recallGate(mp, bf, queries, k = 5, minMeanRecall = 0.3)
   }
 
+  /** Span-corruption statistics (X158): T5-style denoising prep —
+    * every token position draws a deterministic mask decision
+    * (md5(doc:pos) mod 100 < 15), consecutive masked positions
+    * coalesce into spans by gaps-and-islands (`pos − row_number` over
+    * masked positions — the X19 idiom on the token stream), and the
+    * per-doc report (mask rate, span count, mean span length) is
+    * exact-integer arithmetic, the sanity check a pretraining team
+    * runs BEFORE burning compute on a corruption config. One explode +
+    * one keyed window over masked positions only + one agg. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val masked = toks.withColumn("m",
+      pmod(TextFunctions.md5Hash56(
+        concat(col("doc_id").cast("string"), lit(":"), col("pos").cast("string"))),
+        lit(100L)) < 15)
+    val spans = masked.where(col("m"))
+      .withColumn("isl", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"),
+        count_distinct(col("isl")).as("n_spans"))
+    masked.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        expr("coalesce(n_masked, 0L) * 100 div n_tok").as("mask_rate_pct"),
+        when(col("n_spans") > 0,
+          expr("n_masked * 1000 div n_spans")).otherwise(lit(0L))
+          .as("span_len_milli"))
+      .orderBy("doc_id")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
