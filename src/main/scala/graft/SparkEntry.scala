@@ -193,6 +193,7 @@ object SparkEntry {
     "q168_vocab_growth"       -> (CorpusQueries.vocabGrowth(_, _)),
     "q169_ann_multiprobe"     -> (CorpusQueries.annMultiProbeTopK(_, _)),
     "q170_span_corruption"    -> (CorpusQueries.spanCorruption(_, _)),
+    "q171_trending_movers"    -> (CorpusQueries.trendingMovers(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2692,6 +2692,30 @@ object CorpusOracles {
          FROM nt LEFT JOIN sp ON nt.doc_id = sp.doc_id
          ORDER BY nt.doc_id"""
     },
+
+    // X159: trending movers — two X124 shift-fold scores (half-life 2
+    // vs 14), deterministic ranks, integer delta
+    "q171_trending_movers" -> {
+      def sc(hl: Int, out: String) =
+        s"""hb$out AS (SELECT k, (maxd - d) // $hl AS hl, sum(c)::BIGINT AS cnt
+              FROM pd, st GROUP BY 1, 2),
+            sc$out AS (SELECT k,
+                list_sum(list(cnt::DOUBLE / (1::BIGINT << hl)::DOUBLE
+                    ORDER BY hl) FILTER (WHERE hl <= 52)) AS s
+              FROM hb$out GROUP BY k),
+            r$out AS (SELECT k,
+                row_number() OVER (ORDER BY s DESC, k) AS r FROM sc$out)"""
+      s"""WITH pd AS (SELECT user_id AS k,
+                epoch_us(ts) // 86400000000 AS d, count(*) AS c
+              FROM events GROUP BY 1, 2),
+         st AS (SELECT max(d) AS maxd FROM pd),
+         ${sc(2, "f")},
+         ${sc(14, "s")}
+         SELECT rf.k AS user_id, rf.r AS rank_fast, rs.r AS rank_slow,
+                rs.r - rf.r AS rank_delta
+         FROM rf JOIN rs ON rf.k = rs.k
+         ORDER BY rank_delta DESC, user_id"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

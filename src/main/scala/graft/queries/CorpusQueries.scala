@@ -2620,6 +2620,29 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Trending movers (X159): rank keys by FAST-horizon decayed volume
+    * (half-life 2 days) against the SLOW-horizon rank (half-life 14) —
+    * a positive rank delta is a genuinely RISING key, which raw volume
+    * ranks can't see (the reference's chart workload asks exactly this
+    * of daily ranks; this is the decay-weighted generalization). Both
+    * scores come from the X124 engine-exact shift-fold, ranks are
+    * deterministic (score DESC, key) windows over the |keys|-bounded
+    * entity table (q117 pattern), delta is integer. */
+  def trendingMovers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+    def ranked(hl: Int, rankCol: String) =
+      Decay.decayedCounts(ev, "user_id", "ts", halfLifeDays = hl)
+        .withColumn(rankCol, row_number().over(
+          Window.orderBy(desc("decayed_count"), col("user_id"))).cast("long"))
+        .select(col("user_id"), col(rankCol))
+    ranked(2, "rank_fast")
+      .join(ranked(14, "rank_slow"), Seq("user_id"))
+      .select(col("user_id"), col("rank_fast"), col("rank_slow"),
+        (col("rank_slow") - col("rank_fast")).as("rank_delta"))
+      .orderBy(desc("rank_delta"), col("user_id"))
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
