@@ -194,6 +194,7 @@ object SparkEntry {
     "q169_ann_multiprobe"     -> (CorpusQueries.annMultiProbeTopK(_, _)),
     "q170_span_corruption"    -> (CorpusQueries.spanCorruption(_, _)),
     "q171_trending_movers"    -> (CorpusQueries.trendingMovers(_, _)),
+    "q172_vocab_ids"          -> (CorpusQueries.vocabStableIds(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2716,6 +2716,24 @@ object CorpusOracles {
          FROM rf JOIN rs ON rf.k = rs.k
          ORDER BY rank_delta DESC, user_id"""
     },
+
+    // X160: stable incremental vocab ids — existing keep dense-rank
+    // ids, new terms extend past max_id
+    "q172_vocab_ids" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         ex AS (SELECT DISTINCT term FROM t WHERE doc_id % 2 = 0),
+         exi AS (SELECT term, CAST(dense_rank() OVER (ORDER BY term)
+                   AS BIGINT) AS id FROM ex),
+         nw AS (SELECT DISTINCT term FROM t WHERE doc_id % 2 = 1),
+         nwo AS (SELECT term FROM nw WHERE term NOT IN (SELECT term FROM ex)),
+         nwi AS (SELECT term, CAST(dense_rank() OVER (ORDER BY term)
+                   AS BIGINT) AS rk FROM nwo),
+         mx AS (SELECT max(id) AS mx FROM exi)
+         SELECT term, id, FALSE AS is_new FROM exi
+         UNION ALL
+         SELECT term, mx + rk AS id, TRUE AS is_new FROM nwi, mx
+         ORDER BY id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

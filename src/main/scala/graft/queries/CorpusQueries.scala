@@ -2643,6 +2643,32 @@ object CorpusQueries {
       .orderBy(desc("rank_delta"), col("user_id"))
   }
 
+  /** Stable incremental vocabulary ids (X160): the catalog invariant
+    * every tokenizer/embedding-table update must keep — EXISTING terms
+    * never change id, new terms extend densely past max_id — simulated
+    * here as yesterday's vocab (tokens of even doc_ids, ids = dense
+    * rank by term) merged with today's batch (odd doc_ids). An id
+    * remap would silently corrupt every persisted embedding row keyed
+    * by it; the anti-join + offset-rank shape is the production
+    * append-only catalog update. Ranks run over the |vocab|-bounded
+    * term table (q117 pattern), never token occurrences. */
+  def vocabStableIds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val existing = toks.where(col("doc_id") % 2 === 0).select("term").distinct()
+      .withColumn("id", dense_rank().over(Window.orderBy("term")).cast("long"))
+    val batchNew = toks.where(col("doc_id") % 2 === 1).select("term").distinct()
+      .join(existing.select("term"), Seq("term"), "left_anti")
+      .withColumn("rk", dense_rank().over(Window.orderBy("term")).cast("long"))
+    val maxId = existing.agg(max("id").as("__mx"))
+    existing.select(col("term"), col("id"), lit(false).as("is_new"))
+      .unionByName(batchNew.crossJoin(broadcast(maxId))
+        .select(col("term"), (col("__mx") + col("rk")).as("id"),
+          lit(true).as("is_new")))
+      .orderBy("id")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
