@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, DoubleVecMinMaxAgg, KmvAgg, LongVecSumAgg, Md5Hash56, MinHashAgg, NGramShingles, QDigest, QDigestAgg, QDigestWeightedAgg, SimHashAgg, VectorAvgAgg}
+import graft.functions.{DotProduct, DoubleVecMinMaxAgg, KmvAgg, LongVecSumAgg, Md5Hash56, MinHashAgg, MisraGriesAgg, NGramShingles, QDigest, QDigestAgg, QDigestWeightedAgg, SimHashAgg, VectorAvgAgg}
 
 /** Session extension wiring: makes graft's native expressions available
   * from SQL text — the full corpus-pipeline kernel set, e.g.
@@ -89,5 +89,12 @@ object GraftExtensions {
     },
     fn("vec_minmax", classOf[DoubleVecMinMaxAgg]) { c =>
       DoubleVecMinMaxAgg(Cast(c(0), ArrayType(DoubleType)))
+    },
+    // misra_gries_agg(item, k): ≤k frequent-item candidates (superset
+    // of every item with count > n/k); see Sketches.heavyHitters for
+    // the exact-recount composition
+    fn("misra_gries_agg", classOf[MisraGriesAgg]) { c =>
+      MisraGriesAgg(Cast(c(0), org.apache.spark.sql.types.StringType),
+        intArg(c(1), "misra_gries_agg"))
     })
 }

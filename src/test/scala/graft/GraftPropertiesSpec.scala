@@ -189,6 +189,12 @@ class GraftPropertiesSpec extends AnyFunSuite {
       "SELECT vec_minmax(v) AS m FROM (SELECT array(1.0D, 5.0D) AS v UNION ALL SELECT array(3.0D, 2.0D))")
       .head().getSeq[Double](0)
     assert(mm == Seq(1.0, 2.0, 3.0, 5.0), s"minmax layout [mn..,mx..]: $mm")
+    // Misra–Gries: k=2 over a 2/3-heavy stream keeps the heavy item
+    val mg = spark.sql(
+      """SELECT misra_gries_agg(x, 2) AS cand FROM (
+           SELECT CASE WHEN h % 3 < 2 THEN 'heavy' ELSE concat('t', h) END AS x
+           FROM hs)""").head().getSeq[String](0)
+    assert(mg.contains("heavy") && mg.length <= 2, s"mg candidates: $mg")
   }
 
   test("KMV buffer property: k smallest distinct values on any layout") {
