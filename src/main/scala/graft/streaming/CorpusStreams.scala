@@ -200,4 +200,38 @@ object CorpusStreams {
         sink(Sketches.slidingFromDailySketches(
           spark.read.parquet(s"$stateDir/v=$id"), k, windowDays), id)
       }
+
+  /** Late-arriving dimension handling (X161): the classic streaming-ETL
+    * pattern a naive stream-dimension join silently corrupts — a fact
+    * whose dimension row hasn't landed yet must be PARKED, not dropped
+    * and not null-joined, and re-probed on every subsequent batch
+    * against the CURRENT dimension snapshot (dimensions are re-read per
+    * batch, so late dim arrivals resolve parked facts without any
+    * reprocessing of resolved history).
+    *
+    * State = the parked-facts table, versioned by batch id like every
+    * ingest here (re-delivery recomputes, never double-emits); its size
+    * is bounded by genuinely-unresolvable facts, not history. Each
+    * batch: one union of (park, new), one equi-join against the dim
+    * snapshot (broadcast when the dim is small), one anti-join for the
+    * new park. `sink` receives the batch's RESOLVED rows. */
+  def lateDimIngest(facts: DataFrame, dimPath: String, key: String,
+      stateDir: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    facts.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val dim = spark.read.parquet(dimPath)
+        val prevPath = s"$stateDir/v=${id - 1}"
+        val todo = (if (new java.io.File(prevPath).exists())
+            spark.read.parquet(prevPath).unionByName(batch)
+          else batch)
+        val resolved = todo.join(dim, Seq(key))
+        todo.join(dim.select(key), Seq(key), "left_anti")
+          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
+        sink(resolved, id)
+      }
 }

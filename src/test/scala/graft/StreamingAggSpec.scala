@@ -197,6 +197,42 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(got(1L) == expectAll)
   }
 
+  test("late-arriving dimension: parked facts resolve when the dim lands, nothing drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dimDir = java.nio.file.Files.createTempDirectory("latedim-dim").toString
+    val state = java.nio.file.Files.createTempDirectory("latedim-park").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("latedim-ck").toString
+    // dim v1: only key a
+    Seq(("a", "Alpha")).toDF("k", "dim_name")
+      .write.mode("overwrite").parquet(dimDir)
+    val in = MemoryStream[(String, Long)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(String, Long, String)]]
+    def run(): Unit = {
+      val q = graft.streaming.CorpusStreams.lateDimIngest(
+        in.toDF().toDF("k", "amount"), dimDir, "k", state) { (res, id) =>
+        got(id) = res.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getString(2))).toSet
+      }.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    in.addData(("a", 1L), ("b", 2L)); run()
+    assert(got(0L) == Set(("a", 1L, "Alpha")), s"got ${got(0L)}")
+    // the b fact is parked, not dropped or null-joined
+    val park0 = spark.read.parquet(s"$state/v=0")
+      .collect().map(_.getString(0)).toSet
+    assert(park0 == Set("b"))
+    // dim catches up; next batch brings a new unresolved key c
+    Seq(("a", "Alpha"), ("b", "Beta")).toDF("k", "dim_name")
+      .write.mode("overwrite").parquet(dimDir)
+    in.addData(("c", 3L)); run()
+    assert(got(1L) == Set(("b", 2L, "Beta")),
+      "the parked fact must resolve against the late dimension")
+    val park1 = spark.read.parquet(s"$state/v=1")
+      .collect().map(_.getString(0)).toSet
+    assert(park1 == Set("c"))
+  }
+
   test("watermarked sliding-window counts finalize once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
