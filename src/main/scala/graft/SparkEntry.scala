@@ -195,6 +195,7 @@ object SparkEntry {
     "q170_span_corruption"    -> (CorpusQueries.spanCorruption(_, _)),
     "q171_trending_movers"    -> (CorpusQueries.trendingMovers(_, _)),
     "q172_vocab_ids"          -> (CorpusQueries.vocabStableIds(_, _)),
+    "q173_sample_aqp"         -> (CorpusQueries.sampleAqp(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

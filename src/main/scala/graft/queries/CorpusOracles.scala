@@ -2734,6 +2734,25 @@ object CorpusOracles {
          UNION ALL
          SELECT term, mx + rk AS id, TRUE AS is_new FROM nwi, mx
          ORDER BY id""",
+
+    // X162: hash-sampled AQP audit — deterministic 1% sample, exact
+    // integer sums both paths, one double division for the verdict
+    "q173_sample_aqp" -> {
+      val h = md5h56("(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR)")
+      s"""WITH li AS (SELECT l_returnflag AS flag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                ($h) % 100 AS h
+              FROM lineitem),
+         ex AS (SELECT flag, CAST(sum(cents) AS BIGINT) AS exact_cents,
+                  count(*) AS n FROM li GROUP BY 1),
+         sp AS (SELECT flag, CAST(sum(cents) AS BIGINT) AS samp_cents,
+                  count(*) AS n_samp FROM li WHERE h = 0 GROUP BY 1)
+         SELECT ex.flag, ex.n, sp.n_samp, ex.exact_cents,
+                sp.samp_cents * 100 AS est_cents,
+                abs(CAST(sp.samp_cents * 100 - ex.exact_cents AS DOUBLE)) /
+                  CAST(ex.exact_cents AS DOUBLE) <= 0.15 AS est_ok
+         FROM ex JOIN sp ON ex.flag = sp.flag ORDER BY ex.flag"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2675,6 +2675,38 @@ object CorpusQueries {
       .orderBy("id")
   }
 
+  /** Hash-sampled AQP audit (X162): the approximate-query-processing
+    * contract — a DETERMINISTIC 1% hash sample (md5(orderkey:line) mod
+    * 100, the q56 discipline: reproducible, co-sampled across queries,
+    * no RNG) extrapolates the revenue sum per flag, and the audit
+    * emits the exact total next to the estimate with a relative-error
+    * verdict. Exact cents-integer sums on BOTH paths, one double
+    * division for the ratio — the estimate itself hash-matches, which
+    * a random-sample AQP can never do. At 100 TB the sample scan is
+    * the 1% the predicate pushes down to; the exact side exists here
+    * as the audit and would be the occasional calibration pass in
+    * production. */
+  def sampleAqp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        pmod(TextFunctions.md5Hash56(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))), lit(100L)).as("__h"))
+    val exact = li.groupBy("flag")
+      .agg(sum("cents").as("exact_cents"), count(lit(1)).as("n"))
+    val samp = li.where(col("__h") === 0L).groupBy("flag")
+      .agg(sum("cents").as("samp_cents"), count(lit(1)).as("n_samp"))
+    exact.join(samp, Seq("flag"))
+      .select(col("flag"), col("n"), col("n_samp"),
+        col("exact_cents"),
+        (col("samp_cents") * lit(100L)).as("est_cents"),
+        (abs((col("samp_cents") * lit(100L) - col("exact_cents"))
+          .cast("double")) / col("exact_cents").cast("double") <= lit(0.15))
+          .as("est_ok"))
+      .orderBy("flag")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */

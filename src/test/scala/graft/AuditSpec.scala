@@ -39,6 +39,17 @@ class AuditSpec extends AnyFunSuite {
       "small QI classes must exist at sf0.001 for the audit to bite")
   }
 
+  test("AQP sample: ~1% rate, deterministic across runs") {
+    val a = CorpusQueries.sampleAqp(spark, sf).collect()
+    a.foreach { r =>
+      val (n, ns) = (r.getAs[Long]("n"), r.getAs[Long]("n_samp"))
+      assert(ns > 0 && math.abs(ns.toDouble / n - 0.01) < 0.01,
+        s"sample rate off: $ns of $n")
+    }
+    val b = CorpusQueries.sampleAqp(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("data contract: testdata is clean, every rule green") {
     val rows = CorpusQueries.dataContract(spark, sf).collect()
     assert(rows.length == 5)
