@@ -196,6 +196,7 @@ object SparkEntry {
     "q171_trending_movers"    -> (CorpusQueries.trendingMovers(_, _)),
     "q172_vocab_ids"          -> (CorpusQueries.vocabStableIds(_, _)),
     "q173_sample_aqp"         -> (CorpusQueries.sampleAqp(_, _)),
+    "q174_als_step"           -> (CorpusQueries.alsHalfStep(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

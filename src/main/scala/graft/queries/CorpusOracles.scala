@@ -2753,6 +2753,34 @@ object CorpusOracles {
                   CAST(ex.exact_cents AS DOUBLE) <= 0.15 AS est_ok
          FROM ex JOIN sp ON ex.flag = sp.flag ORDER BY ex.flag"""
     },
+
+    // X163: ALS half-step — ordered list_sum folds mirror Spark's
+    // sorted aggregate folds; all constants binary-exact (powers of 2)
+    "q174_als_step" -> {
+      val h = md5h56("item")
+      s"""WITH r AS (SELECT user_id, event_type AS item,
+                count(*)::DOUBLE AS v
+              FROM events GROUP BY 1, 2),
+         x AS (SELECT user_id, item, v,
+                 ((($h) % 7) + 1)::DOUBLE / 8.0::DOUBLE AS x1,
+                 ((($h) % 11) + 1)::DOUBLE / 16.0::DOUBLE AS x2
+               FROM r),
+         eq AS (SELECT user_id,
+                 list_sum(list(x1 * x1 ORDER BY item)) AS s11,
+                 list_sum(list(x1 * x2 ORDER BY item)) AS s12,
+                 list_sum(list(x2 * x2 ORDER BY item)) AS s22,
+                 list_sum(list(v * x1 ORDER BY item)) AS b1,
+                 list_sum(list(v * x2 ORDER BY item)) AS b2
+               FROM x GROUP BY 1)
+         SELECT user_id,
+                ((s22 + 0.125::DOUBLE) * b1 - s12 * b2) /
+                  ((s11 + 0.125::DOUBLE) * (s22 + 0.125::DOUBLE) - s12 * s12)
+                  AS f1,
+                ((s11 + 0.125::DOUBLE) * b2 - s12 * b1) /
+                  ((s11 + 0.125::DOUBLE) * (s22 + 0.125::DOUBLE) - s12 * s12)
+                  AS f2
+         FROM eq ORDER BY user_id"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2707,6 +2707,44 @@ object CorpusQueries {
       .orderBy("flag")
   }
 
+  /** ALS half-step (X163): one exact alternating-least-squares update —
+    * per-user k=2 factors solved in CLOSED FORM against fixed item
+    * factors (ridge normal equations, 2×2 inverse by cofactors) over
+    * the user×event_type implicit-count ratings. The recommender-
+    * training face of the engine-exact-training family (X111 k-means,
+    * X120 power iteration): every float enters a SORTED sequential
+    * fold (the q84 discipline — DuckDB's ordered list_sum replays the
+    * identical IEEE sequence), item factors derive from md5 integers
+    * over power-of-two divisors and λ = 0.125 is binary-exact, so the
+    * trained factors hash-match bit-for-bit. Shape: one (user, item)
+    * count agg, one ≤|items|-element fold per user — the per-round
+    * cost of distributed ALS, no driver state beyond none. */
+  def alsHalfStep(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type").as("item"))
+      .agg(count(lit(1)).cast("double").as("v"))
+    val h = TextFunctions.md5Hash56(col("item"))
+    val withX = ratings
+      .withColumn("x1", (pmod(h, lit(7L)) + 1).cast("double") / lit(8.0))
+      .withColumn("x2", (pmod(h, lit(11L)) + 1).cast("double") / lit(16.0))
+    def fold(term: org.apache.spark.sql.Column, name: String) =
+      aggregate(array_sort(collect_list(struct(col("item"), term.as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as(name)
+    val eq = withX.groupBy("user_id").agg(
+      fold(col("x1") * col("x1"), "s11"),
+      fold(col("x1") * col("x2"), "s12"),
+      fold(col("x2") * col("x2"), "s22"),
+      fold(col("v") * col("x1"), "b1"),
+      fold(col("v") * col("x2"), "b2"))
+    val a11 = col("s11") + lit(0.125)
+    val a22 = col("s22") + lit(0.125)
+    val det = a11 * a22 - col("s12") * col("s12")
+    eq.select(col("user_id"),
+        ((a22 * col("b1") - col("s12") * col("b2")) / det).as("f1"),
+        ((a11 * col("b2") - col("s12") * col("b1")) / det).as("f2"))
+      .orderBy("user_id")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
