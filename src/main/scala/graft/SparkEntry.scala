@@ -197,6 +197,7 @@ object SparkEntry {
     "q172_vocab_ids"          -> (CorpusQueries.vocabStableIds(_, _)),
     "q173_sample_aqp"         -> (CorpusQueries.sampleAqp(_, _)),
     "q174_als_step"           -> (CorpusQueries.alsHalfStep(_, _)),
+    "q175_attribution"        -> (CorpusQueries.attribution(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2781,6 +2781,31 @@ object CorpusOracles {
                   AS f2
          FROM eq ORDER BY user_id"""
     },
+
+    // X164: first/last-touch attribution — conditional IGNORE-NULLS
+    // window edges in (ts, event_id) order, 'direct' fallback
+    "q175_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type,
+                 coalesce(first_value(CASE WHEN event_type <> 'purchase'
+                     THEN event_type END IGNORE NULLS) OVER w, 'direct')
+                   AS first_touch,
+                 coalesce(last_value(CASE WHEN event_type <> 'purchase'
+                     THEN event_type END IGNORE NULLS) OVER w, 'direct')
+                   AS last_touch
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         c AS (SELECT first_touch, last_touch FROM t
+               WHERE event_type = 'purchase'),
+         f AS (SELECT first_touch AS touch, count(*) AS n_first_touch
+               FROM c GROUP BY 1),
+         l AS (SELECT last_touch AS touch, count(*) AS n_last_touch
+               FROM c GROUP BY 1)
+         SELECT coalesce(f.touch, l.touch) AS touch,
+                coalesce(n_first_touch, 0) AS n_first_touch,
+                coalesce(n_last_touch, 0) AS n_last_touch
+         FROM f FULL OUTER JOIN l ON f.touch = l.touch
+         ORDER BY touch""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2745,6 +2745,36 @@ object CorpusQueries {
       .orderBy("user_id")
   }
 
+  /** Conversion attribution (X164): every purchase credits the user's
+    * FIRST-touch and LAST-touch prior non-purchase event — the two
+    * canonical attribution models, disagreeing exactly when journeys
+    * are long (which is the point of reporting both). One keyed window
+    * pass (conditional IGNORE-NULLS edges over (ts, event_id) order —
+    * the X139 device), purchases with no prior touch credit 'direct';
+    * the credit rollup is two tiny aggs full-outer-joined on the
+    * |types|-bounded touch table. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val conv = Tables.load(spark, dir, "events")
+      .withColumn("first_touch",
+        coalesce(first(touch, ignoreNulls = true).over(w), lit("direct")))
+      .withColumn("last_touch",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct")))
+      .where(col("event_type") === "purchase")
+    val f = conv.groupBy(col("first_touch").as("touch"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    val l = conv.groupBy(col("last_touch").as("touch"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    f.join(l, Seq("touch"), "full_outer")
+      .select(col("touch"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
+      .orderBy("touch")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
