@@ -198,6 +198,7 @@ object SparkEntry {
     "q173_sample_aqp"         -> (CorpusQueries.sampleAqp(_, _)),
     "q174_als_step"           -> (CorpusQueries.alsHalfStep(_, _)),
     "q175_attribution"        -> (CorpusQueries.attribution(_, _)),
+    "q176_als_alternation"    -> (CorpusQueries.alsAlternation(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

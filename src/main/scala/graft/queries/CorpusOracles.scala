@@ -2806,6 +2806,51 @@ object CorpusOracles {
                 coalesce(n_last_touch, 0) AS n_last_touch
          FROM f FULL OUTER JOIN l ON f.touch = l.touch
          ORDER BY touch""",
+
+    // X165: ALS alternation — user factors (the q174 CTE chain), then
+    // the symmetric item-side solve with folds ordered by user
+    "q176_als_alternation" -> {
+      val h = md5h56("item")
+      s"""WITH r AS (SELECT user_id, event_type AS item,
+                count(*)::DOUBLE AS v
+              FROM events GROUP BY 1, 2),
+         x AS (SELECT user_id, item, v,
+                 ((($h) % 7) + 1)::DOUBLE / 8.0::DOUBLE AS x1,
+                 ((($h) % 11) + 1)::DOUBLE / 16.0::DOUBLE AS x2
+               FROM r),
+         eq AS (SELECT user_id,
+                 list_sum(list(x1 * x1 ORDER BY item)) AS s11,
+                 list_sum(list(x1 * x2 ORDER BY item)) AS s12,
+                 list_sum(list(x2 * x2 ORDER BY item)) AS s22,
+                 list_sum(list(v * x1 ORDER BY item)) AS b1,
+                 list_sum(list(v * x2 ORDER BY item)) AS b2
+               FROM x GROUP BY 1),
+         uf AS (SELECT user_id,
+                 ((s22 + 0.125::DOUBLE) * b1 - s12 * b2) /
+                   ((s11 + 0.125::DOUBLE) * (s22 + 0.125::DOUBLE) - s12 * s12)
+                   AS f1,
+                 ((s11 + 0.125::DOUBLE) * b2 - s12 * b1) /
+                   ((s11 + 0.125::DOUBLE) * (s22 + 0.125::DOUBLE) - s12 * s12)
+                   AS f2
+               FROM eq),
+         j AS (SELECT r.item, r.user_id, r.v, uf.f1, uf.f2
+               FROM r JOIN uf ON r.user_id = uf.user_id),
+         ie AS (SELECT item,
+                 list_sum(list(f1 * f1 ORDER BY user_id)) AS s11,
+                 list_sum(list(f1 * f2 ORDER BY user_id)) AS s12,
+                 list_sum(list(f2 * f2 ORDER BY user_id)) AS s22,
+                 list_sum(list(v * f1 ORDER BY user_id)) AS b1,
+                 list_sum(list(v * f2 ORDER BY user_id)) AS b2
+               FROM j GROUP BY 1)
+         SELECT item,
+                ((s22 + 0.125::DOUBLE) * b1 - s12 * b2) /
+                  ((s11 + 0.125::DOUBLE) * (s22 + 0.125::DOUBLE) - s12 * s12)
+                  AS g1,
+                ((s11 + 0.125::DOUBLE) * b2 - s12 * b1) /
+                  ((s11 + 0.125::DOUBLE) * (s22 + 0.125::DOUBLE) - s12 * s12)
+                  AS g2
+         FROM ie ORDER BY item"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2775,6 +2775,39 @@ object CorpusQueries {
       .orderBy("touch")
   }
 
+  /** ALS full alternation (X165): the ITEM-side solve on top of X163's
+    * user step — per item, k=2 ridge factors in the same closed form
+    * with roles swapped (A = Σ_u f fᵀ + λI, b = Σ v·f, folds sorted by
+    * user) — one complete ALS round whose monotone-objective guarantee
+    * the spec asserts numerically. Same determinism regime as X163, so
+    * the ROUND-TRIPPED item factors hash-match; shape: the X163 agg,
+    * a broadcast of the |users|-row factor table back onto the rating
+    * stream, one ≤|users| fold per item. */
+  def alsAlternation(spark: SparkSession, dir: String): DataFrame = {
+    val userF = alsHalfStep(spark, dir) // (user_id, f1, f2)
+    val ratings = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type").as("item"))
+      .agg(count(lit(1)).cast("double").as("v"))
+      .join(broadcast(userF), Seq("user_id"))
+    def fold(term: org.apache.spark.sql.Column, name: String) =
+      aggregate(
+        array_sort(collect_list(struct(col("user_id"), term.as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as(name)
+    val eq = ratings.groupBy("item").agg(
+      fold(col("f1") * col("f1"), "s11"),
+      fold(col("f1") * col("f2"), "s12"),
+      fold(col("f2") * col("f2"), "s22"),
+      fold(col("v") * col("f1"), "b1"),
+      fold(col("v") * col("f2"), "b2"))
+    val a11 = col("s11") + lit(0.125)
+    val a22 = col("s22") + lit(0.125)
+    val det = a11 * a22 - col("s12") * col("s12")
+    eq.select(col("item"),
+        ((a22 * col("b1") - col("s12") * col("b2")) / det).as("g1"),
+        ((a11 * col("b2") - col("s12") * col("b1")) / det).as("g2"))
+      .orderBy("item")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */

@@ -43,4 +43,34 @@ class AlsSpec extends AnyFunSuite {
         s"user $u: A·f != b (row 2)")
     }
   }
+
+  test("alternation: the item step can only lower the ridge objective") {
+    val sf = "/root/testdata/sf0.001"
+    val lambda = 0.125
+    val userF = CorpusQueries.alsHalfStep(spark, sf).collect()
+      .map(r => r.getLong(0) -> Array(r.getDouble(1), r.getDouble(2))).toMap
+    val itemG = CorpusQueries.alsAlternation(spark, sf).collect()
+      .map(r => r.getString(0) -> Array(r.getDouble(1), r.getDouble(2))).toMap
+    val ratings = Tables.load(spark, sf, "events")
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toDouble))
+    def x0(item: String) = Array(
+      ((h56(item) % 7) + 1).toDouble / 8.0,
+      ((h56(item) % 11) + 1).toDouble / 16.0)
+    def obj(items: String => Array[Double]) = {
+      val sq = ratings.map { case (u, i, v) =>
+        val p = userF(u).zip(items(i)).map { case (a, b) => a * b }.sum
+        (v - p) * (v - p)
+      }.sum
+      val regU = userF.values.map(f => f.map(x => x * x).sum).sum
+      val regI = ratings.map(_._2).distinct
+        .map(i => items(i).map(x => x * x).sum).sum
+      sq + lambda * (regU + regI)
+    }
+    val before = obj(x0)
+    val after = obj(itemG)
+    assert(after <= before + 1e-9,
+      s"item step must not increase the objective: $before -> $after")
+    assert(after < before, "fixture should show a strict improvement")
+  }
 }
