@@ -199,6 +199,7 @@ object SparkEntry {
     "q174_als_step"           -> (CorpusQueries.alsHalfStep(_, _)),
     "q175_attribution"        -> (CorpusQueries.attribution(_, _)),
     "q176_als_alternation"    -> (CorpusQueries.alsAlternation(_, _)),
+    "q177_rolling_range"      -> (CorpusQueries.rollingRange(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

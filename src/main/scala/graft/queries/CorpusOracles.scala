@@ -2851,6 +2851,21 @@ object CorpusOracles {
                   AS g2
          FROM ie ORDER BY item"""
     },
+
+    // X166: RANGE-frame rolling hour — integer-seconds order column,
+    // [−3600, −1] strict-trailing bound, exact long frame arithmetic
+    "q177_rolling_range" ->
+      """WITH e AS (SELECT user_id, event_id,
+                epoch_us(ts) // 1000000 AS sec,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+         SELECT user_id, event_id,
+                count(*) OVER w AS n_prior_1h,
+                coalesce(CAST(sum(cents) OVER w AS BIGINT), 0) AS cents_prior_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+         ORDER BY user_id, event_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

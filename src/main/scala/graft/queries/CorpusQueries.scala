@@ -2808,6 +2808,31 @@ object CorpusQueries {
       .orderBy("item")
   }
 
+  /** Event-time rolling aggregate via a RANGE frame (X166): at every
+    * event, the same user's count and exact cents-sum over the STRICT
+    * trailing hour — the per-event rate-limit/velocity feature a
+    * fraud/abuse scorer reads. RANGE (value-based) frames are the one
+    * window mode the suite hadn't exercised: unlike ROWS, the frame is
+    * defined on the ORDER value (seconds), so gap-free semantics hold
+    * regardless of event density, and peer rows (same second) share a
+    * frame — the [−3600, −1] bound excludes the current second
+    * entirely, documented. Exact long arithmetic inside the frame
+    * (count + cents), one keyed window pass, state = one user's
+    * in-frame events. */
+  def rollingRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_micros(ts) div 1000000").as("__sec"),
+        round(col("value") * 100).cast("long").as("__cents"))
+    val w = Window.partitionBy("user_id").orderBy("__sec")
+      .rangeBetween(-3600L, -1L)
+    ev.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_prior_1h"),
+        coalesce(sum("__cents").over(w), lit(0L)).as("cents_prior_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
