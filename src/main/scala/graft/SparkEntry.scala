@@ -200,6 +200,7 @@ object SparkEntry {
     "q175_attribution"        -> (CorpusQueries.attribution(_, _)),
     "q176_als_alternation"    -> (CorpusQueries.alsAlternation(_, _)),
     "q177_rolling_range"      -> (CorpusQueries.rollingRange(_, _)),
+    "q178_nest_export"        -> (CorpusQueries.nestExport(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

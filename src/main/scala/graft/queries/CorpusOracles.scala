@@ -2866,6 +2866,24 @@ object CorpusOracles {
          WINDOW w AS (PARTITION BY user_id ORDER BY sec
                       RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
          ORDER BY user_id, event_id""",
+
+    // X167: nested-record export — canonical ln:qty:cents|... encoding
+    // in line-number order
+    "q178_nest_export" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber,
+                CAST(round(l_quantity) AS BIGINT) AS qty,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem),
+         n AS (SELECT l_orderkey, count(*) AS n_lines,
+                 string_agg(concat(l_linenumber::VARCHAR, ':',
+                     qty::VARCHAR, ':', cents::VARCHAR),
+                   '|' ORDER BY l_linenumber, qty, cents) AS lines_doc,
+                 CAST(sum(cents) AS BIGINT) AS total_cents
+               FROM l GROUP BY 1)
+         SELECT o.o_orderkey, o.o_custkey, n.n_lines, n.total_cents,
+                n.lines_doc
+         FROM orders o JOIN n ON o.o_orderkey = n.l_orderkey
+         ORDER BY o.o_orderkey""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

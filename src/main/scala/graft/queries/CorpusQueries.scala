@@ -2833,6 +2833,39 @@ object CorpusQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Nested-record export assembly (X167): rebuild each order as ONE
+    * denormalized record with its lines nested in position order — the
+    * document-store / training-example export shape (a JSONL writer is
+    * this plus a serializer). The nested payload is emitted in a
+    * CANONICAL string encoding (sorted struct array → fixed-format
+    * join) so the assembly itself — order, completeness, field layout —
+    * hash-gates across engines, which raw JSON (engine-specific
+    * spacing/key order) cannot. Shape: ONE groupBy(orderkey) with
+    * collect_list bounded by order size; the dimension join broadcasts;
+    * no window. */
+  def nestExport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .as("line"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val nested = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(
+          transform(array_sort(collect_list(col("line"))),
+            l => concat_ws(":", l.getField("l_linenumber"),
+              l.getField("qty"), l.getField("cents"))),
+          "|").as("lines_doc"),
+        sum(col("line.cents")).as("total_cents"))
+    o.join(nested, o("o_orderkey") === nested("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_lines"),
+        col("total_cents"), col("lines_doc"))
+      .orderBy("o_orderkey")
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
