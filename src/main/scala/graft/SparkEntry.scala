@@ -201,6 +201,7 @@ object SparkEntry {
     "q176_als_alternation"    -> (CorpusQueries.alsAlternation(_, _)),
     "q177_rolling_range"      -> (CorpusQueries.rollingRange(_, _)),
     "q178_nest_export"        -> (CorpusQueries.nestExport(_, _)),
+    "q179_topk_other"         -> (CorpusQueries.topkOther(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2884,6 +2884,18 @@ object CorpusOracles {
                 n.lines_doc
          FROM orders o JOIN n ON o.o_orderkey = n.l_orderkey
          ORDER BY o.o_orderkey""",
+
+    // X168: top-5 + '(other)' rollup — exact heads, tail collapsed
+    "q179_topk_other" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+         cnt AS (SELECT token, count(*) AS n FROM c GROUP BY 1),
+         top AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 5)
+         SELECT token, n, FALSE AS is_other FROM top
+         UNION ALL
+         SELECT '(other)', CAST(sum(n) AS BIGINT), TRUE FROM cnt
+         WHERE token NOT IN (SELECT token FROM top)
+         ORDER BY n DESC, token""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -2866,6 +2866,27 @@ object CorpusQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Top-k + OTHER rollup (X168): the reporting contract every
+    * dashboard needs — the k heaviest keys EXACTLY, the unbounded tail
+    * collapsed into one '(other)' row so the result is fixed-size at
+    * any cardinality. Two-pass shape: one map-side-combinable count,
+    * a k-row TakeOrdered for the keeper set (broadcast), then the tail
+    * folds through a left-anti + single agg — the full key space never
+    * sorts and never concentrates. (X129's Misra–Gries replaces pass
+    * one when even the count agg's key space is too wide.) */
+  def topkOther(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = spread(Tables.load(spark, dir, "documents"))
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val top = cnt.orderBy(desc("n"), col("token")).limit(5)
+    val other = cnt.join(broadcast(top.select("token")), Seq("token"), "left_anti")
+      .agg(sum("n").as("n"))
+      .select(lit("(other)").as("token"), col("n"), lit(true).as("is_other"))
+    top.withColumn("is_other", lit(false))
+      .unionByName(other)
+      .orderBy(desc("n"), col("token"))
+  }
+
   /** Sketch-based join preflight (X126): KMV cardinality/containment
     * estimates for orders⋈customer on custkey — see
     * [[graft.operators.Sketches.joinPreflight]]. */
