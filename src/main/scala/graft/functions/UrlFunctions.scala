@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
 object UrlFunctions {
 
   /** Registered host of a URL: lowercased authority, `www.` and an
-    * explicit `:443` stripped. */
+    * explicit default port (`:443` or `:80`) stripped — both alias
+    * forms of the same resource unify to one dedup key. */
   def urlHost(url: Column): Column =
     regexp_replace(
       regexp_replace(
         lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)),
         "^www\\.", ""),
-      ":443$", "")
+      ":(443|80)$", "")
 
   /** Canonical form: https scheme, [[urlHost]] authority, path with a
     * trailing `/index.html` collapsed to `/` (empty path → `/`), query

@@ -47,7 +47,7 @@ object CoVisit {
       .select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n_i"))
     val nSessions = sets.select(count(lit(1)).as("n_sessions"))
-    pairCounts
+    val out = pairCounts
       .join(broadcast(itemCounts.select(col("item").as("item_a"),
         col("n_i").as("n_a"))), Seq("item_a"))
       .join(broadcast(itemCounts.select(col("item").as("item_b"),
@@ -57,5 +57,12 @@ object CoVisit {
         col("n_a"), col("n_b"), col("n_sessions"),
         ((col("n_ab") * col("n_sessions")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      // materialize while `sets` is cached, then release the cache —
+      // pairs() owns its persist lifetime (no leaked blocks across
+      // repeated invocations); the checkpointed blocks are reclaimed by
+      // the ContextCleaner once the returned frame is unreferenced
+      .localCheckpoint(true)
+    sets.unpersist()
+    out
   }
 }

@@ -93,6 +93,9 @@ object KMeansExact {
     * Shape: one broadcast k×dim scan over the corpus, a per-vector
     * 8-struct sorted fold (bounded by k, no window), one hash agg. */
   def silhouette(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    // simplified silhouette is undefined without a runner-up centroid;
+    // k=1 would make element_at(t2, 2) null and silently null every row
+    require(k >= 2, s"silhouette requires k >= 2, got $k")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = trainCentroids(corpus, k, iters)

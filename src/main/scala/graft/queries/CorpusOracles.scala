@@ -2148,7 +2148,7 @@ object CorpusOracles {
          h AS (SELECT doc_id, url,
              regexp_replace(regexp_replace(
                lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
-               '^www\.', ''), ':443$', '') AS host,
+               '^www\.', ''), ':(443|80)$', '') AS host,
              regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
              regexp_extract(url, '\?([^#]*)', 1) AS q0
            FROM u),

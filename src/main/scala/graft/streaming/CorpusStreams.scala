@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
@@ -16,6 +17,15 @@ import graft.operators.{Anomaly, Decay, NearDup, Sketches}
   * index as of its arrival. This is the standard Structured Streaming
   * composition pattern for reusing a batch operator (same shape as
   * StreamingLoader.loadSongs).
+  *
+  * Every STATEFUL ingest here shares one protocol, factored into
+  * [[VersionedState]]: state version `v=N` is recomputed from `v=N−1`
+  * plus batch N, so a re-delivered batch recomputes the same version
+  * instead of double-counting — idempotence by versioning, not by the
+  * sink. Each ingest's per-batch logic is exposed as a
+  * `*Step(batch, id)` function so the re-delivery matrix is testable
+  * WITHOUT a streaming harness (StreamingAggSpec runs each step twice
+  * with the same id and asserts identical state).
   */
 object CorpusStreams {
 
@@ -40,166 +50,182 @@ object CorpusStreams {
           batch, index, idCol, textCol, n, threshold), id)
       }
 
+  /** Per-batch step of [[decayedIngest]]: merge the batch's (key, day)
+    * counts into versioned state — bounded by keys × active days
+    * regardless of event volume, no history rescan (the X80-style
+    * maintenance shape) — and derive the decayed scores through the
+    * IDENTICAL fold the batch operator runs (parity by shared code). */
+  private[graft] def decayedStep(batch: DataFrame, key: String,
+      tsCol: String, halfLifeDays: Int, stateDir: String,
+      id: Long): DataFrame = {
+    val state = VersionedState.mergeCounts(
+      Decay.dayCounts(batch, key, tsCol), Seq("__k", "__d"), "__c",
+      stateDir, id)
+    Decay.decayedFromDayCounts(state, key, halfLifeDays)
+  }
+
   /** Incrementally-maintained half-life-decayed counts (X127, the
-    * streaming face of [[graft.operators.Decay]]): each micro-batch
-    * reduces to its (key, day) counts and MERGES into a state table
-    * that is bounded by keys × active days regardless of event volume —
-    * no history rescan, the X80-style maintenance shape. State is
-    * versioned BY BATCH ID (`state_dir/v=<batchId>` reads v=batchId−1),
-    * so a re-delivered batch recomputes the same version from the same
-    * predecessor instead of double-counting — idempotence under
-    * exactly-once replay comes from the versioning, not from the sink.
-    * `sink` receives the decayed scores derived from the merged state
-    * (the identical fold the batch operator runs — parity is by shared
-    * code, and spec-asserted across arbitrary batch boundaries). */
+    * streaming face of [[graft.operators.Decay]]). State protocol and
+    * idempotence: see [[VersionedState]]. */
   def decayedIngest(events: DataFrame, key: String, tsCol: String,
       halfLifeDays: Int, stateDir: String)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    events.writeStream
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val newCounts = Decay.dayCounts(batch, key, tsCol)
-        val prevPath = s"$stateDir/v=${id - 1}"
-        val merged = (if (new java.io.File(prevPath).exists())
-            spark.read.parquet(prevPath).unionByName(newCounts)
-          else newCounts)
-          .groupBy("__k", "__d")
-          .agg(org.apache.spark.sql.functions.sum("__c").as("__c"))
-        merged.write.mode("overwrite").parquet(s"$stateDir/v=$id")
-        sink(Decay.decayedFromDayCounts(
-          spark.read.parquet(s"$stateDir/v=$id"), key, halfLifeDays), id)
-      }
+    VersionedState.ingest(events) { (batch, id) =>
+      sink(decayedStep(batch, key, tsCol, halfLifeDays, stateDir, id), id)
+    }
+
+  /** Per-batch step of [[heavyHitterIngest]]: fold the batch through
+    * the Misra–Gries aggregate, merge counter-wise with state `v=id−1`,
+    * apply the PODS'12 reduction (subtract the (k+1)-largest, drop ≤0)
+    * and commit `v=id`. The running total `n` lives in its OWN state
+    * table (`stateDir/n`) rather than a sentinel row inside the item
+    * domain — a real empty-string item is a legitimate key and flows
+    * through like any other (the n/k superset guarantee holds for it
+    * too). The (k+1)-largest cut is one ≤(k+1)-row TakeOrdered to the
+    * driver — control-plane, the BPE-scalar pattern. */
+  private[graft] def heavyHitterStep(batch: DataFrame, itemCol: String,
+      k: Int, stateDir: String, id: Long): DataFrame = {
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    val spark = batch.sparkSession
+    val summary = batch
+      .select(col(itemCol).cast("string").as("item"))
+      .agg(exprColumn(graft.functions.MisraGriesAgg(
+          columnExpr(col("item")), k, emitCounts = true)
+        .toAggregateExpression()).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+      .where(col("cnt") > 0)
+    val mgDir = s"$stateDir/mg"
+    // the reduction needs the merged totals BEFORE the cut, so this
+    // step uses read+commit directly (one write per version) rather
+    // than VersionedState.merge — committing the pre-cut totals would
+    // make the reduced write read-and-overwrite its own input
+    val summed = (VersionedState.read(spark, mgDir, id - 1) match {
+        case Some(prev) => prev.select("item", "cnt").unionByName(summary)
+        case None => summary
+      })
+      .groupBy("item").agg(sum("cnt").as("cnt"))
+    val top = summed.orderBy(desc("cnt"), col("item")).limit(k + 1)
+      .collect()
+    val reduced =
+      if (top.length > k) {
+        val cut = top(k).getAs[Long]("cnt")
+        summed.select(col("item"), (col("cnt") - lit(cut)).as("cnt"))
+          .where(col("cnt") > 0)
+      } else summed
+    val state = VersionedState.commit(reduced, mgDir, id)
+    val nDir = s"$stateDir/n"
+    val nPrev = VersionedState.read(spark, nDir, id - 1)
+      .map(_.head.getLong(0)).getOrElse(0L)
+    val n = nPrev + batch.count()
+    VersionedState.commit(
+      spark.range(1).select(lit(n).as("n")), nDir, id)
+    state.select(col("item"), col("cnt").as("cnt_lower"),
+      lit(n).as("n_total"))
+  }
 
   /** Streaming heavy hitters (X135, the streaming face of
     * [[graft.operators.Sketches.heavyHitters]]): state is a
-    * Misra–Gries summary — ≤k (item, counter) rows + the running total
-    * — merged per micro-batch with the SAME PODS'12 reduction the batch
-    * aggregate applies (counter-wise sum, subtract the (k+1)-largest,
-    * drop ≤0), so state stays O(k) forever regardless of stream volume
-    * and vocabulary. The guarantee survives composition: after ANY
-    * batch boundaries, every item with total count > n/k is in the
-    * state, and each counter undercounts by at most n/k — `sink`
-    * receives (item, cnt_lower, n_total) and applies its own
-    * threshold. Versioned by batch id (v=N reads v=N−1) exactly like
-    * [[decayedIngest]]: re-delivered batches recompute, never
-    * double-count. The (k+1)-largest cut is one ≤(k+1)-row
-    * TakeOrdered to the driver — control-plane, the BPE-scalar
-    * pattern. */
+    * Misra–Gries summary — ≤k (item, counter) rows plus a separate
+    * 1-row running-total table — merged per micro-batch with the SAME
+    * PODS'12 reduction the batch aggregate applies, so state stays
+    * O(k) forever regardless of stream volume and vocabulary. The
+    * guarantee survives composition: after ANY batch boundaries, every
+    * item with total count > n/k is in the state, and each counter
+    * undercounts by at most n/k — `sink` receives (item, cnt_lower,
+    * n_total) and applies its own threshold. Idempotence: see
+    * [[VersionedState]]. */
   def heavyHitterIngest(items: DataFrame, itemCol: String, k: Int,
       stateDir: String)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    items.writeStream
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
-        val spark = batch.sparkSession
-        val summary = batch
-          .select(col(itemCol).cast("string").as("item"))
-          .agg(exprColumn(graft.functions.MisraGriesAgg(
-              columnExpr(col("item")), k, emitCounts = true)
-            .toAggregateExpression()).as("s"),
-            count(lit(1)).as("n"))
-          .select(explode_outer(col("s")).as("e"), col("n"))
-          .select(coalesce(col("e.item"), lit("")).as("item"),
-            coalesce(col("e.cnt"), lit(0L)).as("cnt"), col("n"))
-          .where(col("cnt") > 0)
-        val prevPath = s"$stateDir/v=${id - 1}"
-        val prev = if (new java.io.File(prevPath).exists())
-            Some(spark.read.parquet(prevPath)) else None
-        val unioned = prev match {
-          case Some(p) => p.select("item", "cnt", "n").unionByName(summary)
-          case None => summary
-        }
-        val summed = unioned.groupBy("item")
-          .agg(sum("cnt").as("cnt"))
-        // every row of a version carries the same n — read one, not sum
-        // (the "" sentinel row below guarantees a version is never empty)
-        val nPrev = prev.map(_.select("n").head.getLong(0)).getOrElse(0L)
-        val nBatch = batch.count()
-        val n = nPrev + nBatch
-        val top = summed.orderBy(desc("cnt"), col("item")).limit(k + 1)
-          .collect()
-        val reduced =
-          if (top.length > k) {
-            val cut = top(k).getAs[Long]("cnt")
-            summed.select(col("item"), (col("cnt") - lit(cut)).as("cnt"))
-              .where(col("cnt") > 0)
-          } else summed
-        val sentinel = spark.range(1)
-          .select(lit("").as("item"), lit(0L).as("cnt"))
-        reduced.where(col("item") =!= "").unionByName(sentinel)
-          .withColumn("n", lit(n))
-          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
-        sink(spark.read.parquet(s"$stateDir/v=$id")
-          .where(col("cnt") > 0)
-          .select(col("item"), col("cnt").as("cnt_lower"),
-            col("n").as("n_total")), id)
-      }
+    VersionedState.ingest(items) { (batch, id) =>
+      sink(heavyHitterStep(batch, itemCol, k, stateDir, id), id)
+    }
+
+  /** Per-batch step of [[anomalyIngest]]: merge the batch's (key, day)
+    * counts into versioned state and re-score through the IDENTICAL
+    * batch window code. Requires a UTC session zone: the state buckets
+    * days by UTC epoch-day (Decay.dayCounts) while the batch twin
+    * derives them via session-zone date_trunc — the claimed
+    * streaming==batch equivalence is only an identity under UTC, so
+    * the invariant is enforced here at the entry point (the same
+    * boundary discipline as Tables.load). */
+  private[graft] def anomalyStep(batch: DataFrame, key: String,
+      tsCol: String, stateDir: String, sigma: Double,
+      id: Long): DataFrame = {
+    val spark = batch.sparkSession
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "anomalyIngest requires spark.sql.session.timeZone=UTC: state " +
+        "buckets days by UTC epoch-day while the batch twin uses " +
+        "session-zone date_trunc — equivalence holds only under UTC")
+    val state = VersionedState.mergeCounts(
+      Decay.dayCounts(batch, key, tsCol), Seq("__k", "__d"), "__c",
+      stateDir, id)
+    val daily = state
+      .select(col("__k").as(key),
+        expr("date_add(date '1970-01-01', cast(__d AS int))").as("day"),
+        col("__c").as("n"))
+    Anomaly.trailingZScoresDaily(daily, key, sigma)
+  }
 
   /** Streaming trailing-window anomaly scores (X144, the streaming face
     * of [[graft.operators.Anomaly]]): state is the SAME (key, day,
     * count) table the X127 decay ingest maintains — bounded by keys ×
-    * active days, merged per batch, versioned for re-delivery
-    * idempotence — and each batch re-scores it through the IDENTICAL
+    * active days — and each batch re-scores it through the IDENTICAL
     * batch window code, so streaming == batch is by shared code, not
     * reimplementation. The tripwire this buys: the day a batch lands,
-    * its z-score is already current. */
+    * its z-score is already current. Idempotence: see
+    * [[VersionedState]]. */
   def anomalyIngest(events: DataFrame, key: String, tsCol: String,
       stateDir: String, sigma: Double = 2.0)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    events.writeStream
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        import org.apache.spark.sql.functions._
-        val spark = batch.sparkSession
-        val newCounts = Decay.dayCounts(batch, key, tsCol)
-        val prevPath = s"$stateDir/v=${id - 1}"
-        val merged = (if (new java.io.File(prevPath).exists())
-            spark.read.parquet(prevPath).unionByName(newCounts)
-          else newCounts)
-          .groupBy("__k", "__d")
-          .agg(sum("__c").as("__c"))
-        merged.write.mode("overwrite").parquet(s"$stateDir/v=$id")
-        val daily = spark.read.parquet(s"$stateDir/v=$id")
-          .select(col("__k").as(key),
-            expr("date_add(date '1970-01-01', cast(__d AS int))").as("day"),
-            col("__c").as("n"))
-        sink(Anomaly.trailingZScoresDaily(daily, key, sigma), id)
-      }
+    VersionedState.ingest(events) { (batch, id) =>
+      sink(anomalyStep(batch, key, tsCol, stateDir, sigma, id), id)
+    }
+
+  /** Per-batch step of [[slidingDistinctIngest]]: merge the batch's
+    * per-day KMV sketches — O(k) per active day regardless of batch
+    * volume — with the X126 sketch algebra, then re-derive the sliding
+    * answer through the SAME batch code. */
+  private[graft] def slidingDistinctStep(batch: DataFrame,
+      keyCol: String, tsCol: String, k: Int, windowDays: Int,
+      stateDir: String, id: Long): DataFrame = {
+    val state = VersionedState.merge(
+      Sketches.kmvDailySketches(batch, keyCol, tsCol, k), stateDir, id) {
+      _.groupBy("day")
+        .agg(slice(array_sort(array_distinct(flatten(
+          collect_list(col("sk"))))), 1, k).as("sk"))
+    }
+    Sketches.slidingFromDailySketches(state, k, windowDays)
+  }
 
   /** Streaming sliding-window distinct (X145, the streaming face of
-    * X138): state is the per-day KMV sketch table — O(k) per active
-    * day regardless of batch volume — merged per batch with the X126
-    * sketch algebra (`slice(array_sort(array_union), 1, k)` per
-    * same-day pair), versioned like every ingest here. Each batch
-    * re-derives the sliding answer from the merged state through the
-    * SAME batch code ([[Sketches.slidingFromDailySketches]]). */
+    * X138): state is the per-day KMV sketch table. Idempotence: see
+    * [[VersionedState]]. */
   def slidingDistinctIngest(events: DataFrame, keyCol: String,
       tsCol: String, k: Int, windowDays: Int, stateDir: String)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    events.writeStream
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        import org.apache.spark.sql.functions._
-        val spark = batch.sparkSession
-        val newDaily = Sketches.kmvDailySketches(batch, keyCol, tsCol, k)
-        val prevPath = s"$stateDir/v=${id - 1}"
-        val merged = (if (new java.io.File(prevPath).exists())
-            spark.read.parquet(prevPath).unionByName(newDaily)
-          else newDaily)
-          .groupBy("day")
-          .agg(slice(array_sort(array_distinct(flatten(
-            collect_list(col("sk"))))), 1, k).as("sk"))
-        merged.write.mode("overwrite").parquet(s"$stateDir/v=$id")
-        sink(Sketches.slidingFromDailySketches(
-          spark.read.parquet(s"$stateDir/v=$id"), k, windowDays), id)
-      }
+    VersionedState.ingest(events) { (batch, id) =>
+      sink(slidingDistinctStep(batch, keyCol, tsCol, k, windowDays,
+        stateDir, id), id)
+    }
+
+  /** Per-batch step of [[lateDimIngest]]: union parked state `v=id−1`
+    * with the batch, resolve against the CURRENT dim snapshot, park the
+    * still-unresolvable remainder as `v=id`, return the resolved rows. */
+  private[graft] def lateDimStep(batch: DataFrame, dimPath: String,
+      key: String, stateDir: String, id: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val dim = spark.read.parquet(dimPath)
+    val todo = VersionedState.read(spark, stateDir, id - 1) match {
+      case Some(parked) => parked.unionByName(batch)
+      case None => batch
+    }
+    val resolved = todo.join(dim, Seq(key))
+    VersionedState.commit(
+      todo.join(dim.select(key), Seq(key), "left_anti"), stateDir, id)
+    resolved
+  }
 
   /** Late-arriving dimension handling (X161): the classic streaming-ETL
     * pattern a naive stream-dimension join silently corrupts — a fact
@@ -209,29 +235,16 @@ object CorpusStreams {
     * batch, so late dim arrivals resolve parked facts without any
     * reprocessing of resolved history).
     *
-    * State = the parked-facts table, versioned by batch id like every
-    * ingest here (re-delivery recomputes, never double-emits); its size
-    * is bounded by genuinely-unresolvable facts, not history. Each
-    * batch: one union of (park, new), one equi-join against the dim
-    * snapshot (broadcast when the dim is small), one anti-join for the
-    * new park. `sink` receives the batch's RESOLVED rows. */
+    * State = the parked-facts table; its size is bounded by
+    * genuinely-unresolvable facts, not history. Each batch: one union
+    * of (park, new), one equi-join against the dim snapshot (broadcast
+    * when the dim is small), one anti-join for the new park. `sink`
+    * receives the batch's RESOLVED rows. Idempotence: see
+    * [[VersionedState]]. */
   def lateDimIngest(facts: DataFrame, dimPath: String, key: String,
       stateDir: String)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    facts.writeStream
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        import org.apache.spark.sql.functions._
-        val spark = batch.sparkSession
-        val dim = spark.read.parquet(dimPath)
-        val prevPath = s"$stateDir/v=${id - 1}"
-        val todo = (if (new java.io.File(prevPath).exists())
-            spark.read.parquet(prevPath).unionByName(batch)
-          else batch)
-        val resolved = todo.join(dim, Seq(key))
-        todo.join(dim.select(key), Seq(key), "left_anti")
-          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
-        sink(resolved, id)
-      }
+    VersionedState.ingest(facts) { (batch, id) =>
+      sink(lateDimStep(batch, dimPath, key, stateDir, id), id)
+    }
 }

@@ -410,6 +410,73 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(finalPerUser === batchTwin)
   }
 
+  test("versioned-state re-delivery matrix: every stateful step recomputes v=N identically") {
+    // the one protocol all five ingests share (VersionedState): batch N
+    // merges into v=N from v=N−1, so a RE-DELIVERED batch (restart
+    // between commit and checkpoint ack) must recompute the same
+    // version and the same sink output — run each step with id=0, id=1,
+    // then id=1 AGAIN with the same batch, and assert output + state
+    // are bit-identical
+    import graft.streaming.{CorpusStreams, VersionedState}
+    val events = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("ts"), col("user_id"))
+    val b1 = events.where(col("user_id") % 2 === 0)
+    val b2 = events.where(col("user_id") % 2 =!= 0)
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def stateSnap(dir: String, id: Long): Seq[String] =
+      snap(spark.read.parquet(VersionedState.path(dir, id)))
+
+    val cases: Seq[(String, String => (org.apache.spark.sql.DataFrame, Long) => org.apache.spark.sql.DataFrame, Seq[String])] = {
+      val dimDir = java.nio.file.Files.createTempDirectory("mx-dim").toString
+      // dim covers only ONE key so later facts genuinely park
+      events.select(col("event_type").as("k")).distinct()
+        .orderBy("k").limit(1)
+        .withColumn("dim_name", concat(lit("D_"), col("k")))
+        .write.mode("overwrite").parquet(dimDir)
+      Seq(
+        ("decayed", (d: String) => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CorpusStreams.decayedStep(b, "event_type", "ts", 7, d, id), Seq("")),
+        ("heavyHitter", (d: String) => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CorpusStreams.heavyHitterStep(b, "event_type", 4, d, id), Seq("/mg", "/n")),
+        ("anomaly", (d: String) => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CorpusStreams.anomalyStep(b, "event_type", "ts", d, 2.0, id), Seq("")),
+        ("slidingDistinct", (d: String) => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CorpusStreams.slidingDistinctStep(b, "user_id", "ts", 64, 7, d, id), Seq("")),
+        ("lateDim", (d: String) => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CorpusStreams.lateDimStep(b.select(col("event_type").as("k"), col("user_id")),
+            dimDir, "k", d, id), Seq("")))
+    }
+    cases.foreach { case (name, mkStep, stateSubdirs) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"mx-$name").toString
+      val step = mkStep(dir)
+      step(b1, 0L).count()
+      val out1 = snap(step(b2, 1L))
+      val st1 = stateSubdirs.map(s => stateSnap(dir + s, 1L))
+      val out2 = snap(step(b2, 1L)) // re-delivery of batch 1
+      val st2 = stateSubdirs.map(s => stateSnap(dir + s, 1L))
+      assert(out1 == out2, s"$name: re-delivered sink output differs")
+      assert(st1 == st2, s"$name: re-delivered state v=1 differs")
+      assert(st1.exists(_.nonEmpty), s"$name: state v=1 unexpectedly empty")
+    }
+  }
+
+  test("heavy hitters: a real empty-string item is a legitimate key, not a sentinel") {
+    // regression for the round-6 advice: "" used to be reserved as the
+    // in-domain sentinel row and silently dropped from state
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hh-empty").toString
+    val batch = (Seq.fill(50)("") ++ Seq.fill(30)("x") ++
+      (0 until 20).map(i => s"t_$i")).toDF("item")
+    val out = graft.streaming.CorpusStreams
+      .heavyHitterStep(batch, "item", 4, dir, 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "" is the heaviest item (50 of 100 > n/k=25): it MUST be present
+    assert(out.contains(""), s"empty-string heavy hitter missing: $out")
+    assert(out("") >= 50L - 25L)
+  }
+
   test("dedupWithinWatermark: dedups inside the horizon, re-admits after it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
