@@ -145,4 +145,121 @@ object Percentiles {
     }
     cum.groupBy(col(key)).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
   }
+
+  /** [[exact]] minus the stats pass: buckets come from a FIXED value
+    * grid `floor(v / gridWidth)` instead of the per-key min/max range,
+    * removing one sequential broadcast job from the plan (the stats
+    * agg had to finish before bucketing could start — at local SF that
+    * driver sync is a measurable slice of the whole query; at cluster
+    * SF it is one fewer barrier). Correctness is width-independent:
+    * the bucket id is a monotone function of v, which is the only
+    * property the rank arithmetic uses — `gridWidth` just sets bucket
+    * occupancy (pick it so a bucket holds ~thousands of rows; skewed
+    * buckets cost balance, never answers). Per-key totals ride the
+    * same tiny offsets table (one extra window over |keys|·B rows). */
+  def exactGridded(df: DataFrame, key: String, value: String,
+      ps: Seq[(String, Double)], gridWidth: Double): DataFrame = {
+    require(gridWidth > 0, s"gridWidth=$gridWidth must be positive")
+    val base = df.select(col(key), col(value).cast("double").as("__v"))
+    val bucketed = base.withColumn("__b",
+      floor(col("__v") / lit(gridWidth)).cast("long"))
+    val offsets = bucketed.groupBy(col(key), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off",
+        coalesce(sum("__bn").over(
+          Window.partitionBy(key).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__kn", sum("__bn").over(Window.partitionBy(key)))
+    val neededBuckets = offsets.filter(
+      ps.map { case (_, p) =>
+        val kpos = (col("__kn") - 1) * p
+        val lo = floor(kpos) + 1
+        val hi = ceil(kpos) + 1
+        (col("__off") < lo && lo <= col("__off") + col("__bn")) ||
+          (col("__off") < hi && hi <= col("__off") + col("__bn"))
+      }.reduce(_ || _))
+      .select(col(key), col("__b"), col("__off"), col("__kn"))
+    def pos(p: Double): Column = (col("__kn") - 1) * p
+    val wLocal = Window.partitionBy(col(key), col("__b")).orderBy("__v")
+    val ranked = bucketed
+      .join(broadcast(neededBuckets), Seq(key, "__b"))
+      .withColumn("__rn", col("__off") + row_number().over(wLocal))
+    val aggs = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      Seq(
+        max(when(col("__rn") === floor(pos(p)) + 1, col("__v"))).as(s"__lo$i"),
+        max(when(col("__rn") === ceil(pos(p)) + 1, col("__v"))).as(s"__hi$i"),
+        max(pos(p) - floor(pos(p))).as(s"__f$i"))
+    }
+    val outCols = col(key) +: ps.zipWithIndex.map { case ((name, _), i) =>
+      (col(s"__lo$i") * (lit(1.0) - col(s"__f$i")) + col(s"__hi$i") * col(s"__f$i")).as(name)
+    }
+    ranked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
+  }
+
+  /** [[exactWeighted]] for a compressed table that is still LARGE (a
+    * near-continuous value domain — prices, amounts — where compression
+    * buys little): [[exactWeighted]]'s per-key cumulative window sorts
+    * each key's whole domain in ONE task, so with few keys parallelism
+    * collapses to |keys| exactly like the raw row_number plan [[exact]]
+    * exists to avoid. Same cure as [[exact]], applied to weights:
+    *  1. per-key (Σcount, min, max) — one hash agg over the compressed
+    *     table (map-side combined, wide);
+    *  2. monotone value-range bucket per row; per-(key, bucket) weight
+    *     sums → cumulative offsets over the TINY |keys|·B table;
+    *  3. only buckets CONTAINING a bracketing rank (≤ 2P per key) get
+    *     the weighted cumulative window — it touches ~2P/B of the
+    *     compressed rows, every other stage is a wide hash agg;
+    *  4. a (key, v, c) row covers global ranks (__off + local cum − c,
+    *     __off + local cum]; interpolation is the identical
+    *     `v_lo·(1−f) + v_hi·f` — results are bit-for-bit
+    *     [[exactWeighted]]'s for any B. */
+  def exactWeightedBucketed(cnts: DataFrame, key: String, value: String,
+      cnt: String, ps: Seq[(String, Double)],
+      numBuckets: Int = 2048): DataFrame = {
+    val base = cnts.select(col(key), col(value).cast("double").as("__v"),
+      col(cnt).cast("long").as("__c"))
+    val stats = base.groupBy(col(key)).agg(
+      sum("__c").as("__n"), min("__v").as("__mn"), max("__v").as("__mx"))
+    val bkt = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+        * numBuckets), lit(numBuckets - 1))).cast("int")
+    val bucketed = base.join(broadcast(stats), Seq(key)).withColumn("__b", bkt)
+    val offsets = bucketed.groupBy(col(key), col("__b"))
+      .agg(sum("__c").as("__bn"), max("__n").as("__kn"))
+      .withColumn("__off",
+        coalesce(sum("__bn").over(
+          Window.partitionBy(key).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    def pos(p: Double): Column = (col("__n") - 1) * p
+    // the row covering global rank r lies in the unique bucket with
+    // __off < r ≤ __off + __bn (bucket id is monotone in v, so a
+    // bucket's rows are contiguous in global rank order)
+    val neededBuckets = offsets
+      .filter(ps.map { case (_, p) =>
+        val kpos = (col("__kn") - 1) * p
+        val lo = floor(kpos) + 1
+        val hi = ceil(kpos) + 1
+        (col("__off") < lo && lo <= col("__off") + col("__bn")) ||
+          (col("__off") < hi && hi <= col("__off") + col("__bn"))
+      }.reduce(_ || _))
+      .select(col(key), col("__b"), col("__off"))
+    val wLocal = Window.partitionBy(col(key), col("__b")).orderBy("__v")
+    val ranked = bucketed
+      .join(broadcast(neededBuckets), Seq(key, "__b"))
+      .withColumn("__end", col("__off") + sum("__c").over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__start", col("__end") - col("__c"))
+    val aggs = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      val lo = floor(pos(p)) + 1
+      val hi = ceil(pos(p)) + 1
+      Seq(
+        max(when(col("__start") < lo && lo <= col("__end"), col("__v"))).as(s"__lo$i"),
+        max(when(col("__start") < hi && hi <= col("__end"), col("__v"))).as(s"__hi$i"),
+        max(pos(p) - floor(pos(p))).as(s"__f$i"))
+    }
+    val outCols = col(key) +: ps.zipWithIndex.map { case ((name, _), i) =>
+      (col(s"__lo$i") * (lit(1.0) - col(s"__f$i")) + col(s"__hi$i") * col(s"__f$i")).as(name)
+    }
+    ranked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
+  }
 }

@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 
-import graft.functions.{KmvAgg, QDigest, QDigestWeightedAgg}
+import graft.functions.{KmvAgg, QDigest, QDigestAgg}
 
 /** Sketch aggregates — the mergeable-partial-state building block for
   * 100 TB rollups: per-partition/per-group sketches are tiny, exact to
@@ -121,70 +121,110 @@ object Sketches {
     * q-digest bound bits·n/σ of the target rank. */
   def qdigestChecked(df: DataFrame, key: String, vLong: String,
       fracs: Seq[(String, Double)], bits: Int = 24, sigma: Int = 2048): DataFrame = {
-    // The check is a THREE-consumer read of the same stream — sketch
-    // agg, true-rank recount, exact-percentile twin. ONE full-stream
-    // pass value-compresses it to (key, v, count) — a map-side-
-    // combinable hash agg — and every consumer runs on the compressed
-    // table: the sketch through the weighted update path
-    // ([[graft.functions.QDigestWeightedAgg]]), the rank recount as a
-    // conditional weighted sum, the exact twin through
-    // [[Percentiles.exactWeighted]] (no per-row ranking windows).
-    // Materialized once: the table is bounded by |keys|·|value domain|
-    // regardless of row count (at cluster scale this is the staged
-    // scratch table a diagnostic run writes). Lifetime: freed by the
-    // session's next cache sweep (Bench) or catalog.clearCache();
-    // recomputation after that is the scan + one hash agg.
-    // persist A/B'd again round 6 after the consumer fusion (matched
-    // q00 floors): persisted 1.81 s vs AQE-stage-cache-only 2.67 s at
-    // sf0.1 — the materialized compressed table still wins
-    val cnts = df.select(col(key), col(vLong))
-      .groupBy(col(key), col(vLong)).agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sk = cnts.groupBy(col(key)).agg(
-      exprColumn(QDigestWeightedAgg(columnExpr(col(vLong)), columnExpr(col("__c")),
-        bits, sigma).toAggregateExpression()).as("__sk"),
-      sum("__c").as("__n"))
+    // Three consumers of the raw stream — sketch agg, true-rank
+    // recount, exact-percentile twin — and NONE of them needs a
+    // globally value-compressed (key, v, count) intermediate (rounds
+    // 4-6 built one; it WAS the bottleneck): a near-continuous value
+    // domain barely compresses (600k→594k price cents at sf0.1), so
+    // the |keys|·|domain|-group hash agg cost more than every consumer
+    // combined — and each consumer's exchange is already bounded
+    // WITHOUT it:
+    //  - the sketch's partial aggregation compresses per task (one
+    //    O(σ·bits) digest per partition crosses the exchange);
+    //  - the rank recount is a conditional COUNT against the broadcast
+    //    estimates — a |keys|-group map-side-combined agg;
+    //  - the exact twin is [[Percentiles.exact]], whose exchanges are
+    //    bucket-bounded (ranking touches only the ≤2P bracketing
+    //    buckets).
+    // Callers whose domain genuinely is small (token counts, ratings,
+    // codes) should pre-compress and pair
+    // [[graft.functions.QDigestWeightedAgg]] with
+    // [[Percentiles.exactWeighted]] — that remains the right shape
+    // when |keys|·|domain| ≪ rows.
+    // Spread ONLY the sketch branch: its per-row update is imperative
+    // (object agg, no codegen), so a single-row-group scan would run
+    // every add in one task — while the recount and the exact twin are
+    // codegen'd aggs that are FASTER straight off the scan (A/B'd: the
+    // shared repartition exchange cost each of them ~0.35 s of barrier
+    // at sf0.1). Skipped when the input is already wider than the
+    // shuffle width (a cluster scan), so this never narrows real data.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val skIn = if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+    val sk = skIn.groupBy(col(key)).agg(
+      exprColumn(QDigestAgg(columnExpr(col(vLong)), bits, sigma)
+        .toAggregateExpression()).as("__sk"),
+      count(lit(1)).as("__n"))
     val ests = sk.select(
       col(key) +: col("__n") +: fracs.map { case (nm, f) =>
         exprColumn(QDigest.Quantile(columnExpr(col("__sk")), columnExpr(lit(f)), bits))
           .as(s"__est_$nm")
       }: _*)
-    // ONE cumulative pass answers BOTH readings: a (key, v) row of the
-    // compressed table covers global ranks (__start, __end], so the
-    // exact interpolated percentile (values at the bracketing ranks —
-    // [[Percentiles.exactWeighted]]'s arithmetic, inlined so the rank
-    // recount shares its window) and the TRUE rank of each sketch
-    // estimate (max __end among values ≤ estimate) fold in the same
-    // groupBy over the same windowed stream — no second pass, no
-    // post-join between check and twin.
-    val w = Window.partitionBy(key).orderBy(vLong)
-    val cum = cnts
-      .withColumn("__end", sum("__c").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__start", col("__end") - col("__c"))
-      .join(broadcast(ests), Seq(key))
-    def pos(p: Double) = (col("__n") - 1) * p
-    val vDouble = col(vLong).cast("double")
-    val aggs = fracs.zipWithIndex.flatMap { case ((nm, p), i) =>
-      val lo = floor(pos(p)) + 1
-      val hi = ceil(pos(p)) + 1
-      Seq(
-        max(when(col("__start") < lo && lo <= col("__end"), vDouble)).as(s"__lo$i"),
-        max(when(col("__start") < hi && hi <= col("__end"), vDouble)).as(s"__hi$i"),
-        max(pos(p) - floor(pos(p))).as(s"__f$i"),
-        coalesce(max(when(col(vLong) <= col(s"__est_$nm"), col("__end"))), lit(0L))
-          .as(s"__rank_$nm"))
-    } :+ max(col("__n")).as("__n0")
-    val bound = (lit(bits.toDouble) * col("__n0").cast("double") / lit(sigma.toDouble)) + lit(1.0)
-    val okCols = fracs.map { case (nm, f) =>
-      abs(col(s"__rank_$nm").cast("double") -
-        ceil(lit(f) * col("__n0").cast("double"))) <= bound
+    // The rank-bound verdict WITHOUT a recount pass: for integer rank
+    // r and any estimate e, rank(e) = #{v ≤ e} satisfies
+    //   rank(e) ≥ r  ⟺  e ≥ v_(r)      (r-th smallest, with ties)
+    //   rank(e) ≤ r  ⟺  r ≥ n ∨ e < v_(r+1)
+    // so "|rank(e) − ceil(f·n)| ≤ bits·n/σ + 1" is EXACTLY two order-
+    // statistic comparisons at ranks ceil(tgt−bound) and
+    // floor(tgt+bound)+1 — and those ride the SAME gridded ranking
+    // pass as the percentile probes below (two extra rank probes per
+    // fraction), deleting the whole recount scan and its sequential
+    // dependency on the sketch. The sketch's domain contract
+    // [0, 2^bits) hands the twin a free fixed grid — no stats pass
+    // either ([[Percentiles.exactGridded]]'s shape, inlined because
+    // the probe ranks are runtime expressions of the per-key total).
+    val gridWidth = math.max(1.0, math.pow(2.0, (bits - 12).toDouble))
+    val base = df.select(col(key), col(vLong).cast("double").as("__v"))
+    val bucketed = base.withColumn("__b",
+      floor(col("__v") / lit(gridWidth)).cast("long"))
+    val offsets = bucketed.groupBy(col(key), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off",
+        coalesce(sum("__bn").over(
+          Window.partitionBy(key).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__kn", sum("__bn").over(Window.partitionBy(key)))
+    // probe ranks, all as expressions of the per-key total __kn
+    def tgt(f: Double): Column = ceil(lit(f) * col("__kn").cast("double"))
+    val bnd = lit(bits.toDouble) * col("__kn").cast("double") /
+      lit(sigma.toDouble) + lit(1.0)
+    def clampRank(r: Column): Column =
+      greatest(lit(1L), least(col("__kn"), r.cast("long")))
+    val probeRanks: Seq[(String, Column)] = fracs.zipWithIndex.flatMap {
+      case ((_, p), i) => Seq(
+        s"__plo$i" -> (floor((col("__kn") - 1) * p) + 1).cast("long"),
+        s"__phi$i" -> (ceil((col("__kn") - 1) * p) + 1).cast("long"),
+        s"__pa$i" -> clampRank(ceil(tgt(p) - bnd)),
+        s"__pb$i" -> clampRank(floor(tgt(p) + bnd) + 1))
     }
-    val pCols = fracs.zipWithIndex.map { case ((nm, _), i) =>
-      (col(s"__lo$i") * (lit(1.0) - col(s"__f$i")) + col(s"__hi$i") * col(s"__f$i")).as(nm)
+    val neededBuckets = offsets.filter(
+      probeRanks.map { case (_, r) =>
+        col("__off") < r && r <= col("__off") + col("__bn")
+      }.reduce(_ || _))
+      .select(col(key), col("__b"), col("__off"), col("__kn"))
+    val wLocal = Window.partitionBy(col(key), col("__b")).orderBy("__v")
+    val ranked = bucketed
+      .join(broadcast(neededBuckets), Seq(key, "__b"))
+      .withColumn("__rn", col("__off") + row_number().over(wLocal))
+    val aggs = probeRanks.map { case (nm, r) =>
+      max(when(col("__rn") === r, col("__v"))).as(nm)
+    } :+ max(col("__kn")).as("__kn0")
+    val pcts = ranked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    // verdict + interpolation over the two ≤|keys|-row results
+    val kn0 = col("__kn0").cast("double")
+    val bnd0 = lit(bits.toDouble) * kn0 / lit(sigma.toDouble) + lit(1.0)
+    val okCols = fracs.zipWithIndex.map { case ((nm, f), i) =>
+      val t = ceil(lit(f) * kn0)
+      val lowOk = (ceil(t - bnd0) <= lit(0.0)) ||
+        (col(s"__est_$nm") >= col(s"__pa$i"))
+      val highOk = (floor(t + bnd0) >= kn0) ||
+        (col(s"__est_$nm") < col(s"__pb$i"))
+      lowOk && highOk
     }
-    cum.groupBy(col(key))
-      .agg(aggs.head, aggs.tail: _*)
+    val pCols = fracs.zipWithIndex.map { case ((nm, p), i) =>
+      val f = (kn0 - 1) * p - floor((kn0 - 1) * p)
+      (col(s"__plo$i") * (lit(1.0) - f) + col(s"__phi$i") * f).as(nm)
+    }
+    pcts.join(broadcast(ests), Seq(key))
       .select(col(key) +: pCols :+ okCols.reduce(_ && _).as("est_ok"): _*)
   }
 

@@ -625,13 +625,13 @@ object CorpusQueries {
     * (hash-comparable), and `est_ok` asserts the q-digest estimate's
     * true rank sits within the deterministic bits·n/σ bound. */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    // spread before the sketch aggregate: the update loop is imperative
-    // (object agg, no codegen) and the single-row-group scan would run
-    // every partial in ONE task — one cheap exchange of (flag, cents)
-    // buys numPartitions-way parallel sketching (measured ~2× on q80)
-    val li = spread(Tables.load(spark, dir, "lineitem")
+    // no spread here: qdigestChecked spreads its sketch branch itself
+    // and runs the codegen'd recount + exact-twin branches straight off
+    // the scan (a shared repartition exchange cost those branches more
+    // than it saved — measured round 7)
+    val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents")))
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
     Sketches.qdigestChecked(li, "l_returnflag", "cents",
         Seq("p50" -> 0.5, "p90" -> 0.9))
       .orderBy("l_returnflag")
@@ -988,26 +988,28 @@ object CorpusQueries {
     * |keys|·|price domain| — independent of row count. */
   def equiDepthHist(spark: SparkSession, dir: String): DataFrame = {
     val fracs = (1 to 7).map(i => (s"b$i", i / 8.0))
-    // pre-normalized to EXACTLY the (key, __v double, __c long) shape
-    // exactWeighted consumes, so its internal casts simplify away and
-    // the two consumer branches aggregate one CANONICALLY IDENTICAL
-    // subtree — ReuseExchange then materializes the scan+partial-agg
-    // once (verified in the plan: the bounds branch reads a
-    // ReusedExchange; with the casts left inside exactWeighted the
-    // pushed-down projection made the exchanges unequal and the corpus
-    // was scanned twice)
-    val cnts = Tables.load(spark, dir, "lineitem")
+    // straight off the RAW stream: prices barely compress (600k→594k
+    // distinct at sf0.1), so the former value-compression agg — a
+    // ~594k-group hash agg — cost more than everything downstream of
+    // it combined. [[Percentiles.exact]] keeps the boundary derivation
+    // wide with bucket-bounded exchanges, and the histogram itself is
+    // a |keys|·8-group map-side-combined agg against the broadcast
+    // boundaries — nothing in this plan exchanges more than a bucket's
+    // worth of raw rows. (Same numbers: interpolation and bucket
+    // assignment are value-identical to the compressed formulation.)
+    val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"),
         col("l_extendedprice").cast("double").as("__v"))
-      .groupBy(col("l_returnflag"), col("__v"))
-      .agg(count(lit(1)).as("__c"))
-    val bounds = Percentiles.exactWeighted(cnts, "l_returnflag", "__v", "__c", fracs)
+    // fixed $64 price grid (monotone bucket fn — any width gives the
+    // same answers): skips [[Percentiles.exact]]'s per-key min/max
+    // broadcast, one fewer sequential job in the plan
+    val bounds = Percentiles.exactGridded(li, "l_returnflag", "__v", fracs, 64.0)
     val bucket = fracs.map { case (nm, _) =>
       when(col("__v") >= col(nm), lit(1L)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
-    cnts.join(broadcast(bounds), Seq("l_returnflag"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), bucket.as("bucket"))
-      .agg(sum("__c").as("n"), min("__v").as("lo"), max("__v").as("hi"))
+      .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
       .orderBy("l_returnflag", "bucket")
   }
 
