@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 
 /** Per-source boilerplate removal — the within-host sibling of corpus-wide
   * [[ChunkDedup]].
@@ -25,10 +26,9 @@ import org.apache.spark.sql.functions._
   *      key includes `source`, so a 1000-executor run partitions by host
   *      slice, never concentrating a hot global chunk on one reducer;
   *   3. per-source doc counts are a tiny broadcast (|sources| rows);
-  *   4. the boilerplate set joins back to the chunk stream ON (source,
-  *      chunk) — the key the aggregate just exchanged by, so the physical
-  *      plan reuses that exchange; reassembly is one groupBy(id) bounded
-  *      by document length.
+  *   4. the strip is a per-row higher-order filter of each document's
+  *      chunk array against its source's broadcast boilerplate set —
+  *      no chunk-stream join, no per-document reassembly exchange.
   *
   * All O(total chunks) with map-side combine — the exact cost envelope of
   * chunk dedup, independent of corpus size per partition.
@@ -49,9 +49,22 @@ object Boilerplate {
     require(size > 0 && ratioPct > 0 && minDf > 1,
       s"need size>0, ratioPct>0, minDf>1; got ($size, $ratioPct, $minDf)")
 
-    val chunked = df.select(
-      col(idCol).cast("long").as("id"), col(sourceCol).as("src"),
-      posexplode(ChunkDedup.chunkArray(textCol, size)).as(Seq("idx", "chunk")))
+    // chunk ONCE: both consumers (the doc-frequency agg below and the
+    // strip projection at the end) read this cached projection, so the
+    // tokenize+slide expression runs one time per document — at
+    // cluster scale this is the staged scratch table between the two
+    // passes (recompute would be the chunkArray expression again)
+    val docsChunks = df.select(
+        col(idCol).cast("long").as("id"), col(sourceCol).as("src"),
+        ChunkDedup.chunkArray(textCol, size).as("__chunks"))
+      .where(F.size(col("__chunks")) > 0) // posexplode drops chunkless docs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc array_distinct makes each (doc, chunk) pair unique
+    // LOCALLY, so the doc-frequency is a plain one-phase count — the
+    // count_distinct(id) it replaces paid a two-phase dedup agg keyed
+    // (src, chunk, id) for the same number
+    val chunked = docsChunks.select(col("src"),
+      explode(array_distinct(col("__chunks"))).as("chunk"))
 
     // integer threshold: ceil(ratioPct% of n_docs) as (n*r + 99) div 100
     // — exact, no float compare to drift against the SQL twin
@@ -59,25 +72,37 @@ object Boilerplate {
       .agg(count(lit(1)).as("n_docs"))
     val boiler = chunked
       .groupBy("src", "chunk")
-      .agg(count_distinct(col("id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .join(broadcast(nDocs), Seq("src"))
       .where(col("df") >= greatest(lit(minDf.toLong),
         expr(s"(n_docs * $ratioPct + 99) div 100")))
-      .select(col("src"), col("chunk"), lit(true).as("is_boiler"))
 
-    chunked
-      .join(boiler, Seq("src", "chunk"), "left")
-      .groupBy(col("id").as(idCol))
-      .agg(
-        first(col("src")).as(sourceCol),
-        count(lit(1)).as("n_chunks"),
-        count(when(col("is_boiler"), 1)).as("n_boiler"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("is_boiler").isNull, struct(col("idx"), col("chunk"))))),
-            s => s.getField("chunk")),
-          " ").as("new_text"))
+    // The strip itself needs no chunk-stream join and no per-document
+    // reassembly exchange (round-6 shape: left-join every chunk row,
+    // then groupBy(id) re-collected every document — two exchanges of
+    // the full chunk stream): the boilerplate SET per source is small
+    // by construction (a host's repeated templates, not its content),
+    // so it broadcasts as one array per source and the strip is a
+    // per-row higher-order filter over the doc's chunk array — order
+    // preserved by the array itself, nothing exchanged. At web scale
+    // with millions of hosts the broadcast bound is Σ|per-host sets|;
+    // if that outgrows a broadcast, swap the broadcast() below for a
+    // plain equi-join on src (same semantics, one shuffle of docs).
+    val boilerSets = boiler.groupBy("src")
+      .agg(collect_set(col("chunk")).as("__bset"))
+    val isBoiler = (c: org.apache.spark.sql.Column) =>
+      array_contains(col("__bs"), c)
+    docsChunks
+      .join(broadcast(boilerSets), Seq("src"), "left")
+      .withColumn("__bs",
+        coalesce(col("__bset"), array().cast("array<string>")))
+      .select(
+        col("id").as(idCol),
+        col("src").as(sourceCol),
+        F.size(col("__chunks")).cast("long").as("n_chunks"),
+        F.size(filter(col("__chunks"), isBoiler)).cast("long").as("n_boiler"),
+        array_join(filter(col("__chunks"), c => !isBoiler(c)), " ")
+          .as("new_text"))
       // empty-after-strip docs: blank string → NULL, matching ChunkDedup
       .withColumn("new_text",
         when(length(col("new_text")) === 0, lit(null)).otherwise(col("new_text")))

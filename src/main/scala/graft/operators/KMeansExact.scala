@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
@@ -99,17 +99,15 @@ object KMeansExact {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = trainCentroids(corpus, k, iters)
-    val ce = broadcast(cents.toDF("cid", "cvec")
-      .withColumn("ncv", sqrt(Vectors.dot(col("cvec"), col("cvec")))))
     // ascending (csim, −cid) sort: last = assignment argmax with the
-    // (csim DESC, cid ASC) tie-break, second-last = runner-up
-    val top2 = prep(corpus).crossJoin(ce)
-      .withColumn("csim",
-        Vectors.dot(col("cvec"), col("e")) / (col("ncv") * col("nrm")))
-      .groupBy("vec_id")
-      .agg(slice(array_sort(collect_list(
-        struct(col("csim"), negate(col("cid")).as("nc"), col("cid")))),
-        -2, 2).as("t2"))
+    // (csim DESC, cid ASC) tie-break, second-last = runner-up — the
+    // k score structs are STATIC expressions ([[centScores]]), so the
+    // top-2 is one array_sort+slice per row: no crossJoin expansion,
+    // no per-vector groupBy exchange (sort order and values identical
+    // to the former collect_list formulation)
+    val top2 = prep(corpus)
+      .select(col("vec_id"),
+        slice(array_sort(array(centScores(cents): _*)), -2, 2).as("t2"))
     val a = lit(1.0) - element_at(col("t2"), 2).getField("csim")
     val b = lit(1.0) - element_at(col("t2"), 1).getField("csim")
     top2
@@ -124,21 +122,34 @@ object KMeansExact {
       .orderBy("centroid_id")
   }
 
+  /** Per-centroid (csim, −cid, cid) score structs as STATIC expressions
+    * over the prepped row — the centroid table is driver state, so each
+    * centroid unrolls to a codegen'd [[Vectors.dot]] against literals:
+    * no crossJoin row expansion, no per-vector groupBy exchange (the
+    * round-6 shape exchanged n·k rows per training round to re-group
+    * what was computable in the row). The driver-side norm replays the
+    * engine's kernel exactly: sequential in-order fold + sqrt, the same
+    * IEEE op sequence [[graft.functions.DotProduct]] evaluates. */
+  private def centScores(cents: Seq[(Long, Array[Double])]): Seq[Column] =
+    cents.map { case (cid, vec) =>
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) { s += vec(i) * vec(i); i += 1 }
+      val ncv = math.sqrt(s)
+      val cvec = array(vec.toSeq.map(lit): _*)
+      struct(
+        (Vectors.dot(cvec, col("e")) / (lit(ncv) * col("nrm"))).as("csim"),
+        lit(-cid).as("nc"), lit(cid).as("cid"))
+    }
+
   /** Cosine-argmax assignment of the prepped corpus against literal
-    * centroids; tie-break (csim DESC, cid ASC) via the max_by struct
-    * idiom the IVF assigner uses. */
+    * centroids; tie-break (csim DESC, cid ASC) = struct max over the
+    * (csim, −cid) order — `greatest` over the unrolled score structs,
+    * fully codegen'd, one projection, no exchange. */
   private def assign(c: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
-    val spark = c.sparkSession
-    import spark.implicits._
-    val ce = broadcast(cents.toDF("cid", "cvec")
-      .withColumn("ncv", sqrt(Vectors.dot(col("cvec"), col("cvec")))))
-    c.crossJoin(ce)
-      .withColumn("csim",
-        Vectors.dot(col("cvec"), col("e")) / (col("ncv") * col("nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cid"), col("csim"), col("s1")),
-        struct(col("csim"), negate(col("cid")))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"),
-        col("best.csim").as("csim"), col("best.s1").as("s1"))
+    val scores = centScores(cents)
+    val best = if (scores.length == 1) scores.head else greatest(scores: _*)
+    c.select(col("vec_id"), best.getField("cid").as("cid"),
+      best.getField("csim").as("csim"), col("s1"))
   }
 }

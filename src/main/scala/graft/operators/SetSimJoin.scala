@@ -36,6 +36,15 @@ import graft.functions.PairCombinations
   *      before the distinct;
   *   5. exact-Jaccard verify touches candidate docs only.
   * Nothing is persisted; the driver sees no data.
+  *
+  * Latency floor (round 7): the plan is ~8 pipeline-depth exchanges —
+  * generate (h-window, doc-window, bucket agg, spread) then verify
+  * (semi, bucket agg, spread, pair agg, semi) — every one of them wide,
+  * hash-partitioned and bounded; the remaining ~1.4 s at sf0.1 is that
+  * sequential depth times the per-stage constant, which is what an
+  * exact generate-then-verify join costs. The h-window exchange is
+  * shared between the candidate and verify sides (ReusedExchange,
+  * plan-verified), so the corpus is shingled once.
   */
 object SetSimJoin {
 
@@ -61,22 +70,24 @@ object SetSimJoin {
     // hot-table cache).
     val sh = NearDup.hashedShingles(docs, idCol, textCol, n)
 
-    // 1+2. document frequency per shingle hash, joined straight back on
-    // the aggregation key (no second corpus exchange)
-    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val withDf = sh.join(dfreq, Seq("h"))
-
-    // 3. per-doc prefix under (df asc, h asc): sort_array on
-    // struct(df, h) orders rarest-first; slice keeps n - ceil(t*n) + 1
+    // 1+2. document frequency per shingle hash as a WINDOW count over h
+    // — one exchange where the round-6 agg+join-back shape paid two
+    // (the dfreq aggregate's exchange plus the equi-join's probe-side
+    // exchange of the same stream);
+    // 3. per-doc prefix under (df asc, h asc) as a row_number window —
+    // keeps n - ceil(t*n) + 1 rarest rows without materializing each
+    // doc's sorted shingle array (the collect_list+sort_array+slice+
+    // explode round trip this replaces). Two stacked windows, two
+    // exchanges total, both hash-partitioned and spill-safe.
+    import org.apache.spark.sql.expressions.Window
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("h")))
     val prefixes = withDf
-      .groupBy(col("doc_id"))
-      .agg(max(col("n_sh")).as("n_sh"),
-        sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
-      .select(col("doc_id"), col("n_sh"),
-        explode(transform(
-          slice(col("ordered"), lit(1),
-            (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1)).cast("int")),
-          s => s.getField("h"))).as("h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "h")))
+      .where(col("__rn") <=
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1)).cast("int"))
+      .select(col("doc_id"), col("n_sh"), col("h"))
 
     // 4. candidate pairs: bucket by prefix hash, ordered in-place
     // expansion, length filter (J >= t forces min >= t*max), distinct.
@@ -111,7 +122,12 @@ object SetSimJoin {
     // the semi join neither duplicates nor cares about build-side dups
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    // probe withDf, not sh: same rows, but the subtree shares the
+    // h-window's exchange with the candidate side, so the verify does
+    // not re-run the scan+shingle+md5 projection sequentially after
+    // candidate generation
+    val candSh = withDf.select("doc_id", "n_sh", "h")
+      .join(candDocs, Seq("doc_id"), "left_semi")
     NearDup.pairCommonCounts(candSh, Int.MaxValue)
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .withColumn("jaccard",

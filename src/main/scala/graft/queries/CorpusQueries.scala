@@ -2093,8 +2093,14 @@ object CorpusQueries {
   /** Per-cluster simplified silhouette (X132) over the X111 k-means
     * clustering — see [[graft.operators.KMeansExact.silhouette]]. */
   def kmeansSilhouette(spark: SparkSession, dir: String): DataFrame =
+    // no spread: assignment/scoring are pure unrolled projections now
+    // (KMeansExact.centScores), so a repartition exchange would be
+    // re-paid by every one of the 4 driver-synced jobs (seed + 2
+    // rounds + scoring) for no parallelism the tiny agg needs. The
+    // remaining ~1 s at sf0.1 is those 4 sequential job floors —
+    // k-means rounds are a synchronous fixed-point, irreducible.
     KMeansExact.silhouette(
-      spread(Tables.load(spark, dir, "embeddings"))
+      Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding"), k = 8, iters = 2)
 
   /** URL canonicalization (X133): deterministic messy URLs synthesized
@@ -2544,16 +2550,27 @@ object CorpusQueries {
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = TextFunctions.md5Hash56(col("doc_id").cast("string"))
-    val d = spread(Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"), col("source"), col("text"), h.as("__h"))
+    val base = Tables.load(spark, dir, "documents")
+    // rank window carries (doc_id, source, hash) ONLY — round 6 pushed
+    // the full text column through the per-source sort exchange, which
+    // was most of the query's exchange bytes; the per-source total
+    // rides the same partitioning as a second window (no new
+    // exchange), and text joins back by doc_id (AQE broadcasts the
+    // rank table when it is small; at cluster SF it is a co-partition
+    // join — either way the text stream is exchanged at most once)
+    val lvlRanks = base
+      .select(col("doc_id").as("__did"), col("source").as("__src"), h.as("__h"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("source").orderBy("__h", "doc_id")).cast("long"))
-    val n = d.groupBy("source").agg(count(lit(1)).as("__n"))
-    val lvl = d.join(broadcast(n), Seq("source"))
+        Window.partitionBy("__src").orderBy("__h", "__did")).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__src")))
       .withColumn("__lvl",
         when(col("__rn") <= expr("(__n + 3) div 4"), lit(1))
           .when(col("__rn") <= expr("(__n + 1) div 2"), lit(2))
           .otherwise(lit(3)))
+      .select(col("__did"), col("__lvl"))
+    val n = base.groupBy("source").agg(count(lit(1)).as("__n"))
+    val lvl = spread(base).select(col("doc_id"), col("source"), col("text"))
+      .join(lvlRanks, col("doc_id") === col("__did"))
     // hoist the token array BEFORE the lambda (q94 discipline): split()
     // inside the transform body would re-tokenize the document once per
     // element per reference — measured 5.2 s → sub-second at sf0.1
