@@ -163,7 +163,11 @@ object Bench {
     // total cost as min-of-2 at a fixed count, robust to the mode.
     // SPARK_GRAFT_STREAMS accepts a comma list ("8" pins the old
     // behavior: one count, min-of-2).
-    val streamCounts = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "16,8")
+    // default rungs {16, 8, 4}: 16 wins in the box's clean mode, 8 was
+    // the round-6 degraded-mode fallback, and the 4-stream rung probes
+    // below it — the degraded-mode DAGScheduler pile-up documented in
+    // BASELINE.md suggested 8 may still sit above that mode's optimum
+    val streamCounts = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "16,8,4")
       .split(',').map(_.trim.toInt).toSeq
     def throughputPass(streams: Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
@@ -259,13 +263,18 @@ object Bench {
       .sum / (1024.0 * 1024.0)
 
     // Two output lines. The verbose line (full query names, full
-    // precision) comes FIRST for humans and BASELINE.md — and is also
-    // written to target/bench_full.json for committing alongside the
-    // round. The driver only records the LAST ~2000 chars of stdout
-    // (and sbt's "[success] ..." epilogue eats ~70 of them), so the
-    // FINAL line is a compact headline-first JSON — short query keys
-    // ("q94" not "q94_token_pagerank"), 2-decimal seconds — sized to
-    // fit entirely inside the captured tail and parse on its own.
+    // precision, the complete per-query map) comes FIRST for humans and
+    // BASELINE.md — and is also written to target/bench_full.json for
+    // committing alongside the round. The driver only records the LAST
+    // ~2000 chars of stdout (and sbt's "[success] ..." epilogue eats
+    // ~70 of them), so the FINAL line must parse ON ITS OWN inside that
+    // tail: at 180+ queries even short-key/2-decimal per-query maps
+    // overflow it and truncate the line's HEAD (round 6's artifact lost
+    // the totals exactly this way — "parsed": null). The final line
+    // therefore carries the headline (totals, ratios, box mode) plus
+    // only the SLOWEST 40 queries — the ones a reader acts on — and is
+    // size-guarded to the tail budget; the full map lives one line up
+    // and in the committed bench_full.json.
     val headlineFull =
       s""""throughput_wallclock_sec":$wallSec,"throughput_streams":$streams,""" +
       s""""duckdb_total_sec":$duckTotal,"ratio_throughput":${ratio(wallSec)},""" +
@@ -279,16 +288,20 @@ object Bench {
       java.nio.file.Paths.get("target/bench_full.json"), verbose + "\n")
     catch { case _: Throwable => () }
     def r2(v: Double): String = f"$v%.2f"
-    val qsShort = results.map { case (k, v) =>
+    val slowest = results.sortBy(-_._2).take(40).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
     }.mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+    val compact =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""throughput_wallclock_sec":${r2(wallSec)},"throughput_streams":$streams,""" +
       s""""duckdb_total_sec":${r2(duckTotal)},"ratio_throughput":${ratio(wallSec)},""" +
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":${r2(q00Floor)},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb).toLong},""" +
-      s""""sf":"$sfName","n_queries":${results.size},"queries":$qsShort}""")
+      s""""sf":"$sfName","n_queries":${results.size},"slowest":$slowest}"""
+    // tail budget guard: never emit a final line the driver would clip
+    println(if (compact.length <= 1800) compact
+      else compact.take(compact.lastIndexOf(",\"slowest\":")) + "}")
     spark.stop()
   }
 }

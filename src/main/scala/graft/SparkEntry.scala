@@ -202,6 +202,7 @@ object SparkEntry {
     "q177_rolling_range"      -> (CorpusQueries.rollingRange(_, _)),
     "q178_nest_export"        -> (CorpusQueries.nestExport(_, _)),
     "q179_topk_other"         -> (CorpusQueries.topkOther(_, _)),
+    "q180_bpe_byte_train"     -> (CorpusQueries.bpeByteTrainParts(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -32,17 +32,39 @@ object BpeTrain {
     * been the most frequent adjacent pair with weighted count `weight`. */
   case class Merge(round: Int, left: String, right: String, weight: Long)
 
-  /** Train `rounds` merges over the space-tokenized `textCol` corpus.
-    * Returns the merge table (driver-side scalars — they are the learned
-    * model) and the final word-type table (`syms` array<string>, `wc`
-    * long) with all merges applied, for vocabulary statistics. */
-  def train(df: DataFrame, textCol: String, rounds: Int): (Seq[Merge], DataFrame) = {
+  /** Train `rounds` merges over the space-tokenized `textCol` corpus
+    * with CHARACTER atoms (the classic Sennrich'16 variant). Returns
+    * the merge table (driver-side scalars — they are the learned model)
+    * and the final word-type table (`syms` array<string>, `wc` long)
+    * with all merges applied, for vocabulary statistics. */
+  def train(df: DataFrame, textCol: String, rounds: Int): (Seq[Merge], DataFrame) =
+    trainWith(df, textCol, rounds, w => split(w, ""))
+
+  /** BYTE-level training (the GPT-2/SentencePiece-style alphabet): each
+    * word decomposes into its UTF-8 bytes, represented as 2-hex-digit
+    * symbols ("61", "C3"...), and merges fuse byte sequences — so a
+    * merged symbol is the hex of a byte string, `length(sym)/2` is its
+    * REAL byte width, and the learned vocabulary is closed over any
+    * input (every byte is an atom; no OOV characters, multi-byte
+    * code points merge like any other byte pair). The hex encoding is
+    * what makes the model replayable by a SQL twin: both engines emit
+    * identical uppercase hex for identical UTF-8 bytes, and the merge
+    * rounds are the same deterministic argmax as [[train]]. */
+  def trainBytes(df: DataFrame, textCol: String, rounds: Int): (Seq[Merge], DataFrame) =
+    trainWith(df, textCol, rounds,
+      w => regexp_extract_all(hex(w), lit(".."), lit(0)))
+
+  /** The shared training loop: `atomize` maps a word to its initial
+    * symbol array; everything downstream (pair counting, argmax, merge
+    * application) is alphabet-agnostic. */
+  private def trainWith(df: DataFrame, textCol: String, rounds: Int,
+      atomize: Column => Column): (Seq[Merge], DataFrame) = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     var cur = df
       .select(explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wc"))
-      .select(split(col("word"), "").as("syms"), col("wc"))
+      .select(atomize(col("word")).as("syms"), col("wc"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[Merge]
     var r = 1

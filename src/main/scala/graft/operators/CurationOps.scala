@@ -47,7 +47,7 @@ object CurationOps {
 
   private final case class Key(appId: String, corpus: String, n: Int, threshold: Double)
   private final case class BpeKey(appId: String, corpus: String,
-      textCol: String, rounds: Int)
+      textCol: String, rounds: Int, byteLevel: Boolean)
   private final case class KnnKey(appId: String, corpus: String, k: Int)
 
   private final case class Entry(artifact: DupArtifact,
@@ -141,14 +141,16 @@ object CurationOps {
     * nonce in [[dupArtifact]]); results are identical to per-query
     * training by construction. */
   def bpeModel(docs: DataFrame, corpusKey: String, textCol: String,
-      rounds: Int): BpeModel = {
+      rounds: Int, byteLevel: Boolean = false): BpeModel = {
     val sc = docs.sparkSession.sparkContext
-    val key = BpeKey(sc.applicationId, corpusKey, textCol, rounds)
+    val key = BpeKey(sc.applicationId, corpusKey, textCol, rounds, byteLevel)
     bpeMemo.synchronized {
       bpeMemo.getOrElseUpdate(key, {
         nBpeDerivations.incrementAndGet()
         val before = sc.getPersistentRDDs.keySet.toSet
-        val (merges, words) = BpeTrain.train(docs, textCol, rounds)
+        val (merges, words) =
+          if (byteLevel) BpeTrain.trainBytes(docs, textCol, rounds)
+          else BpeTrain.train(docs, textCol, rounds)
         val ids = sc.getPersistentRDDs.keySet.toSet -- before
         pinned = pinned ++ ids
         BpeEntry(BpeModel(merges, words), sc, ids)

@@ -204,20 +204,24 @@ object CorpusOracles {
                                       ORDER BY csim DESC, centroid_id) AS rn
                  FROM sc) WHERE rn = 1)"""
 
-  /** Shared by q103/q104: wordcount + 5 unrolled BPE merge rounds. Each
-    * round counts adjacent symbol pairs, picks the deterministic argmax,
-    * and applies the merge as a chr(31)-delimited string fold — greedy
-    * left-to-right, non-overlapping (a freshly merged tail l||r can never
-    * equal l, so the fold cannot re-consume its own output).
+  /** Shared by q103/q104/q111/q180: wordcount + `nRounds` unrolled
+    * BYTE-level BPE merge rounds over `tokSql`'s word stream. Atoms are
+    * UTF-8 bytes as 2-hex-digit symbols (both engines' `hex()` emits
+    * identical uppercase hex for identical bytes, so the replay is
+    * bit-for-bit); each round counts adjacent symbol pairs, picks the
+    * deterministic argmax, and applies the merge as a chr(31)-delimited
+    * string fold — greedy left-to-right, non-overlapping (a freshly
+    * merged tail l||r can never equal l, so the fold cannot re-consume
+    * its own output).
     *
     * Each round LEFT JOINs the word table to its (≤1-row) best-pair
-    * table: on a corpus that exhausts before round 5, b$i is EMPTY and a
+    * table: on a corpus that exhausts early, b$i is EMPTY and a
     * plain cross join would empty w$i and cascade through
     * vocab/tokenization — the left join instead yields NULL l/r, the
     * CASE never fires, and syms pass through unchanged, matching
-    * BpeTrain.train's stop-early-keep-table behavior. */
-  private def bpeTrainingCtes: String = {
-    val rounds = (1 to 5).map { i =>
+    * BpeTrain's stop-early-keep-table behavior. */
+  private def bpeByteCtes(nRounds: Int, tokSql: String): String = {
+    val rounds = (1 to nRounds).map { i =>
       s"""pc$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(wc) AS n
              FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i
                    FROM w${i - 1}) GROUP BY 1, 2),
@@ -231,12 +235,17 @@ object CorpusOracles {
                    chr(31)), x -> x <> '') AS syms, wc
                FROM w${i - 1} LEFT JOIN b$i ON true)"""
     }.mkString(",\n")
-    s"""toks AS (SELECT unnest(string_split(text, ' ')) AS word
-                 FROM documents),
-       w0 AS (SELECT string_split(word, '') AS syms, count(*) AS wc
+    s"""toks AS ($tokSql),
+       w0 AS (SELECT regexp_extract_all(hex(word), '..') AS syms,
+                count(*) AS wc
               FROM toks WHERE word <> '' GROUP BY word),
        $rounds"""
   }
+
+  /** The suite-standard tokenizer geometry: 5 byte-level rounds over
+    * `documents.text`. */
+  private def bpeTrainingCtes: String = bpeByteCtes(5,
+    "SELECT unnest(string_split(text, ' ')) AS word FROM documents")
 
   private val sqlBase: Map[String, String] = Map(
     "q24_dedup_exact" ->
@@ -1316,8 +1325,9 @@ object CorpusOracles {
                 md5(coalesce(array_to_string(cw, ' '), '')) AS clean_fp
          FROM fin ORDER BY doc_id""",
 
-    // X87: BPE training — the 5 learned merges + the resulting top-20
-    // subword vocabulary (see bpeTrainingCtes)
+    // X87: byte-level BPE training — the 5 learned merges + the
+    // resulting top-20 subword vocabulary, symbols as UTF-8-byte hex
+    // (see bpeByteCtes)
     "q103_bpe_train" -> {
       val mergeUnion = (1 to 5).map { i =>
         s"""SELECT 'merge' AS kind, CAST($i AS BIGINT) AS rnk, l AS left_sym,
@@ -1334,16 +1344,16 @@ object CorpusOracles {
          ORDER BY kind, rnk"""
     },
 
-    // X88: the learned merges applied corpus-wide — word-type lookup
-    // join, per-doc word/subword counts
+    // X88: the learned byte merges applied corpus-wide — hex-word-type
+    // lookup join, per-doc word/subword counts
     "q104_bpe_tokenize" ->
       s"""WITH $bpeTrainingCtes,
-         lut AS (SELECT array_to_string(syms, '') AS word,
+         lut AS (SELECT array_to_string(syms, '') AS hword,
                    len(syms)::BIGINT AS n_sub FROM w5),
          dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                 FROM documents)
          SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords
-         FROM dw JOIN lut USING (word)
+         FROM dw JOIN lut ON hex(word) = hword
          WHERE word <> '' GROUP BY 1 ORDER BY 1""",
 
     // X104: count-preserving dedup reweighting — keepers carry their
@@ -1507,19 +1517,21 @@ object CorpusOracles {
          WHERE c12 >= 5
          ORDER BY lift DESC, w1, w2 LIMIT 20""",
 
-    // X95: tokenizer fertility — per-source tokens-per-word and
-    // chars-per-token under the trained BPE merges
+    // X95: tokenizer fertility — per-source tokens-per-word and REAL
+    // bytes-per-token (octet_length, not character count) under the
+    // trained byte-level BPE merges
     "q111_tokenizer_fertility" ->
       s"""WITH $bpeTrainingCtes,
-         lut AS (SELECT array_to_string(syms, '') AS word,
+         lut AS (SELECT array_to_string(syms, '') AS hword,
                    len(syms)::BIGINT AS n_sub FROM w5),
          dw AS (SELECT source, unnest(string_split(text, ' ')) AS word
                 FROM documents)
          SELECT source, count(*) AS n_words, sum(n_sub)::BIGINT AS n_tokens,
-                CAST(sum(length(word)) AS BIGINT) AS n_chars,
+                CAST(sum(strlen(word)) AS BIGINT) AS n_bytes,
                 sum(n_sub)::DOUBLE / count(*)::DOUBLE AS fertility,
-                sum(length(word))::DOUBLE / sum(n_sub)::DOUBLE AS chars_per_token
-         FROM dw JOIN lut USING (word)
+                sum(strlen(word))::DOUBLE / sum(n_sub)::DOUBLE
+                  AS bytes_per_token
+         FROM dw JOIN lut ON hex(word) = hword
          WHERE word <> '' GROUP BY 1 ORDER BY 1""",
 
     // X82: per-key probe-side counts, top-10 heavy keys, max/mean skew
@@ -2896,6 +2908,31 @@ object CorpusOracles {
          SELECT '(other)', CAST(sum(n) AS BIGINT), TRUE FROM cnt
          WHERE token NOT IN (SELECT token FROM top)
          ORDER BY n DESC, token""",
+
+    // X169: byte-level BPE trained on a SECOND corpus (part names, 8
+    // rounds) — the generality row for the byte alphabet: merges are
+    // UTF-8-byte hex sequences, sym_bytes is each symbol's REAL byte
+    // width (len(hex)/2), and the twin replays all 8 rounds (see
+    // bpeByteCtes)
+    "q180_bpe_byte_train" -> {
+      val ctes = bpeByteCtes(8,
+        "SELECT unnest(string_split(p_name, ' ')) AS word FROM part")
+      val mergeUnion = (1 to 8).map { i =>
+        s"""SELECT 'merge' AS kind, CAST($i AS BIGINT) AS rnk, l AS left_sym,
+                   r AS right_sym, len(l || r) // 2 AS sym_bytes,
+                   CAST(n AS BIGINT) AS weight FROM b$i"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $ctes,
+         vs AS (SELECT unnest(syms) AS sym, wc FROM w8),
+         vocab AS (SELECT sym, sum(wc) AS f FROM vs GROUP BY 1),
+         topv AS (SELECT 'symbol' AS kind,
+                    CAST(row_number() OVER (ORDER BY f DESC, sym) AS BIGINT) AS rnk,
+                    sym AS left_sym, '' AS right_sym,
+                    len(sym) // 2 AS sym_bytes, CAST(f AS BIGINT) AS weight
+                  FROM vocab ORDER BY f DESC, sym LIMIT 20)
+         SELECT * FROM ($mergeUnion UNION ALL SELECT * FROM topv)
+         ORDER BY kind, rnk"""
+    },
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

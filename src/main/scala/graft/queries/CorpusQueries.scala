@@ -76,11 +76,13 @@ object CorpusQueries {
       "doc_id", "text", n = 3, threshold = 0.5)
 
   /** The session-shared trained-BPE artifact at the suite's standard
-    * geometry (5 merge rounds over `documents.text`) — trained once,
-    * consumed by q103/q104/q111 ([[graft.operators.CurationOps]]). */
+    * geometry (5 BYTE-level merge rounds over `documents.text` —
+    * symbols are UTF-8-byte hex, [[graft.operators.BpeTrain.trainBytes]])
+    * — trained once, consumed by q103/q104/q111
+    * ([[graft.operators.CurationOps]]). */
   private def bpe(spark: SparkSession, dir: String): CurationOps.BpeModel =
     CurationOps.bpeModel(spread(Tables.load(spark, dir, "documents")), dir,
-      "text", rounds = 5)
+      "text", rounds = 5, byteLevel = true)
 
   /** The session-shared mutual-5-NN graph artifact (block-grid pass run
     * once; q123/q131/q139 are reads over it —
@@ -1380,6 +1382,35 @@ object CorpusQueries {
     mdf.union(vocab).orderBy("kind", "rnk")
   }
 
+  /** Byte-level BPE on a SECOND corpus (X169): 8 merge rounds over part
+    * names — the generality row for the byte alphabet (the tokenizer
+    * family trains on `documents.text`; this proves the machinery is
+    * corpus-agnostic). Output mirrors q103's merge+vocab shape plus
+    * `sym_bytes`, each symbol's REAL byte width (hex length / 2). Same
+    * scale shape as q103: corpus scanned once into the word-type table,
+    * rounds on the type table, one scalar driver sync per round. */
+  def bpeByteTrainParts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = CurationOps.bpeModel(
+      spread(Tables.load(spark, dir, "part")), dir + "#part", "p_name",
+      rounds = 8, byteLevel = true)
+    val mdf = spark.createDataFrame(
+        model.merges.map(m => ("merge", m.round.toLong, m.left, m.right,
+          (m.left.length + m.right.length) / 2L, m.weight)))
+      .toDF("kind", "rnk", "left_sym", "right_sym", "sym_bytes", "weight")
+    val byFreq = Window.orderBy(desc("f"), asc("sym"))
+    val vocab = model.words
+      .select(explode(col("syms")).as("sym"), col("wc"))
+      .groupBy("sym").agg(sum("wc").as("f"))
+      .orderBy(desc("f"), asc("sym")).limit(20)
+      .select(lit("symbol").as("kind"),
+        row_number().over(byFreq).cast("long").as("rnk"),
+        col("sym").as("left_sym"), lit("").as("right_sym"),
+        (length(col("sym")) / 2).cast("long").as("sym_bytes"),
+        col("f").as("weight"))
+    mdf.union(vocab).orderBy("kind", "rnk")
+  }
+
   /** BPE corpus tokenization (X88): apply the 5 learned merges (X87) to
     * every document via a word → subword-count lookup join — the
     * train-then-tokenize round trip a pipeline runs at 100 TB. The
@@ -1390,19 +1421,22 @@ object CorpusQueries {
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(Tables.load(spark, dir, "documents"))
     val words = bpe(spark, dir).words
-    val lut = words.select(array_join(col("syms"), "").as("word"),
+    // byte-level symbols: a word-type's joined syms ARE the word's hex
+    val lut = words.select(array_join(col("syms"), "").as("hword"),
       size(col("syms")).cast("long").as("n_sub"))
     d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
-      .join(lut, "word")
+      .withColumn("hword", hex(col("word")))
+      .join(lut, "hword")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
       .orderBy("doc_id")
   }
 
   /** Tokenizer fertility report (X95): the standard tokenizer-quality
-    * evaluation — per-source tokens-per-word (fertility) and
-    * chars-per-token under the trained BPE merges (q103/q104 machinery).
+    * evaluation — per-source tokens-per-word (fertility) and REAL
+    * bytes-per-token (octet_length of the raw words over subword count)
+    * under the trained byte-level BPE merges (q103/q104 machinery).
     * A source whose fertility spikes is one the tokenizer undertrained
     * on; the report is the signal for re-weighting tokenizer training
     * data. All aggregates are integer sums; the two ratios are single
@@ -1410,19 +1444,20 @@ object CorpusQueries {
   def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(Tables.load(spark, dir, "documents"))
     val words = bpe(spark, dir).words
-    val lut = words.select(array_join(col("syms"), "").as("word"),
+    val lut = words.select(array_join(col("syms"), "").as("hword"),
       size(col("syms")).cast("long").as("n_sub"))
     d.select(col("source"), explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
-      .join(lut, "word")
+      .withColumn("hword", hex(col("word")))
+      .join(lut, "hword")
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_tokens"),
-        sum(length(col("word")).cast("long")).as("n_chars"))
-      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        sum(octet_length(col("word")).cast("long")).as("n_bytes"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_bytes"),
         (col("n_tokens").cast("double") / col("n_words").cast("double"))
           .as("fertility"),
-        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
-          .as("chars_per_token"))
+        (col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+          .as("bytes_per_token"))
       .orderBy("source")
   }
 

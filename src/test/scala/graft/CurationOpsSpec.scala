@@ -141,8 +141,9 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(CurationOps.bpeDerivationCount - before == 1,
       "three tokenizer consumers must trigger exactly one BPE training")
 
-    // merge rows must equal a fresh unshared training run
-    val fresh = BpeTrain.train(
+    // merge rows must equal a fresh unshared training run (byte-level —
+    // the suite's tokenizer geometry since round 7)
+    val fresh = BpeTrain.trainBytes(
       Tables.load(spark, sf, "documents"), "text", rounds = 5)._1
     val gotMerges = trained.filter(_.getString(0) == "merge")
       .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toSet

@@ -495,6 +495,39 @@ class PipelineExtSpec extends AnyFunSuite {
     assert(vocab("the") === 5L && vocab("cat") === 4L && vocab("eat") === 2L)
   }
 
+  test("byte-level BPE: UTF-8 byte atoms, multibyte code points merge like any pair") {
+    // "héllo" is 6 UTF-8 bytes (é = C3 A9): the byte alphabet must see
+    // 6 atoms where the char variant sees 5, and the first merge on
+    // this corpus is the é byte pair itself (most frequent adjacency)
+    val docs = Seq("héllo héllo héllo", "hello héllo").toDF("text")
+    val (merges, words) = graft.operators.BpeTrain.trainBytes(docs, "text", rounds = 4)
+    // every atom/merged symbol is an even-length uppercase hex string
+    val syms = words.select(explode(col("syms")).as("s")).collect()
+      .map(_.getString(0))
+    assert(syms.forall(s => s.length % 2 == 0 && s.matches("[0-9A-F]+")))
+    // hand-replayed rounds: héllo = 68 C3 A9 6C 6C 6F (wc 4),
+    // hello = 68 65 6C 6C 6F (wc 1) →
+    //   r1 (6C,6C) n=5; r2 (6C6C,6F) n=5; r3 (68,C3) n=4;
+    //   r4 fuses é's SECOND byte onto the h+C3 symbol: (68C3,A9) n=4
+    assert(merges.map(m => (m.round, m.left, m.right, m.weight)) === Seq(
+      (1, "6C", "6C", 5L), (2, "6C6C", "6F", 5L),
+      (3, "68", "C3", 4L), (4, "68C3", "A9", 4L)))
+    // the trained types reassemble to the words' exact hex
+    val joined = words.select(array_join(col("syms"), "").as("h")).collect()
+      .map(_.getString(0)).toSet
+    assert(joined.contains("68C3A96C6C6F")) // hex(héllo)
+    assert(joined.contains("68656C6C6F"))   // hex(hello)
+  }
+
+  test("byte-level BPE equals char-level on a pure-ASCII corpus (modulo hex naming)") {
+    val docs = Seq("the cat sat on the mat", "the cats eat the fish").toDF("text")
+    val charM = graft.operators.BpeTrain.train(docs, "text", 3)._1
+    val byteM = graft.operators.BpeTrain.trainBytes(docs, "text", 3)._1
+    def hex(s: String) = s.getBytes("UTF-8").map("%02X".format(_)).mkString
+    assert(byteM.map(m => (m.round, m.left, m.right, m.weight)) ===
+      charM.map(m => (m.round, hex(m.left), hex(m.right), m.weight)))
+  }
+
   test("BPE training is layout-independent") {
     val docs = Seq("aa ab aa ba", "ab aa bb aa").toDF("text")
     val a = graft.operators.BpeTrain.train(docs, "text", 3)._1

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [--json PATH]
+
+With --json, also writes a driver-shaped correctness artifact
+({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) so a committed CORRECTNESS_LOCAL_sf01.json can
+carry the sf0.1 hash evidence the driver file (sf0.01) does not.
 
 Reads each <verify_out_dir>/<name>/ parquet (Spark result) and runs
 <verify_out_dir>/oracle_sql.json[<name>] in DuckDB over the parquet tables
@@ -22,25 +27,40 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
+    report = {}
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = 0
+    def record(name, rows=False, schema=False, values=False,
+               sr=None, orr=None, err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": values, "spark_rows": sr,
+                        "oracle_rows": orr, "err": err}
     for name in sorted(oracle):
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            record(name, err="no spark output"); continue
         try:
             got = norm(pd.concat([pd.read_parquet(f) for f in sorted(spark_files)]))
             want = norm(con.execute(oracle[name]).fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            record(name, err=str(e)[:300]); continue
         if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1
+            record(name, sr=len(got), orr=len(want),
+                   err=f"columns {list(got.columns)} vs {list(want.columns)}"); continue
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1
+            record(name, schema=True, sr=len(got), orr=len(want),
+                   err=f"rows {len(got)} vs {len(want)}"); continue
         bad = []
         for c in got.columns:
             a, b = got[c].values, want[c].values
@@ -65,9 +85,15 @@ def main():
                     i = int(np.argmin(eq.values)); bad.append(f"{c}[{i}]: {a[i]!r} vs {b[i]!r}")
         if bad:
             print(f"FAIL {name}: " + "; ".join(bad[:4])); n_fail += 1
+            record(name, rows=True, schema=True, sr=len(got), orr=len(want),
+                   err="; ".join(bad[:4])[:300])
         else:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            record(name, rows=True, schema=True, values=True,
+                   sr=len(got), orr=len(want))
     print(f"== {n_pass} pass, {n_fail} fail")
+    if json_path:
+        json.dump(report, open(json_path, "w"), indent=1)
     sys.exit(1 if n_fail else 0)
 
 main()
