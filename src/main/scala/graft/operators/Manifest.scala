@@ -28,11 +28,27 @@ object Manifest {
   /** (shard, n_docs, shard_hash) per shard plus a root row
     * (shard = −1, total docs, root hash). */
   def corpusManifest(docs: DataFrame, idCol: String, textCol: String,
-      shards: Int = 64): DataFrame = {
-    val f = docs.select(
+      shards: Int = 64): DataFrame =
+    rollup(docs.select(
       pmod(TextFunctions.md5Hash56(col(idCol).cast("string")),
         lit(shards.toLong)).as("shard"),
-      TextFunctions.fingerprint(col(textCol)).as("fp"))
+      TextFunctions.fingerprint(col(textCol)).as("fp")))
+
+  /** Manifest over ALREADY-SHARDED exact lines (the export-sink face,
+    * [[graft.sources.Sinks.exportJsonl]]): member digests are md5 of
+    * the VERBATIM line bytes — no content normalization, because here
+    * the manifest guards a serialized artifact where every byte is
+    * contractual — and the shard column is whatever assignment the
+    * writer used, so a receiver recomputing this over the files it
+    * read gets bit-equality iff nothing was lost or tampered. */
+  def linesManifest(lines: DataFrame, shardCol: String,
+      lineCol: String): DataFrame =
+    rollup(lines.select(col(shardCol).cast("long").as("shard"),
+      md5(col(lineCol).cast("binary")).as("fp")))
+
+  /** The shared Merkle rollup over a (shard, fp) stream: one shard-keyed
+    * hash agg + a `shards`-row root fold. */
+  private def rollup(f: DataFrame): DataFrame = {
     val per = f.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         md5(concat_ws("", array_sort(collect_list(col("fp"))))

@@ -70,6 +70,57 @@ object Sinks {
       .partitionBy("__shard")
       .parquet(outDir)
 
+  /** End-to-end JSONL export (X170): the real serializer behind the
+    * q178 canonical assembly — every row becomes one `to_json` line
+    * (field order = schema order, so the bytes are deterministic),
+    * lines hash-shard by `idCol` exactly like [[writeSharded]]
+    * (pseudo-random reproducible membership), each shard writes as a
+    * real `__shard=N/` JSONL text file with lines in sorted order
+    * (byte-identical re-runs), and a Merkle manifest
+    * ([[graft.operators.Manifest.linesManifest]]) lands beside the
+    * data under `_manifest` — an underscore path, so readers listing
+    * the export dir never see it, while `spark.read.parquet` on the
+    * explicit path does. Returns the committed manifest.
+    *
+    * The receiving side re-derives the manifest from the files it
+    * read ([[jsonlManifest]]) and compares: equal roots ⟺ the copy is
+    * byte-perfect; a mismatch localizes to the shard rows that differ
+    * — the export/import integrity contract a 100 TB corpus handoff
+    * needs (manifest is `shards+1` rows; nothing else is re-read).
+    *
+    * Scale shape: one exchange (the shard repartition) + per-shard
+    * local sort; the manifest is one more shard-keyed agg over the
+    * same lines. */
+  def exportJsonl(df: DataFrame, outDir: String, idCol: String,
+      numShards: Int, mode: String = "overwrite"): DataFrame = {
+    val spark = df.sparkSession
+    val lines = df
+      .withColumn("__line", to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+      .withColumn("__shard",
+        pmod(TextFunctions.md5Hash56(col(idCol).cast("string")),
+          lit(numShards.toLong)))
+      .select(col("__line"), col("__shard"))
+    lines
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions("__line")
+      .write.mode(mode).partitionBy("__shard").text(outDir)
+    // manifest from the FILES just written, not the in-memory plan —
+    // the artifact guards what actually landed on disk
+    val written = spark.read.text(outDir)
+      .select(col("__shard").cast("long").as("__shard"), col("value"))
+    graft.operators.Manifest.linesManifest(written, "__shard", "value")
+      .write.mode(mode).parquet(s"$outDir/_manifest")
+    spark.read.parquet(s"$outDir/_manifest")
+  }
+
+  /** Recompute the line manifest of a JSONL export from its files —
+    * the receiver's half of the [[exportJsonl]] integrity contract. */
+  def jsonlManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Manifest.linesManifest(
+      spark.read.text(dir)
+        .select(col("__shard").cast("long").as("__shard"), col("value")),
+      "__shard", "value")
+
   /** Range-clustered layout: range-partition on the cluster columns and
     * sort within each output file, so every parquet file (and row group)
     * covers a narrow, near-disjoint range of the cluster key. Scans with

@@ -11,6 +11,55 @@ import graft.queries.CorpusQueries
 class NestExportSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("exportJsonl end-to-end: real files parse back, manifest localizes a tampered shard") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val outDir = java.nio.file.Files.createTempDirectory("jsonl-export").toString
+    val src = CorpusQueries.nestExport(spark, sf)
+    val manifest = graft.sources.Sinks
+      .exportJsonl(src, outDir, "o_orderkey", numShards = 8)
+    val manRows = manifest.collect()
+    assert(manRows.length == 9, "8 shard rows + 1 root row") // all shards hit
+    assert(manRows.count(_.getLong(0) == -1L) == 1)
+
+    // 1. the export wrote REAL jsonl files under __shard=N/
+    val shardDirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__shard="))
+    assert(shardDirs.length == 8, s"got ${shardDirs.map(_.getName).toSeq}")
+
+    // 2. parse-back equality: read.json over the files reproduces the
+    // source rows exactly (same multiset, same values)
+    val back = spark.read.json(outDir).drop("__shard")
+      .select(src.columns.map(col).toIndexedSeq: _*) // schema order
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+
+    // 3. receiver-side recompute agrees bit-for-bit with the shipped
+    // manifest (export is intact)
+    val again = graft.sources.Sinks.jsonlManifest(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val shipped = manRows
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again == shipped)
+
+    // 4. tamper ONE line of ONE shard file → recompute flags exactly
+    // that shard and the root, nothing else
+    val victim = shardDirs.minBy(_.getName).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .head
+    val victimShard = shardDirs.minBy(_.getName).getName.stripPrefix("__shard=").toLong
+    val ls = java.nio.file.Files.readAllLines(victim.toPath)
+    ls.set(0, " " + ls.get(0)) // any byte change; leading space keeps it JSON
+    java.nio.file.Files.write(victim.toPath, ls)
+    // stale .crc would make the text reader fail checksum verification
+    new java.io.File(victim.getParent, "." + victim.getName + ".crc").delete()
+    val tampered = graft.sources.Sinks.jsonlManifest(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val changed = shipped.keySet.filter(k => shipped(k) != tampered(k))
+    assert(changed == Set(victimShard, -1L),
+      s"tamper must localize to shard $victimShard + root, got $changed")
+  }
+
   test("records parse back: counts, order, totals reconcile") {
     val sf = "/root/testdata/sf0.001"
     val rows = CorpusQueries.nestExport(spark, sf).collect()
