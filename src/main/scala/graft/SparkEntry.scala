@@ -203,6 +203,7 @@ object SparkEntry {
     "q178_nest_export"        -> (CorpusQueries.nestExport(_, _)),
     "q179_topk_other"         -> (CorpusQueries.topkOther(_, _)),
     "q180_bpe_byte_train"     -> (CorpusQueries.bpeByteTrainParts(_, _)),
+    "q181_substring_dedup"    -> (CorpusQueries.substringDedupExact(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

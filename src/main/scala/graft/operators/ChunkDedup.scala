@@ -156,6 +156,86 @@ object ChunkDedup {
         md5(array_join(col("cw"), " ")).as("clean_fp"))
   }
 
+  /** EXACT duplicate-substring excision (the Lee et al. 2022 semantics
+    * [[exciseDupSpans]] approximates): excise every position that lies
+    * inside a duplicated substring of ANY length ≥ `minLen`, keeping
+    * each duplicate's corpus-first occurrence.
+    *
+    * Exactness without a suffix array, from one containment fact: a
+    * substring of length ≥ L occurs twice iff each of its L-token
+    * windows occurs twice at the aligned offsets — so the set of
+    * positions inside SOME duplicated ≥L-substring is EXACTLY the
+    * union of positions covered by duplicated L-grams at stride 1.
+    * [[exciseDupSpans]]'s strided fixed windows miss spans shorter
+    * than `win` by construction; this operator's only length floor is
+    * `minLen` itself. Retention is the house keep-first rule (D1):
+    * per distinct L-gram the lexicographically smallest (doc, start)
+    * occurrence survives, every other occurrence's coverage is
+    * excised — for a long span duplicated wholesale, that keeps the
+    * first copy intact and removes the others in full.
+    *
+    * Plan shape (the suffix-ranking the literature reaches for has no
+    * bounded-memory distributed form; this does): gram fingerprints
+    * are expression work in the scan (text never leaves the map
+    * stage); keeper+count is ONE partial-aggregatable hash agg on fp;
+    * flagging joins back on the fp key that agg just partitioned by;
+    * span merge is a per-doc window over start offsets; the one join
+    * that touches text again is doc-keyed. Every exchange carries
+    * md5 fingerprints and start offsets only — at 100 TB the shuffled
+    * bytes are ~24/gram regardless of document size. Stride 1 costs
+    * L× the strided variant's gram count on the map side; that is the
+    * price of exactness and it is scan-local, not shuffled. */
+  def exciseDupSpansExact(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen > 0, s"minLen=$minLen must be positive")
+
+    val base = df.select(col(idCol).cast("long").as("id"),
+      split(col(textCol), " ").as("w"))
+
+    val grams = base
+      .where(size(col("w")) >= minLen)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $minLen),
+              s -> struct(CAST(s AS BIGINT) AS start,
+                          md5(array_join(slice(w, s + 1, $minLen), ' ')) AS fp))"""))
+        .as("c"))
+      .select(col("id"), col("c.start").as("start"), col("c.fp").as("fp"))
+
+    val dupFp = grams.groupBy("fp")
+      .agg(min(struct(col("id"), col("start"))).as("keeper"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+    val dupOcc = grams.join(dupFp, "fp") // co-partitioned with the agg
+      .where(struct(col("id"), col("start")) =!= col("keeper"))
+      .select("id", "start")
+
+    // stride-1 intervals all have length minLen, so ends are ordered
+    // like starts and the previous interval IS the running max — a new
+    // island opens exactly when this gram starts past the previous end
+    val byDoc = Window.partitionBy("id").orderBy("start")
+    val perDoc = dupOcc
+      .withColumn("ni", when(
+        col("start") > coalesce(lag(col("start"), 1).over(byDoc) + lit(minLen.toLong),
+          lit(-1L)), lit(1L)).otherwise(lit(0L)))
+      .groupBy("id").agg(
+        sort_array(collect_list(col("start"))).as("starts"),
+        count(lit(1)).as("n_dup_grams"),
+        sum("ni").as("n_spans"))
+
+    base.join(perDoc, Seq("id"), "left")
+      .withColumn("starts_c",
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("cw",
+        expr(s"filter(w, (t, i) -> NOT exists(starts_c, s -> i >= s AND i < s + $minLen))"))
+      .select(col("id").as(idCol),
+        size(col("w")).cast("long").as("n_tok"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (size(col("w")) - size(col("cw"))).cast("long").as("n_removed"),
+        md5(array_join(col("cw"), " ")).as("clean_fp"))
+  }
+
   /** `ceil(n_tokens / size)` fixed-size chunks of the token stream as a
     * pure expression — fuses into the scan stage, no explode needed to
     * build the chunks themselves. `floor` over the double quotient is

@@ -2909,6 +2909,41 @@ object CorpusOracles {
          WHERE token NOT IN (SELECT token FROM top)
          ORDER BY n DESC, token""",
 
+    // X171: EXACT duplicate-substring excision — stride-1 8-gram
+    // coverage union with keep-first retention (rk 1 per fingerprint
+    // survives); mirrors the q102 skeleton but with per-occurrence
+    // keeper ranking instead of all-occurrence flagging
+    "q181_substring_dedup" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, u.start AS start, u.fp AS fp FROM (
+                 SELECT doc_id, unnest(list_transform(range(0, len(w) - 7),
+                   s -> struct_pack(start := s,
+                     fp := md5(array_to_string(w[s+1:s+8], ' '))))) AS u
+                 FROM b WHERE len(w) >= 8)),
+         r AS (SELECT doc_id, start,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rk,
+                 count(*) OVER (PARTITION BY fp) AS n
+               FROM g),
+         f AS (SELECT doc_id, start FROM r WHERE n >= 2 AND rk >= 2),
+         il AS (SELECT doc_id, start,
+                  CASE WHEN start > coalesce(lag(start) OVER (PARTITION BY doc_id
+                                                              ORDER BY start) + 8, -1)
+                       THEN 1 ELSE 0 END AS ni
+                FROM f),
+         ag AS (SELECT doc_id, list_sort(list(start)) AS starts,
+                  count(*) AS ng, sum(ni) AS ns FROM il GROUP BY 1),
+         fin AS (SELECT b.doc_id, len(b.w)::BIGINT AS n_tok,
+                   coalesce(ng, 0)::BIGINT AS n_dup_grams,
+                   coalesce(ns, 0)::BIGINT AS n_spans,
+                   list_filter(b.w, (t, i) ->
+                     len(list_filter(coalesce(starts, CAST([] AS BIGINT[])),
+                         s -> i - 1 >= s AND i - 1 < s + 8)) = 0) AS cw
+                 FROM b LEFT JOIN ag USING (doc_id))
+         SELECT doc_id, n_tok, n_dup_grams, n_spans,
+                (n_tok - len(cw))::BIGINT AS n_removed,
+                md5(coalesce(array_to_string(cw, ' '), '')) AS clean_fp
+         FROM fin ORDER BY doc_id""",
+
     // X169: byte-level BPE trained on a SECOND corpus (part names, 8
     // rounds) — the generality row for the byte alphabet: merges are
     // UTF-8-byte hex sequences, sym_bytes is each symbol's REAL byte

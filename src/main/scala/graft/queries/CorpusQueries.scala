@@ -1357,6 +1357,21 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** EXACT duplicate-substring excision (X171, the Lee et al. 2022
+    * semantics q102 approximates): every position inside a duplicated
+    * substring of ANY length ≥ 8 tokens is excised, keep-first — q102's
+    * 20-token strided windows are blind to spans in [8, 20) by
+    * construction (the round-6 verdict's documented gap; the fixture
+    * spec exhibits a 10-token duplicate only this query removes). See
+    * [[graft.operators.ChunkDedup.exciseDupSpansExact]] for why
+    * stride-1 L-gram coverage union IS exact, and for the
+    * hashes-and-offsets-only shuffle shape. */
+  def substringDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(Tables.load(spark, dir, "documents"))
+    ChunkDedup.exciseDupSpansExact(d, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id")
+  }
+
   /** BPE tokenizer training (X87): 5 merge rounds learned from the
     * corpus plus the resulting top-20 subword vocabulary — the corpus is
     * scanned once (wordcount), every round runs on the word-type table,

@@ -469,6 +469,44 @@ class PipelineExtSpec extends AnyFunSuite {
       (4L, 1L, 0L, 0L, 0L, md5hex("short"))))
   }
 
+  test("exact substring dedup: keep-first over a 10-token dup the 20-window variant misses") {
+    // one 10-token passage duplicated across two docs, unique elsewhere
+    val span = (1 to 10).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"u1 u2 $span u3 u4"),
+      (1L, s"v1 v2 v3 $span v4"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14")
+    ).toDF("doc_id", "text")
+    // the round-6 operator at its q102 geometry is blind to it
+    val old = ChunkDedup.exciseDupSpans(docs, "doc_id", "text",
+        win = 20, stride = 10, minCount = 2)
+      .orderBy("doc_id").collect()
+    assert(old.forall(_.getAs[Long]("n_removed") == 0L),
+      "fixed 20-token windows must miss the 10-token duplicate (the documented gap)")
+    // the exact operator excises the SECOND occurrence only (keep-first)
+    val exact = ChunkDedup.exciseDupSpansExact(docs, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_fp")))
+    assert(exact.toSeq === Seq(
+      (0L, 0L, 0L, md5hex(s"u1 u2 $span u3 u4")), // first occurrence intact
+      (1L, 1L, 10L, md5hex("v1 v2 v3 v4")),       // second excised whole
+      (2L, 0L, 0L, md5hex("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"))))
+  }
+
+  test("exact substring dedup: layout-independent") {
+    val span = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq((0L, s"a $span b"), (1L, s"c d $span"), (2L, s"e $span f g"))
+      .toDF("doc_id", "text")
+    val a = ChunkDedup.exciseDupSpansExact(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = ChunkDedup.exciseDupSpansExact(docs.repartition(7), "doc_id", "text", 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // keep-first: doc 0 keeps the span, docs 1 and 2 lose it
+    assert(a.map(_.getAs[Long]("n_removed")).sum == 18L)
+  }
+
   test("span excision: layout-independent (result survives repartitioning)") {
     val a = ChunkDedup.exciseDupSpans(spanFixture, "doc_id", "text", 2, 1, 2)
       .orderBy("doc_id").collect().toSeq
