@@ -204,6 +204,10 @@ object SparkEntry {
     "q179_topk_other"         -> (CorpusQueries.topkOther(_, _)),
     "q180_bpe_byte_train"     -> (CorpusQueries.bpeByteTrainParts(_, _)),
     "q181_substring_dedup"    -> (CorpusQueries.substringDedupExact(_, _)),
+    "q182_rollup"             -> (StarQueries.q182Rollup(_, _)),
+    "q183_pivot"              -> (StarQueries.q183Pivot(_, _)),
+    "q184_json_props"         -> (StarQueries.q184JsonProps(_, _)),
+    "q185_window_suite"       -> (StarQueries.q185WindowSuite(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

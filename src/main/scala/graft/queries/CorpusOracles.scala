@@ -2944,6 +2944,49 @@ object CorpusOracles {
                 md5(coalesce(array_to_string(cw, ' '), '')) AS clean_fp
          FROM fin ORDER BY doc_id""",
 
+    // X172: one-pass ROLLUP grouping sets, sentinel-coalesced levels
+    "q182_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+
+    // X173: declared-domain pivot = 5 conditional counts in one agg
+    "q183_pivot" ->
+      """SELECT user_id % 8 AS segment,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // X174: JSON path extraction fused into the scan projection
+    "q184_json_props" ->
+      """SELECT event_type, count(*) AS n,
+                min(json_extract(props, '$.k')::BIGINT) AS k_min,
+                max(json_extract(props, '$.k')::BIGINT) AS k_max,
+                CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS k_sum
+         FROM events
+         WHERE json_extract(props, '$.k')::BIGINT IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+
+    // X175: ntile / percent_rank / cume_dist over a unique order
+    "q185_window_suite" ->
+      """SELECT s_nationkey, s_suppkey,
+                CAST(round(s_acctbal * 100) AS BIGINT) AS bal,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM supplier
+         WINDOW w AS (PARTITION BY s_nationkey
+                      ORDER BY CAST(round(s_acctbal * 100) AS BIGINT), s_suppkey)
+         ORDER BY s_nationkey, s_suppkey""",
+
     // X169: byte-level BPE trained on a SECOND corpus (part names, 8
     // rounds) — the generality row for the byte alphabet: merges are
     // UTF-8-byte hex sequences, sym_bytes is each symbol's REAL byte

@@ -384,6 +384,74 @@ object StarQueries {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
+  /** Hierarchical rollup (X172): revenue + counts at (flag, status),
+    * per-flag subtotal, and grand total from ONE pass — Spark's
+    * `rollup` expands to grouping sets inside a single Expand+hash-agg
+    * (no self-union of three aggregations), exactly the multi-grain
+    * readout a reporting layer asks of 100 TB of fact rows. Exact
+    * cents-long sums; grouping levels surfaced by coalescing the
+    * rolled-up keys to 'ALL' (flag/status are non-null by schema, so
+    * the sentinel is unambiguous and engine-portable — DuckDB's
+    * GROUPING() bitmask and Spark's grouping_id() need not align). */
+  def q182Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("cents"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Pivot (X173): long→wide event counts per user segment — the
+    * reshape every dashboard export runs. Pivot VALUES are declared
+    * (the 5-type domain), so the plan is one hash agg with 5
+    * conditional counts — no distinct-values pre-scan, no second
+    * shuffle — and the twin is plain FILTERed aggregation. Absent
+    * combinations are 0 (count semantics), matching both engines. */
+  def q183Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(8L)).as("segment"), col("event_type"))
+      .groupBy("segment")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("segment")
+
+  /** JSON path extraction (X174): the semi-structured `props` column
+    * (the reference's raw layer is exactly such nested JSON) read with
+    * `get_json_object` INSIDE the scan projection — parse and extract
+    * fuse into the map stage, only (type, k) longs reach the agg. */
+  def q184JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("k_min"),
+        max("k").as("k_max"), sum("k").as("k_sum"))
+      .orderBy("event_type")
+
+  /** Distribution-rank window suite (X175): ntile/percent_rank/
+    * cume_dist — the three rank-family functions the suite had not
+    * exercised — over a UNIQUE (bal, suppkey) order so tie semantics
+    * cannot diverge between engines; percent_rank's (rank−1)/(n−1)
+    * and cume_dist's rank/n are single IEEE divisions, portable. One
+    * keyed window, state = one nation's suppliers. */
+  def q185WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("bal"), col("s_suppkey"))
+    Tables.load(spark, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        round(col("s_acctbal") * 100).cast("long").as("bal"))
+      .select(col("s_nationkey"), col("s_suppkey"), col("bal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),
