@@ -73,30 +73,25 @@ object Coreset {
     val ranks = chosen.map(_._1).zipWithIndex
       .map { case (id, i) => (id, i + 1) }
       .toDF("vec_id", "sel_rank")
-    val ce = broadcast(chosen.toDF("center_id", "cvec")
-      .withColumn("ncv", sqrt(Vectors.dot(col("cvec"), col("cvec")))))
-    c.crossJoin(ce)
-      .withColumn("csim",
-        Vectors.dot(col("cvec"), col("e")) / (col("ncv") * col("nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("center_id"), col("csim")),
-        struct(col("csim"), negate(col("center_id")))).as("best"))
+    // chosen is driver state → final assignment is the KMeansExact
+    // static unroll (greatest over k codegen'd score structs): no
+    // crossJoin row expansion, no per-vector groupBy exchange
+    val scores = KMeansExact.centScores(chosen)
+    val best = if (scores.length == 1) scores.head else greatest(scores: _*)
+    c.select(col("vec_id"), best.getField("cid").as("center_id"),
+        best.getField("csim").as("csim"))
       .join(broadcast(ranks), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("best.center_id").as("center_id"),
-        col("best.csim").as("csim"), col("sel_rank"))
+      .select(col("vec_id"), col("center_id"), col("csim"), col("sel_rank"))
   }
 
-  /** One scan: per corpus vector, the max cosine to the chosen set. */
+  /** One scan: per corpus vector, the max cosine to the chosen set —
+    * `greatest` over the statically-unrolled per-center cosines (max
+    * over doubles = struct-free greatest; NaN ordering identical), no
+    * crossJoin, no re-group. */
   private def maxSimToChosen(
       c: DataFrame, chosen: Seq[(Long, Array[Double])]): DataFrame = {
-    val spark = c.sparkSession
-    import spark.implicits._
-    val ce = broadcast(chosen.toDF("cid", "cvec")
-      .withColumn("ncv", sqrt(Vectors.dot(col("cvec"), col("cvec")))))
-    c.crossJoin(ce)
-      .withColumn("csim",
-        Vectors.dot(col("cvec"), col("e")) / (col("ncv") * col("nrm")))
-      .groupBy(col("vec_id"))
-      .agg(max(col("csim")).as("maxsim"), first(col("e")).as("e"))
+    val sims = KMeansExact.centScores(chosen).map(_.getField("csim"))
+    val m = if (sims.length == 1) sims.head else greatest(sims: _*)
+    c.select(col("vec_id"), m.as("maxsim"), col("e"))
   }
 }

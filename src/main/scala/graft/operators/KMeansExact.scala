@@ -130,7 +130,7 @@ object KMeansExact {
     * what was computable in the row). The driver-side norm replays the
     * engine's kernel exactly: sequential in-order fold + sqrt, the same
     * IEEE op sequence [[graft.functions.DotProduct]] evaluates. */
-  private def centScores(cents: Seq[(Long, Array[Double])]): Seq[Column] =
+  private[operators] def centScores(cents: Seq[(Long, Array[Double])]): Seq[Column] =
     cents.map { case (cid, vec) =>
       var s = 0.0
       var i = 0

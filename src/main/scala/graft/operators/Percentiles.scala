@@ -196,6 +196,45 @@ object Percentiles {
     ranked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
   }
 
+  /** Order statistics at CALLER-SUPPLIED integer ranks — the
+    * [[exactGridded]] machinery with each probe rank an arbitrary
+    * expression of the per-key total (so nearest-rank cut formulas
+    * like `(5n+99) div 100` probe exactly, no fraction rounding in
+    * between). Returns one row per key: the value at each probed rank
+    * plus the key's total `n`. Same plan shape as [[exactGridded]]:
+    * no stats pass, only bracketing buckets are ranked. */
+  def valuesAtRanks(df: DataFrame, key: String, value: String,
+      probes: Seq[(String, Column => Column)],
+      gridWidth: Double): DataFrame = {
+    require(gridWidth > 0, s"gridWidth=$gridWidth must be positive")
+    val base = df.select(col(key), col(value).cast("double").as("__v"))
+    val bucketed = base.withColumn("__b",
+      floor(col("__v") / lit(gridWidth)).cast("long"))
+    val offsets = bucketed.groupBy(col(key), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off",
+        coalesce(sum("__bn").over(
+          Window.partitionBy(key).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__kn", sum("__bn").over(Window.partitionBy(key)))
+    val kn = col("__kn")
+    val neededBuckets = offsets.filter(
+      probes.map { case (_, r) =>
+        col("__off") < r(kn) && r(kn) <= col("__off") + col("__bn")
+      }.reduce(_ || _))
+      .select(col(key), col("__b"), col("__off"), col("__kn"))
+    val wLocal = Window.partitionBy(col(key), col("__b")).orderBy("__v")
+    val ranked = bucketed
+      .join(broadcast(neededBuckets), Seq(key, "__b"))
+      .withColumn("__rn", col("__off") + row_number().over(wLocal))
+    val aggs = probes.map { case (nm, r) =>
+      max(when(col("__rn") === r(kn), col("__v"))).as(nm)
+    } :+ max(kn).as("__n")
+    ranked.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: probes.map { case (nm, _) => col(nm) } :+
+        col("__n").as("n"): _*)
+  }
+
   /** [[exactWeighted]] for a compressed table that is still LARGE (a
     * near-continuous value domain — prices, amounts — where compression
     * buys little): [[exactWeighted]]'s per-key cumulative window sorts

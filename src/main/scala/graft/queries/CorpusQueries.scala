@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -2411,28 +2411,28 @@ object CorpusQueries {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-    // ONE raw scan: everything downstream (cut ranks AND the clamped
-    // sum) reads the count-compressed (flag, cents, c) table — the
-    // clamped sum is Σ clamp(v)·c, identical to re-scanning the rows
-    val cnts = li.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
-      .persist()
-    val cum = cnts.withColumn("cum", sum("c").over(
-      Window.partitionBy("flag").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = cnts.groupBy("flag").agg(sum("c").as("n"))
-    val cuts = cum.join(broadcast(n), Seq("flag"))
-      .groupBy("flag")
-      .agg(
-        min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("cents"))).as("lo"),
-        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("cents"))).as("hi"),
-        min("n").as("n"))
-    cnts.join(broadcast(cuts), Seq("flag"))
+    // straight off the raw stream (the q91 lesson applied here in
+    // round 7: the former count-compression agg — prices barely
+    // compress — cost more than everything downstream): the [p5,p95]
+    // nearest-rank cuts are order statistics at the exact integer
+    // ranks (5n+99) div 100 / (95n+99) div 100, probed through the
+    // gridded ranking pass (Percentiles.valuesAtRanks — floor(x/100.0)
+    // equals x div 100 for integer x far below 2^52), and the clamped
+    // sum is one |keys|-group agg of raw rows against the broadcast
+    // cuts. Values and verdicts identical to the compressed
+    // formulation by construction.
+    def cut(mult: Int)(kn: Column): Column =
+      floor((kn * mult + lit(99)) / lit(100.0)).cast("long")
+    val cuts = Percentiles.valuesAtRanks(li, "flag", "cents",
+        Seq("lo" -> cut(5) _, "hi" -> cut(95) _), gridWidth = 4096.0)
+      .select(col("flag"), col("lo").cast("long").as("lo"),
+        col("hi").cast("long").as("hi"), col("n"))
+    li.join(broadcast(cuts), Seq("flag"))
       .groupBy("flag")
       .agg(min("n").as("n"), min("lo").as("lo_cents"), min("hi").as("hi_cents"),
-        sum(least(greatest(col("cents"), col("lo")), col("hi")) * col("c"))
-          .as("__s"),
+        sum(least(greatest(col("cents"), col("lo")), col("hi"))).as("__s"),
         sum(when(col("cents") < col("lo") || col("cents") > col("hi"),
-          col("c")).otherwise(lit(0L))).as("n_clamped"))
+          lit(1L)).otherwise(lit(0L))).as("n_clamped"))
       .select(col("flag"), col("n"), col("lo_cents"), col("hi_cents"),
         col("n_clamped"),
         (col("__s").cast("double") / lit(100.0) / col("n").cast("double"))

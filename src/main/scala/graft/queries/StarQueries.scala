@@ -324,9 +324,11 @@ object StarQueries {
     * (graft.operators.Percentiles); interpolation matches DuckDB
     * `quantile_cont` bit-exactly. */
   def q47Percentiles(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Percentiles.exact(
+    // fixed $64 price grid (round 7): identical values for any grid —
+    // skips exact()'s per-key min/max broadcast job
+    graft.operators.Percentiles.exactGridded(
       Tables.load(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
-      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), gridWidth = 64.0)
       .orderBy("l_returnflag")
 
   /** LEFT OUTER broadcast join: every customer, with order stats where
