@@ -31,28 +31,13 @@ object Scratch {
 
     import graft.operators.NearDup
     val docs = Tables.load(spark, sfDir, "documents")
-    val n = 4
-    val threshold = 0.6
-    def sh = NearDup.hashedShingles(docs, "doc_id", "text", n)
-    time("sh_only")(sh)
-    def dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    time("dfreq")(dfreq)
-    def withDf = sh.join(dfreq, Seq("h"))
-    def prefixes = withDf
-      .groupBy(col("doc_id"))
-      .agg(max(col("n_sh")).as("n_sh"),
-        sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
-      .select(col("doc_id"), col("n_sh"),
-        explode(transform(
-          slice(col("ordered"), lit(1),
-            (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1)).cast("int")),
-          s => s.getField("h"))).as("h"))
-    time("prefixes")(prefixes)
-    def buckets = prefixes.groupBy("h")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    time("buckets")(buckets)
-    time("full_q78")(queries.CorpusQueries.setsimJoin(spark, sfDir))
+    def sh = NearDup.shingles(docs, "doc_id", "text", 3)
+    time("sh3")(sh)
+    time("full_q30")(queries.CorpusQueries.minhashLsh(spark, sfDir))
+    time("full_q120")(queries.CorpusQueries.streamingNearDedup(spark, sfDir))
+    time("full_q161")(graft.SparkEntry.queries.toMap.apply("q161_winsorized")(spark, sfDir))
+    time("full_q47")(graft.SparkEntry.queries.toMap.apply(
+      graft.SparkEntry.queries.keys.find(_.startsWith("q47")).get)(spark, sfDir))
     spark.stop()
   }
 }

@@ -208,6 +208,10 @@ object SparkEntry {
     "q183_pivot"              -> (StarQueries.q183Pivot(_, _)),
     "q184_json_props"         -> (StarQueries.q184JsonProps(_, _)),
     "q185_window_suite"       -> (StarQueries.q185WindowSuite(_, _)),
+    "q186_equiwidth_hist"     -> (StarQueries.q186EquiwidthHist(_, _)),
+    "q187_unpivot"            -> (StarQueries.q187Unpivot(_, _)),
+    "q188_bool_aggs"          -> (StarQueries.q188BoolAggs(_, _)),
+    "q189_weighted_jaccard"   -> (CorpusQueries.weightedJaccard(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

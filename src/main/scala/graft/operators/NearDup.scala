@@ -312,6 +312,53 @@ object NearDup {
     * pairs, observed at sf0.1), while a random pair at Jaccard 0.01 costs
     * ~2e-5 false candidates. The verification filter then makes every
     * *emitted* pair exact — geometry affects recall only. */
+  /** Idf-WEIGHTED Jaccard near-dup pairs (X176): plain Jaccard scores a
+    * boilerplate-shingle overlap the same as a rare-content overlap;
+    * the weighted form discounts common shingles by document frequency
+    * — `w(h) = scale div df(h)`, an INTEGER division so every weight
+    * (and both engines' sums) is exact — and scores
+    * `Σ_shared w / (W_a + W_b − Σ_shared w)` (weighted-minhash's target
+    * quantity, computed exactly).
+    *
+    * Plan shape: df as a window count over h (one exchange), per-doc
+    * weight totals one hash agg, shared-weight per pair via the
+    * [[minhashLshPairs]] bucket-expansion idiom (no theta self-join; a
+    * shingle's weight is constant within its bucket so the pair stream
+    * carries one long), totals join back on the pair's doc keys.
+    * `dfCap` is the documented valve for degenerate hot shingles —
+    * their weight is `scale div df` ≈ 0 anyway, so capping loses
+    * near-zero mass while bounding the quadratic expansion. */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, scale: Long = 1000000L,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spread = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sh = hashedShingles(docs, idCol, textCol, n).select("doc_id", "h")
+    val withW = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("w", expr(s"CAST($scale DIV df AS BIGINT)"))
+    val perDoc = withW.groupBy("doc_id").agg(sum("w").as("tw"))
+    val buckets = withW.groupBy("h")
+      .agg(min("w").as("w"), sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val capped =
+      if (dfCap == Int.MaxValue) buckets
+      else buckets.filter(size(col("ds")) <= dfCap)
+    val cw = capped
+      .repartition(spread) // round-robin before the quadratic expansion
+      .select(col("w"), exprColumn(PairCombinations(columnExpr(col("ds"))))
+        .as(Seq("doc_a", "doc_b")))
+      .groupBy("doc_a", "doc_b").agg(sum("w").as("cw"))
+    val wj = col("cw").cast("double") /
+      (col("tw_a") + col("tw_b") - col("cw")).cast("double")
+    cw.join(perDoc.select(col("doc_id").as("doc_a"), col("tw").as("tw_a")),
+        Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("tw").as("tw_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), wj.as("wjaccard"))
+      .filter(col("wjaccard") >= threshold)
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 63, numBands: Int = 21,
       threshold: Double = 0.8): DataFrame = {

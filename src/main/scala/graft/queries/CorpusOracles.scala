@@ -2987,6 +2987,62 @@ object CorpusOracles {
                       ORDER BY CAST(round(s_acctbal * 100) AS BIGINT), s_suppkey)
          ORDER BY s_nationkey, s_suppkey""",
 
+    // X176: idf-weighted Jaccard — exact integer weights scale DIV df,
+    // all-pairs twin over the shared-shingle join
+    "q189_weighted_jaccard" ->
+      s"""WITH ${shingleCteN(3)},
+         shh AS (SELECT doc_id, ${md5h56("shingle")} & ${(1L << 55) - 1} AS h
+                 FROM sh),
+         dfw AS (SELECT h, count(*) AS df FROM shh GROUP BY 1),
+         w AS (SELECT doc_id, h, 1000000 // df AS w
+               FROM shh JOIN dfw USING (h)),
+         tw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw FROM w GROUP BY 1),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.w) AS BIGINT) AS cw
+               FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                cw::DOUBLE / (ta.tw + tb.tw - cw)::DOUBLE AS wjaccard
+         FROM p JOIN tw ta ON doc_a = ta.doc_id
+                JOIN tw tb ON doc_b = tb.doc_id
+         WHERE cw::DOUBLE / (ta.tw + tb.tw - cw)::DOUBLE >= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    // X177: equi-width histogram, exact integer bucketing
+    "q186_equiwidth_hist" ->
+      """WITH li AS (SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                     FROM lineitem),
+         st AS (SELECT l_returnflag, min(cents) AS mn, max(cents) AS mx
+                FROM li GROUP BY 1)
+         SELECT li.l_returnflag,
+                ((cents - mn) * 8) // (mx - mn + 1) AS bucket,
+                count(*) AS n, min(cents) AS lo, max(cents) AS hi
+         FROM li JOIN st USING (l_returnflag)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // X178: unpivot(pivot) round-trip — 0-count combos INCLUDED
+    "q187_unpivot" ->
+      """WITH seg AS (SELECT DISTINCT user_id % 8 AS segment FROM events),
+         ty AS (SELECT unnest(['click','error','purchase','signup','view'])
+                  AS event_type),
+         c AS (SELECT user_id % 8 AS segment, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT seg.segment, ty.event_type, coalesce(c.n, 0) AS n
+         FROM seg CROSS JOIN ty
+         LEFT JOIN c ON c.segment = seg.segment AND c.event_type = ty.event_type
+         ORDER BY 1, 2""",
+
+    // X179: bool_and / bool_or / count_if aggregate suite
+    "q188_bool_aggs" ->
+      """SELECT l_returnflag,
+                bool_and(l_quantity > 0) AS all_qty_pos,
+                bool_or(l_discount > 0.05) AS any_deep_discount,
+                count(*) FILTER (WHERE l_tax = 0) AS n_tax_free,
+                count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+                count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     // X169: byte-level BPE trained on a SECOND corpus (part names, 8
     // rounds) — the generality row for the byte alphabet: merges are
     // UTF-8-byte hex sequences, sym_bytes is each symbol's REAL byte

@@ -122,6 +122,15 @@ object CorpusQueries {
       n = 3, numHashes = 63, numBands = 21, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
+  /** Idf-weighted Jaccard near-dup pairs (X176) — see
+    * [[graft.operators.NearDup.weightedJaccardPairs]]: boilerplate
+    * overlap discounted by document frequency, exact integer weights. */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    NearDup.weightedJaccardPairs(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
   /** 32-bit SimHash fingerprint per document. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.load(spark, dir, "documents"), "doc_id", "text", bits = 32)

@@ -454,6 +454,52 @@ object StarQueries {
       .orderBy("s_nationkey", "s_suppkey")
   }
 
+  /** Equi-WIDTH histogram (X177; the value-grid complement of q91's
+    * equi-depth): 8 equal price ranges per flag, bucket id by EXACT
+    * integer arithmetic `((v−mn)·8) div (mx−mn+1)` — no float in the
+    * bucketing, so the histogram replays bit-for-bit. One stats agg
+    * (3 rows, broadcast) + one |keys|·8-group agg. */
+  def q186EquiwidthHist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val stats = li.groupBy("l_returnflag")
+      .agg(min("cents").as("mn"), max("cents").as("mx"))
+    li.join(broadcast(stats), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"),
+        (((col("cents") - col("mn")) * 8).cast("long") /
+          (col("mx") - col("mn") + 1)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
+  /** UNPIVOT (X178; q183's inverse — the wide→long melt): the pivoted
+    * per-segment counts stack back to (segment, event_type, n) rows,
+    * 0-count combinations INCLUDED (pivot semantics round-trip, which
+    * a plain group-by would silently drop). `unpivot` is pure
+    * projection work — one Expand node over the 8-row pivoted table. */
+  def q187Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q183Pivot(spark, dir)
+      .unpivot(Array(col("segment")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "n")
+      .orderBy("segment", "event_type")
+
+  /** Boolean / conditional aggregate suite (X179: bool_and, bool_or,
+    * count_if — the remaining standard aggregates): per-flag data-
+    * quality style verdicts, all exact (no floats in any verdict). */
+  def q188BoolAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_qty_pos"),
+        bool_or(col("l_discount") > lit(0.05)).as("any_deep_discount"),
+        count_if(col("l_tax") === 0).as("n_tax_free"),
+        count_if(col("l_quantity") >= 25).as("n_bulk"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),

@@ -15,6 +15,34 @@ class CurationExtSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("weighted Jaccard: boilerplate overlap discounts, rare overlap scores high") {
+    // docs 0/1 share a RARE 3-shingle run; docs 2/3 share only the
+    // BOILERPLATE run that appears in every document — plain Jaccard
+    // scores both pairs equally, the idf weighting must separate them
+    val boiler = "copyright acme corp all rights reserved"
+    val rare = "quantum flux capacitor alignment notes"
+    val docs = Seq(
+      (0L, s"$boiler $rare alpha beta"),
+      (1L, s"$boiler $rare gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta iota"),
+      (3L, s"$boiler kappa lambda mu nu xi")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.NearDup.weightedJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) > pairs((2L, 3L)) * 2,
+      s"rare-content overlap must outscore boilerplate overlap: $pairs")
+    // unweighted Jaccard cannot separate them (same shared/total counts)
+    val plain = graft.operators.NearDup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(plain((0L, 1L)) - 2 * plain((2L, 3L))) < 0.35,
+      s"plain Jaccard sees similar overlap ratios: $plain")
+    // symmetry of the score construction: weights are per-shingle, so
+    // wjaccard is order-independent of which doc is a vs b
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
   test("mutual-kNN: one-sided hub edges are dropped, mutual pairs kept") {
     // k=1 neighborhoods: A↔B are each other's nearest (mutual edge);
     // C's nearest is B and D's nearest is C, but neither is reciprocated
