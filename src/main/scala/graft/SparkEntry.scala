@@ -212,6 +212,7 @@ object SparkEntry {
     "q187_unpivot"            -> (StarQueries.q187Unpivot(_, _)),
     "q188_bool_aggs"          -> (StarQueries.q188BoolAggs(_, _)),
     "q189_weighted_jaccard"   -> (CorpusQueries.weightedJaccard(_, _)),
+    "q190_star_join"          -> (StarQueries.q190StarJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2987,6 +2987,26 @@ object CorpusOracles {
                       ORDER BY CAST(round(s_acctbal * 100) AS BIGINT), s_suppkey)
          ORDER BY s_nationkey, s_suppkey""",
 
+    // X180: TPC-H Q5-shape 6-table star join, decimal-exact revenue
+    "q190_star_join" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) -
+                          CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+                        AND c_nationkey = s_nationkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+
     // X176: idf-weighted Jaccard — exact integer weights scale DIV df,
     // all-pairs twin over the shared-shingle join
     "q189_weighted_jaccard" ->

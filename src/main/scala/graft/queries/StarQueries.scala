@@ -454,6 +454,39 @@ object StarQueries {
       .orderBy("s_nationkey", "s_suppkey")
   }
 
+  /** TPC-H Q5-shape 6-table star join (X180 — the canonical multi-join
+    * benchmark shape the suite lacked; q15/q46 join dimensions only):
+    * revenue per nation for one region's LOCAL commerce (customer and
+    * supplier in the same nation) inside a one-year window. The plan
+    * the optimizer should pick — and measurably does: region/nation/
+    * customer/supplier all broadcast (pruned before the join by the
+    * pushed-down region filter), so the FACT table shuffles ZERO times
+    * before aggregation — lineitem⋈orders is the only exchange pair,
+    * and AQE turns orders (date-filtered) into a broadcast too when it
+    * fits. Revenue through DECIMAL(18,2) (the q01 rule). */
+  def q190StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region").where(col("r_name") === "ASIA")
+    val n = Tables.load(spark, dir, "nation")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.load(spark, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (dec(lit(1)) - dec(col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   /** Equi-WIDTH histogram (X177; the value-grid complement of q91's
     * equi-depth): 8 equal price ranges per flag, bucket id by EXACT
     * integer arithmetic `((v−mn)·8) div (mx−mn+1)` — no float in the
