@@ -331,19 +331,23 @@ object NearDup {
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, scale: Long = 1000000L,
       dfCap: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spread = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sh = hashedShingles(docs, idCol, textCol, n).select("doc_id", "h")
-    val withW = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .withColumn("w", expr(s"CAST($scale DIV df AS BIGINT)"))
-    val perDoc = withW.groupBy("doc_id").agg(sum("w").as("tw"))
-    val buckets = withW.groupBy("h")
-      .agg(min("w").as("w"), sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+    // df IS the bucket size: one h-keyed agg yields the doc list, the
+    // document frequency (its length) and the weight together — no
+    // window pass over the shingle stream (A/B'd: the window's full
+    // sort by h cost ~0.4 s at sf0.1 for information the collect_list
+    // already carries)
+    val buckets = sh.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .withColumn("w", expr(s"CAST($scale DIV size(ds) AS BIGINT)"))
+    val perDoc = buckets
+      .select(col("w"), explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(sum("w").as("tw"))
+    val multi = buckets.filter(size(col("ds")) > 1)
     val capped =
-      if (dfCap == Int.MaxValue) buckets
-      else buckets.filter(size(col("ds")) <= dfCap)
+      if (dfCap == Int.MaxValue) multi
+      else multi.filter(size(col("ds")) <= dfCap)
     val cw = capped
       .repartition(spread) // round-robin before the quadratic expansion
       .select(col("w"), exprColumn(PairCombinations(columnExpr(col("ds"))))
