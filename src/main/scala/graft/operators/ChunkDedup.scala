@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+
+import graft.functions.RollingGramHash
 
 /** Sub-document (chunk-level) exact deduplication.
   *
@@ -118,12 +121,17 @@ object ChunkDedup {
     val base = df.select(col(idCol).cast("long").as("id"),
       split(col(textCol), " ").as("w"))
 
+    // window fingerprints ride the O(n) rolling-gram pass
+    // ([[graft.functions.RollingGramHash]]) — the strided selection
+    // just picks every `stride`-th entry of the stride-1 hash array
     val wins = base
       .where(size(col("w")) >= win)
+      .withColumn("gh",
+        exprColumn(RollingGramHash(columnExpr(col("w")), win)))
       .select(col("id"), explode(expr(
         s"""transform(sequence(0, size(w) - $win, $stride),
               s -> struct(CAST(s AS BIGINT) AS start,
-                          md5(array_join(slice(w, s + 1, $win), ' ')) AS fp))"""))
+                          element_at(gh, CAST(s + 1 AS INT)) AS fp))"""))
         .as("c"))
       .select(col("id"), col("c.start").as("start"), col("c.fp").as("fp"))
 
@@ -195,12 +203,10 @@ object ChunkDedup {
 
     val grams = base
       .where(size(col("w")) >= minLen)
-      .select(col("id"), explode(expr(
-        s"""transform(sequence(0, size(w) - $minLen),
-              s -> struct(CAST(s AS BIGINT) AS start,
-                          md5(array_join(slice(w, s + 1, $minLen), ' ')) AS fp))"""))
-        .as("c"))
-      .select(col("id"), col("c.start").as("start"), col("c.fp").as("fp"))
+      .select(col("id"), posexplode(
+          exprColumn(RollingGramHash(columnExpr(col("w")), minLen)))
+        .as(Seq("start", "fp")))
+      .select(col("id"), col("start").cast("long").as("start"), col("fp"))
 
     val dupFp = grams.groupBy("fp")
       .agg(min(struct(col("id"), col("start"))).as("keeper"),
