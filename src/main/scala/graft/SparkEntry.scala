@@ -213,6 +213,7 @@ object SparkEntry {
     "q188_bool_aggs"          -> (StarQueries.q188BoolAggs(_, _)),
     "q189_weighted_jaccard"   -> (CorpusQueries.weightedJaccard(_, _)),
     "q190_star_join"          -> (StarQueries.q190StarJoin(_, _)),
+    "q191_bpe_budget"         -> (CorpusQueries.bpeBudget(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

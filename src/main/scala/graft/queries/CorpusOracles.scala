@@ -2987,6 +2987,27 @@ object CorpusOracles {
                       ORDER BY CAST(round(s_acctbal * 100) AS BIGINT), s_suppkey)
          ORDER BY s_nationkey, s_suppkey""",
 
+    // X181: hash-ordered greedy token budget on REAL byte-BPE subword
+    // counts (q69's cut driven by the trained tokenizer)
+    "q191_bpe_budget" ->
+      s"""WITH $bpeTrainingCtes,
+         lut AS (SELECT array_to_string(syms, '') AS hword,
+                   len(syms)::BIGINT AS n_sub FROM w5),
+         dw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+         pd AS (SELECT doc_id, source, CAST(sum(n_sub) AS BIGINT) AS n_tok,
+                  ${md5h56("doc_id::VARCHAR")} AS h
+                FROM dw JOIN lut ON hex(word) = hword
+                WHERE word <> '' GROUP BY doc_id, source),
+         c AS (SELECT doc_id, source, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM pd)
+         SELECT source, count(*) AS n_docs_kept,
+                CAST(sum(n_tok) AS BIGINT) AS subtok_kept,
+                max(cum) AS subtok_cum_at_cut
+         FROM c WHERE cum - n_tok < 2048 GROUP BY source ORDER BY source""",
+
     // X180: TPC-H Q5-shape 6-table star join, decimal-exact revenue
     "q190_star_join" ->
       """SELECT n_name,

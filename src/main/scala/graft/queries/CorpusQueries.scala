@@ -506,6 +506,38 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Token-budget selection on REAL byte-BPE subword counts (X181 —
+    * q69 budgets by whitespace tokens, the proxy every pipeline starts
+    * with; this is the same hash-ordered greedy cut driven by the
+    * trained tokenizer's ACTUAL subword counts, which is what a
+    * training-token budget means). Counts come from the shared q103/
+    * q104 model's word-type lookup — the corpus pays one word explode +
+    * one Heaps-sublinear lut join on top of q69's plan. */
+  def bpeBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val lut = bpe(spark, dir).words
+      .select(array_join(col("syms"), "").as("hword"),
+        size(col("syms")).cast("long").as("n_sub"))
+    val perDoc = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .withColumn("hword", hex(col("word")))
+      .join(lut, "hword")
+      .groupBy("doc_id", "source").agg(sum("n_sub").as("n_tok"))
+      .withColumn("h", TextFunctions.md5Hash56(col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.withColumn("cum", sum("n_tok").over(w))
+      .where(col("cum") - col("n_tok") < budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tok").as("subtok_kept"),
+        max("cum").as("subtok_cum_at_cut"))
+      .orderBy("source")
+  }
+
   /** PII redaction (X52) over synthesized contact strings (the corpus
     * text itself is clean, so the query plants an email, a phone-like
     * digit run and an IPv4 per document to exercise every pattern). */
