@@ -45,7 +45,11 @@ object ScaleSweep {
       // round-6 session-2 additions: chunk/df aggs, HITS rounds,
       // blocked fuzzy candidates, grid CDFs, k-core rounds
       "q143_boilerplate", "q145_token_hits", "q150_fuzzy_linkage",
-      "q154_ks_drift", "q162_kcore")
+      "q154_ks_drift", "q162_kcore",
+      // round-7 additions: exact substring excision, weighted Jaccard,
+      // 6-table star join, byte-BPE budget, equi-width histogram
+      "q181_substring_dedup", "q186_equiwidth_hist",
+      "q189_weighted_jaccard", "q190_star_join", "q191_bpe_budget")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

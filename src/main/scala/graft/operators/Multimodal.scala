@@ -123,6 +123,105 @@ object Multimodal {
       (h % 30 + 1).as("n_frames"))
   }
 
+  /** Typed decoded-audio features: exact integer readings (sum of
+    * squared samples instead of a float RMS, so every field is
+    * reduction-order-free and engine-portable). */
+  final case class AudioFeatures(
+      doc_id: Long, n_bytes: Long, sample_rate: Long, n_channels: Long,
+      bits_per_sample: Long, n_samples: Long, peak: Long, sum_sq: Long)
+
+  /** REAL RIFF/WAVE PCM parser — pure JVM byte arithmetic, no codec
+    * library: walks the chunk list (never assumes fixed offsets, so
+    * LIST/fact chunks between `fmt ` and `data` parse fine), reads the
+    * PCM-16 format block, and folds the sample payload into exact
+    * integer features (per-sample peak |amplitude| and Σs² — the audio
+    * analog of the image path's header-only metadata, except PCM has
+    * no cheaper header to stop at). Anything that is not a PCM-16 WAV
+    * falls back to [[fakeDecode]]-style md5 pseudo-features (marked by
+    * sample_rate = −1), so mixed batches never throw. */
+  private[graft] def wavDecode(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (le16(o) & 0xffffL) | ((le16(o + 2) & 0xffffL) << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    def fallback: AudioFeatures = {
+      val hex = md5Hex(bytes)
+      val h = java.lang.Long.parseLong(hex.substring(0, 14), 16)
+      AudioFeatures(docId, bytes.length.toLong, -1L, h % 2 + 1, 16L,
+        h % 1000, h % 32768, 0L)
+    }
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return fallback
+    var off = 12
+    var rate = -1L; var channels = -1L; var bps = -1L; var fmt = -1
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = le32(off + 4).toInt
+      if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+        fmt = le16(off + 8)
+        channels = le16(off + 10).toLong
+        rate = le32(off + 12)
+        bps = le16(off + 22).toLong
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(sz, bytes.length - dataOff)
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || bps != 16L || channels < 1 || dataOff < 0) return fallback
+    val nSamples = dataLen / (channels.toInt * 2)
+    var peak = 0L
+    var sumSq = 0L
+    var i = dataOff
+    val end = dataOff + nSamples * channels.toInt * 2
+    while (i + 1 < end + 1) {
+      val s = (le16(i) << 16) >> 16 // sign-extend
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s.toLong
+      i += 2
+    }
+    AudioFeatures(docId, bytes.length.toLong, rate, channels, bps,
+      nSamples.toLong, peak, sumSq)
+  }
+
+  /** Decode audio features from a blob table — the audio face of
+    * [[decodeFeatures]], same batched `mapPartitions` seam (blobs never
+    * pass the driver; features are the projection). */
+  def decodeAudio(blobs: DataFrame, batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, b) => wavDecode(id, b) })
+      }
+  }
+
+  /** Deterministic PCM-16 WAV synthesizer (test/fixture use): a
+    * triangle wave of `n` samples — integer sample math, so the decoded
+    * features are exactly predictable. */
+  private[graft] def synthWav(n: Int, rate: Int, amplitude: Int,
+      period: Int, extraChunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val dataLen = n * 2
+    val listLen = if (extraChunk) 12 else 0
+    tag("RIFF"); w32(4 + 24 + listLen + 8 + dataLen); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+    if (extraChunk) { tag("LIST"); w32(4); tag("INFO") }
+    tag("data"); w32(dataLen)
+    var i = 0
+    while (i < n) {
+      val ph = i % period
+      val tri = if (ph < period / 2) ph else period - ph
+      w16(((tri * 2 * amplitude / period) * (if ((i / period) % 2 == 0) 1 else -1)) & 0xffff)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
   /** Stub "resize": crop blobs to at most `maxBytes` (a real pipeline would
     * re-encode); demonstrates blob-in/blob-out partition-local transforms. */
   def resizeBlobs(blobs: DataFrame, maxBytes: Int): DataFrame = {

@@ -234,6 +234,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == Multimodal.fakeDecode(4L, notImage))
   }
 
+  test("multimodal: real RIFF/WAV PCM codec — exact header + sample features, chunk walk, fallback") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // triangle wave: 800 samples @8kHz, amplitude 1000, period 80 —
+    // fully integer, so every decoded feature is exactly predictable
+    val wav = Multimodal.synthWav(n = 800, rate = 8000, amplitude = 1000, period = 80)
+    // same audio with a LIST chunk BETWEEN fmt and data: the parser must
+    // walk chunks, not assume fixed offsets
+    val wavList = Multimodal.synthWav(800, 8000, 1000, 80, extraChunk = true)
+    val notWav = "not audio at all".getBytes("UTF-8")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("modality", StringType),
+      StructField("blob", BinaryType)))
+    val blobs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "audio/wav", wav), Row(2L, "audio/wav", wavList),
+        Row(3L, "text/plain", notWav)),
+      schema).repartition(2)
+    val out = Multimodal.decodeAudio(blobs, batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).sample_rate == 8000L && out(1L).n_channels == 1L &&
+      out(1L).bits_per_sample == 16L && out(1L).n_samples == 800L)
+    // replay the synth in plain Scala: peak and Σs² must match exactly
+    var peak = 0L; var sumSq = 0L
+    (0 until 800).foreach { i =>
+      val ph = i % 80
+      val tri = if (ph < 40) ph else 80 - ph
+      val s = (tri * 2 * 1000 / 80) * (if ((i / 80) % 2 == 0) 1 else -1)
+      peak = math.max(peak, math.abs(s.toLong)); sumSq += s.toLong * s
+    }
+    assert(out(1L).peak == peak && out(1L).sum_sq == sumSq)
+    // the LIST-chunk variant decodes IDENTICAL audio features
+    assert(out(2L).copy(doc_id = 1L, n_bytes = out(1L).n_bytes) == out(1L))
+    // non-WAV bytes fall back deterministically (sample_rate = -1 marker)
+    assert(out(3L).sample_rate == -1L)
+  }
+
   test("multimodal: resize bounds blob size; frame sampling fans out") {
     val blobs = Multimodal.asBlobTable(docs.limit(20), "doc_id", "text")
     val resized = Multimodal.resizeBlobs(blobs, maxBytes = 50)
