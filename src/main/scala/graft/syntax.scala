@@ -51,10 +51,31 @@ object syntax {
     def dedupChunks(idCol: String, textCol: String, size: Int): DataFrame =
       ChunkDedup.dedupChunks(df, idCol, textCol, size)
 
-    /** Excise corpus-repeated spans (exact-substring dedup). */
+    /** Excise corpus-repeated spans (strided-window approximation). */
     def exciseDupSpans(idCol: String, textCol: String, win: Int = 20,
         stride: Int = 10, minCount: Int = 2): DataFrame =
       ChunkDedup.exciseDupSpans(df, idCol, textCol, win, stride, minCount)
+
+    /** EXACT duplicate-substring excision: every position inside a
+      * duplicated substring of ANY length ≥ minLen, keep-first. */
+    def exciseDupSpansExact(idCol: String, textCol: String,
+        minLen: Int = 8): DataFrame =
+      ChunkDedup.exciseDupSpansExact(df, idCol, textCol, minLen)
+
+    /** Idf-weighted Jaccard near-dup pairs (boilerplate discounted). */
+    def weightedJaccardPairs(idCol: String, textCol: String, n: Int = 3,
+        threshold: Double = 0.5, scale: Long = 1000000L,
+        dfCap: Int = Int.MaxValue): DataFrame =
+      NearDup.weightedJaccardPairs(df, idCol, textCol, n, threshold, scale, dfCap)
+
+    /** Byte-level BPE training (UTF-8-byte hex symbols). */
+    def trainBpeBytes(textCol: String, rounds: Int)
+        : (Seq[BpeTrain.Merge], DataFrame) =
+      BpeTrain.trainBytes(df, textCol, rounds)
+
+    /** JSONL export with a per-shard Merkle line manifest. */
+    def exportJsonlTo(outDir: String, idCol: String, numShards: Int): DataFrame =
+      Sinks.exportJsonl(df, outDir, idCol, numShards)
 
     /** Dedup threshold calibration curve (pairs/docs surviving per τ). */
     def dedupThresholdCurve(idCol: String, textCol: String, n: Int,

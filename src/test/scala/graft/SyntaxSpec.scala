@@ -37,6 +37,23 @@ class SyntaxSpec extends AnyFunSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("round-7 facade rows forward correctly") {
+    val exact = docs.exciseDupSpansExact("doc_id", "text", minLen = 8)
+    val direct = graft.operators.ChunkDedup
+      .exciseDupSpansExact(docs, "doc_id", "text", 8)
+    assert(exact.orderBy("doc_id").collect().toSeq ==
+      direct.orderBy("doc_id").collect().toSeq)
+    val wj = docs.weightedJaccardPairs("doc_id", "text", threshold = 0.5)
+    assert(wj.count() == graft.operators.NearDup
+      .weightedJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    val (merges, _) = docs.limit(50).trainBpeBytes("text", rounds = 2)
+    assert(merges.size == 2 && merges.forall(_.left.matches("[0-9A-F]+")))
+    val out = java.nio.file.Files.createTempDirectory("syntax-jsonl").toString
+    val manifest = docs.limit(10).select("doc_id", "text")
+      .exportJsonlTo(out, "doc_id", numShards = 2)
+    assert(manifest.filter(col("shard") === -1L).head().getLong(1) == 10L)
+  }
+
   test("similarity + percentile paths forward correctly") {
     val queries = embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
