@@ -46,6 +46,11 @@ object Manifest {
     rollup(lines.select(col(shardCol).cast("long").as("shard"),
       md5(col(lineCol).cast("binary")).as("fp")))
 
+  /** Merkle rollup over an already-fingerprinted (shard, fp) table —
+    * the entry point for callers that maintain member digests
+    * themselves (e.g. the streaming export's versioned state). */
+  def fromFingerprints(f: DataFrame): DataFrame = rollup(f)
+
   /** The shared Merkle rollup over a (shard, fp) stream: one shard-keyed
     * hash agg + a `shards`-row root fold. */
   private def rollup(f: DataFrame): DataFrame = {

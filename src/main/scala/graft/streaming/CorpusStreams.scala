@@ -210,6 +210,53 @@ object CorpusStreams {
         stateDir, id), id)
     }
 
+  /** Per-batch step of [[jsonlExportIngest]]: serialize the batch as
+    * canonical JSONL under `outDir/batch=<id>/__shard=N/` (overwrite
+    * mode — a re-delivered batch rewrites ITS OWN directory, so the
+    * file sink is idempotent per batch id, the property a plain append
+    * cannot give), then merge the batch's verbatim line digests into
+    * versioned manifest state and return the rolled-up Merkle
+    * manifest. State per shard is the member-digest list — the same
+    * information [[graft.operators.Manifest.corpusManifest]] buffers
+    * per shard in batch mode — so v=N's manifest equals a full-file
+    * recompute after batch N (parity by construction, spec-asserted)
+    * and tamper localization works across batch directories. */
+  private[graft] def jsonlExportStep(batch: DataFrame, outDir: String,
+      idCol: String, numShards: Int, stateDir: String, id: Long): DataFrame = {
+    import graft.functions.TextFunctions
+    val spark = batch.sparkSession
+    batch
+      .withColumn("__line",
+        to_json(struct(batch.columns.map(col).toIndexedSeq: _*)))
+      .withColumn("__shard",
+        pmod(TextFunctions.md5Hash56(col(idCol).cast("string")),
+          lit(numShards.toLong)))
+      .select(col("__line"), col("__shard"))
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions("__line")
+      .write.mode("overwrite").partitionBy("__shard")
+      .text(s"$outDir/batch=$id")
+    val newFps = spark.read.text(s"$outDir/batch=$id")
+      .select(col("__shard").cast("long").as("shard"),
+        md5(col("value").cast("binary")).as("fp"))
+    val state = VersionedState.merge(newFps, stateDir, id)(identity)
+    graft.operators.Manifest.fromFingerprints(state)
+  }
+
+  /** Streaming face of the JSONL export sink (X183,
+    * [[graft.sources.Sinks.exportJsonl]]'s continuous twin): every
+    * micro-batch lands as real sharded JSONL files and `sink` receives
+    * the corpus-so-far Merkle manifest, maintained incrementally in
+    * versioned state — no re-read of earlier batches' files, and
+    * re-delivery recomputes both the batch directory and the manifest
+    * version instead of double-counting ([[VersionedState]]). */
+  def jsonlExportIngest(rows: DataFrame, outDir: String, idCol: String,
+      numShards: Int, stateDir: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    VersionedState.ingest(rows) { (batch, id) =>
+      sink(jsonlExportStep(batch, outDir, idCol, numShards, stateDir, id), id)
+    }
+
   /** Per-batch step of [[lateDimIngest]]: union parked state `v=id−1`
     * with the batch, resolve against the CURRENT dim snapshot, park the
     * still-unresolvable remainder as `v=id`, return the resolved rows. */
