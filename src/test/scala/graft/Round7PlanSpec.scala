@@ -43,6 +43,39 @@ class Round7PlanSpec extends AnyFunSuite {
     assert(keyless.findFirstIn(opt).isEmpty, s"keyless window in:\n$opt")
   }
 
+  test("clustered layout: a point predicate decodes ~one file's rows (row-group skipping)") {
+    // CorpusSpec asserts the file RANGES are disjoint; this asserts the
+    // payoff in the EXECUTED scan: Spark's parquet pushdown skips
+    // row groups whose min/max excludes the predicate, so the scan's
+    // numOutputRows is bounded by the one matching file's rows — not
+    // the table's. (Vanilla Spark lists all files — numFiles stays 4;
+    // the skipped ones cost a footer read, not a decode. File-LEVEL
+    // listing pruning is the table-format layer's job.)
+    val dir = java.nio.file.Files.createTempDirectory("skip-proof").toString
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val total = docs.count()
+    graft.sources.Sinks.writeClustered(docs, dir, Seq("doc_id"), numFiles = 4)
+    val probe = docs.select(org.apache.spark.sql.functions.min("doc_id"))
+      .head().getLong(0)
+    val q = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("doc_id") === probe)
+    assert(q.collect().length == 1) // execute THIS QueryExecution's plan
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScan in the plan")
+    assert(scans.head.metadata("PushedFilters").contains("EqualTo"),
+      "the point predicate must reach the parquet reader")
+    val decoded = scans.map(_.metrics("numOutputRows").value).sum
+    assert(decoded <= total / 2,
+      s"row-group skipping should decode ~1 of 4 clustered files' rows, decoded $decoded of $total")
+  }
+
   test("q80 qdigest: no recount scan — the verdict rides the gridded ranking pass") {
     // the plan must contain NO per-row conditional-count aggregate over
     // the raw stream beyond the sketch + the single ranked pass: assert
