@@ -76,6 +76,38 @@ class Round7PlanSpec extends AnyFunSuite {
       s"row-group skipping should decode ~1 of 4 clustered files' rows, decoded $decoded of $total")
   }
 
+  test("partitioned layout: directory-level pruning — the scan lists ONE partition's files") {
+    // the hive-partitioned complement of the row-group-skipping proof:
+    // a partition-column predicate must land in PartitionFilters and
+    // the executed scan's numFiles must count only the one directory
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("part-prune").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "event_type", "user_id")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(nTypes >= 3)
+    val q = spark.read.parquet(dir).where(col("event_type") === "click")
+    q.collect()
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("event_type"),
+      "the predicate must prune at the directory level, not post-scan")
+    val allFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_type="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val clickFiles = new java.io.File(s"$dir/event_type=click")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value == clickFiles,
+      s"scan should list only the click partition's $clickFiles files of $allFiles")
+  }
+
   test("q80 qdigest: no recount scan — the verdict rides the gridded ranking pass") {
     // the plan must contain NO per-row conditional-count aggregate over
     // the raw stream beyond the sketch + the single ranked pass: assert
