@@ -378,20 +378,57 @@ object CorpusOracles {
     // wide margin under the measured means, see CorpusQueries), and HLL
     // relative error vs the exact distinct (q44).
     "q35_ann_ivf_topk" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
-                TRUE AS recall_ok
-         FROM embeddings WHERE vec_id < 10""",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+          s AS (SELECT query_id, vec_id, ${cosine("qv", "embedding")} AS sim
+                FROM c, q),
+          r AS (SELECT query_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+                FROM s),
+          bf AS (SELECT query_id, rnk FROM r WHERE rnk <= 5)
+          SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                 CAST(5 AS BIGINT) AS k,
+                 count(*) = count(DISTINCT query_id) * 5 AS recall_ok
+          FROM bf""",
 
     "q49_ann_lsh_topk" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
-                TRUE AS recall_ok
-         FROM embeddings WHERE vec_id < 10""",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+          s AS (SELECT query_id, vec_id, ${cosine("qv", "embedding")} AS sim
+                FROM c, q),
+          r AS (SELECT query_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+                FROM s),
+          bf AS (SELECT query_id, rnk FROM r WHERE rnk <= 5)
+          SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                 CAST(5 AS BIGINT) AS k,
+                 count(*) = count(DISTINCT query_id) * 5 AS recall_ok
+          FROM bf""",
 
-    // X157: multi-probe LSH — same thresholded-recall verdict shape
+    // X157: multi-probe LSH — same thresholded-recall verdict shape.
+    // Like q35/q49, the twin derives the verdict THROUGH the
+    // brute-force ranking (the work the engine's recall gate also
+    // pays), so its wall-clock is an honest denominator — a constant
+    // TRUE row made the recorded ratios meaningless (round-6 note)
     "q169_ann_multiprobe" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
-                TRUE AS recall_ok
-         FROM embeddings WHERE vec_id < 10""",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+          s AS (SELECT query_id, vec_id, ${cosine("qv", "embedding")} AS sim
+                FROM c, q),
+          r AS (SELECT query_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+                FROM s),
+          bf AS (SELECT query_id, rnk FROM r WHERE rnk <= 5)
+          SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                 CAST(5 AS BIGINT) AS k,
+                 count(*) = count(DISTINCT query_id) * 5 AS recall_ok
+          FROM bf""",
 
     "q44_approx_distinct" ->
       """SELECT l_returnflag,
