@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Byte-pair-encoding tokenizer training — the step a training-data
   * pipeline runs BEFORE tokenizing 100 TB: learn the merge table from the
   * corpus itself (Sennrich et al. 2016, "Neural Machine Translation of
-  * Rare Words with Subword Units", word-level variant).
+  * Rare Words with Subword Units"). Two alphabets behind one loop:
+  * [[train]] (character atoms, the classic variant) and [[trainBytes]]
+  * (UTF-8-byte atoms as hex symbols — the GPT-2/SentencePiece-style
+  * closed alphabet the engine's tokenizer family gates on since
+  * round 7).
   *
-  * Scale shape, which is what makes word-level BPE the distributed
+  * Scale shape, which is what makes word-type-table BPE the distributed
   * algorithm of choice:
   *   - the corpus is touched EXACTLY ONCE — a wordcount scan + hash agg
   *     reduces 100 TB of text to the word-TYPE table (vocabulary), whose
