@@ -25,6 +25,9 @@ object QBench {
     spark.sparkContext.setLogLevel("WARN")
     val hot = sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("1")
     if (hot) Tables.hotCache(spark, sfDir, cpus.toInt)
+    // SPARK_GRAFT_EXPLAIN=1: print the formatted physical plan once
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -327,7 +327,20 @@ object NearDup {
     * carries one long), totals join back on the pair's doc keys.
     * `dfCap` is the documented valve for degenerate hot shingles —
     * their weight is `scale div df` ≈ 0 anyway, so capping loses
-    * near-zero mass while bounding the quadratic expansion. */
+    * near-zero mass while bounding the quadratic expansion.
+    *
+    * A/B (round 8): a split formulation — count-only df agg, lists
+    * collected only for df>1 buckets via a co-partitioned semi-join,
+    * per-doc totals decomposed as `Σ_multi w + scale·n_singleton` —
+    * was built to spare singletons the ArrayBuffer churn, and LOSES:
+    * min-of-8 clean-box 1.35 s vs 0.83 s for this one-agg shape
+    * (q00 canary 0.30 s in the same window; round 7's recorded 1.52 s
+    * was the degraded-box floor, not this plan). The extra exchanges'
+    * stage floors cost more than every singleton buffer combined, and
+    * the exchanged BYTES don't drop — collect_list partials carry the
+    * same raw (h, doc) rows the semi-join would. At cluster scale the
+    * same arithmetic holds per-wave; a singleton's buffer is one
+    * 1-element array, not a scale term. */
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, scale: Long = 1000000L,
       dfCap: Int = Int.MaxValue): DataFrame = {

@@ -2449,34 +2449,81 @@ object CorpusQueries {
     * cents sum so the mean is one division (reduction-order-free). */
   def winsorized(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val grid = 4096L
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-    // straight off the raw stream (the q91 lesson applied here in
-    // round 7: the former count-compression agg — prices barely
-    // compress — cost more than everything downstream): the [p5,p95]
-    // nearest-rank cuts are order statistics at the exact integer
-    // ranks (5n+99) div 100 / (95n+99) div 100, probed through the
-    // gridded ranking pass (Percentiles.valuesAtRanks — floor(x/100.0)
-    // equals x div 100 for integer x far below 2^52), and the clamped
-    // sum is one |keys|-group agg of raw rows against the broadcast
-    // cuts. Values and verdicts identical to the compressed
-    // formulation by construction.
-    def cut(mult: Int)(kn: Column): Column =
-      floor((kn * mult + lit(99)) / lit(100.0)).cast("long")
-    val cuts = Percentiles.valuesAtRanks(li, "flag", "cents",
-        Seq("lo" -> cut(5) _, "hi" -> cut(95) _), gridWidth = 4096.0)
-      .select(col("flag"), col("lo").cast("long").as("lo"),
-        col("hi").cast("long").as("hi"), col("n"))
-    li.join(broadcast(cuts), Seq("flag"))
-      .groupBy("flag")
-      .agg(min("n").as("n"), min("lo").as("lo_cents"), min("hi").as("hi_cents"),
-        sum(least(greatest(col("cents"), col("lo")), col("hi"))).as("__s"),
-        sum(when(col("cents") < col("lo") || col("cents") > col("hi"),
-          lit(1L)).otherwise(lit(0L))).as("n_clamped"))
+      .withColumn("__b", expr(s"cents div $grid"))
+    // The clamp rides the ranking pass (round 8, the q80 verdict-probe
+    // identity applied to sums: rank(v) >= r  <=>  v >= v_(r)).
+    // Winsorizing by VALUE equals re-pricing by RANK — rows ranked
+    // below r_lo all have v <= lo, so replacing each with lo changes
+    // exactly the true clamp amount (ties at lo replace with
+    // themselves):
+    //   ws = S_total − S_{rank<r_lo} + lo·(r_lo−1)
+    //                − S_{rank>r_hi} + hi·(n−r_hi).
+    // The per-(flag, grid-bucket) cell agg therefore carries a LONG
+    // cents sum next to its count; buckets entirely outside the cut
+    // ranks settle their S_below/S_above share on the tiny cell table,
+    // and only the ≤2 bracketing buckets per key are re-ranked — where
+    // one conditional sum finishes the partial-bucket share. No third
+    // raw-stream pass, no broadcast-cuts re-aggregation: the stream is
+    // read once for the cell agg and once (bracketing buckets only
+    // survive the broadcast join) for the ranking window. Everything
+    // stays in long arithmetic, so the mean is still one division of
+    // an exact cents sum. n_clamped counts by VALUE (strictly outside
+    // [lo,hi]) via tie-group ranks: ascending rank() at the r_lo row is
+    // #{v<lo}+1, descending rank() at the r_hi row is #{v>hi}+1 —
+    // equal values share a grid bucket (bucket id is a function of v),
+    // so bucket-local tie ranks are globally correct.
+    val wPrev = Window.partitionBy("flag").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("flag")
+    val off = li.groupBy("flag", "__b")
+      .agg(count(lit(1)).as("__bn"), sum("cents").as("__bs"))
+      .withColumn("__off", coalesce(sum("__bn").over(wPrev), lit(0L)))
+      .withColumn("__kn", sum("__bn").over(wAll))
+      .withColumn("__ks", sum("__bs").over(wAll))
+      .withColumn("__rlo", expr("(5 * __kn + 99) div 100"))
+      .withColumn("__rhi", expr("(95 * __kn + 99) div 100"))
+    val fixed = off.groupBy("flag").agg(
+      max("__kn").as("n"), max("__ks").as("__total"),
+      max("__rlo").as("__rlo"), max("__rhi").as("__rhi"),
+      coalesce(sum(when(col("__off") + col("__bn") < col("__rlo"),
+        col("__bs"))), lit(0L)).as("__below_full"),
+      coalesce(sum(when(col("__off") >= col("__rhi"),
+        col("__bs"))), lit(0L)).as("__above_full"))
+    val needed = off.filter(
+        (col("__off") < col("__rlo") &&
+          col("__rlo") <= col("__off") + col("__bn")) ||
+        (col("__off") < col("__rhi") &&
+          col("__rhi") <= col("__off") + col("__bn")))
+      .select(col("flag"), col("__b"), col("__off"),
+        (col("__kn") - col("__off") - col("__bn")).as("__doff"),
+        col("__rlo"), col("__rhi"))
+    val wAsc = Window.partitionBy("flag", "__b").orderBy("cents")
+    val wDesc = Window.partitionBy("flag", "__b").orderBy(col("cents").desc)
+    val probes = li.join(broadcast(needed), Seq("flag", "__b"))
+      .withColumn("__rn", col("__off") + row_number().over(wAsc))
+      .withColumn("__rk", col("__off") + rank().over(wAsc))
+      .withColumn("__rkd", col("__doff") + rank().over(wDesc))
+      .groupBy("flag").agg(
+        max(when(col("__rn") === col("__rlo"), col("cents"))).as("lo_cents"),
+        max(when(col("__rn") === col("__rhi"), col("cents"))).as("hi_cents"),
+        max(when(col("__rn") === col("__rlo"), col("__rk"))).as("__flo"),
+        max(when(col("__rn") === col("__rhi"), col("__rkd"))).as("__fhi"),
+        coalesce(sum(when(col("__rn") < col("__rlo"), col("cents"))),
+          lit(0L)).as("__pb"),
+        coalesce(sum(when(col("__rn") > col("__rhi"), col("cents"))),
+          lit(0L)).as("__pa"))
+    fixed.join(broadcast(probes), Seq("flag"))
       .select(col("flag"), col("n"), col("lo_cents"), col("hi_cents"),
-        col("n_clamped"),
-        (col("__s").cast("double") / lit(100.0) / col("n").cast("double"))
+        (col("__flo") - 1 + col("__fhi") - 1).as("n_clamped"),
+        ((col("__total") - col("__below_full") - col("__pb")
+          + col("lo_cents") * (col("__rlo") - 1)
+          - col("__above_full") - col("__pa")
+          + col("hi_cents") * (col("n") - col("__rhi")))
+          .cast("double") / lit(100.0) / col("n").cast("double"))
           .as("winsorized_mean"))
       .orderBy("flag")
   }
