@@ -214,6 +214,9 @@ object SparkEntry {
     "q189_weighted_jaccard"   -> (CorpusQueries.weightedJaccard(_, _)),
     "q190_star_join"          -> (StarQueries.q190StarJoin(_, _)),
     "q191_bpe_budget"         -> (CorpusQueries.bpeBudget(_, _)),
+    "q192_audio_features"     -> (CorpusQueries.audioFeatures(_, _)),
+    "q193_waiting_supplier"   -> (StarQueries.q193WaitingSupplier(_, _)),
+    "q194_two_fact_paths"     -> (StarQueries.q194TwoFactPaths(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

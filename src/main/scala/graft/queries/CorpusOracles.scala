@@ -3145,6 +3145,84 @@ object CorpusOracles {
          SELECT * FROM ($mergeUnion UNION ALL SELECT * FROM topv)
          ORDER BY kind, rnk"""
     },
+
+    // X184: TPC-H Q21-shape — the oracle is the LITERAL fact self-join
+    // with EXISTS/NOT-EXISTS; the engine's single-scan aggregate
+    // rewrite must hash-match it (that equality is the rewrite proof)
+    "q193_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20""",
+
+    // X185: two fact paths (orders revenue, events engagement) joined
+    // through the shared customer dim, decimal/cents-exact sums
+    "q194_two_fact_paths" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS order_rev
+              FROM orders GROUP BY 1),
+         e AS (SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS event_cents
+              FROM events GROUP BY 1)
+         SELECT n_name,
+                count(*) AS n_customers,
+                CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders,
+                CAST(sum(coalesce(order_rev, 0)) AS DOUBLE) AS order_revenue,
+                CAST(sum(coalesce(n_events, 0)) AS BIGINT) AS n_events,
+                CAST(sum(coalesce(event_cents, 0)) AS DOUBLE) / 100.0
+                  AS event_value,
+                CAST(count(*) FILTER (n_orders IS NOT NULL
+                  AND n_events IS NOT NULL) AS BIGINT) AS n_active_both
+         FROM customer
+         LEFT JOIN o ON c_custkey = o_custkey
+         LEFT JOIN e ON c_custkey = user_id
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    // X182: audio features through the real WAV codec — the twin never
+    // sees a byte: the synthesized triangle wave's exact integer
+    // features are closed-form in the per-doc synthesis parameters, so
+    // DuckDB replays each sample from generate_series with the same
+    // integer division the synthesizer used (peak = max |s_i| since
+    // the sign flip squares/abs away; n_bytes = 44-byte header + the
+    // 12-byte LIST chunk every third doc carries + 2 bytes/sample)
+    "q192_audio_features" ->
+      """WITH p AS (SELECT doc_id,
+                100 + doc_id % 157 AS n,
+                8000 + (doc_id % 4) * 4000 AS rate,
+                500 + (doc_id % 29) * 250 AS amp,
+                6 + doc_id % 23 AS period,
+                CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END AS extra
+              FROM documents),
+         s AS (SELECT doc_id,
+                 ((CASE WHEN (i % period) < period // 2 THEN i % period
+                        ELSE period - (i % period) END) * 2 * amp) // period
+                   AS v
+               FROM p, unnest(generate_series(0, n - 1)) AS t(i))
+         SELECT p.doc_id,
+                CAST(44 + extra + 2 * n AS BIGINT) AS n_bytes,
+                CAST(rate AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS n_channels,
+                CAST(16 AS BIGINT) AS bits_per_sample,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(max(v) AS BIGINT) AS peak,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq
+         FROM p JOIN s USING (doc_id)
+         GROUP BY p.doc_id, n, rate, extra
+         ORDER BY p.doc_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -225,6 +225,34 @@ object CorpusQueries {
       Multimodal.asBlobTable(Tables.load(spark, dir, "documents"), "doc_id", "text"))
       .toDF().orderBy("doc_id")
 
+  /** Audio feature extraction through the REAL RIFF/WAV PCM codec
+    * (X182), oracle-gated by the q37 deterministic-twin convention: a
+    * PCM-16 triangle-wave blob is synthesized per document with
+    * parameters that are pure doc_id arithmetic
+    * ([[graft.operators.Multimodal.synthWav]] — every third one carries
+    * an extra LIST chunk so the gate exercises the chunk WALK, not a
+    * fixed-offset parse), decoded back by the byte-level parser
+    * ([[graft.operators.Multimodal.wavDecode]]), and the exact integer
+    * features (n_samples, peak |amplitude|, Σs²) are closed-form in the
+    * synthesis parameters — arithmetic DuckDB replays sample-by-sample
+    * from generate_series without ever seeing a byte. Blobs are born
+    * and die inside one mapPartitions pair; only features shuffle. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.decodeAudio(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.synthWav(
+            n = (100 + id % 157).toInt,
+            rate = (8000 + (id % 4) * 4000).toInt,
+            amplitude = (500 + (id % 29) * 250).toInt,
+            period = (6 + id % 23).toInt,
+            extraChunk = id % 3 == 0))
+        }).toDF("doc_id", "blob"))
+      .toDF().orderBy("doc_id")
+  }
+
   /** As-of join: for each click event, the most recent prior-or-equal
     * purchase (value + its ts) of the same user. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -487,6 +487,93 @@ object StarQueries {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** TPC-H Q21-shape (X184): suppliers who kept everyone waiting — per
+    * supplier of one nation, the count of returned ('R') lineitems in
+    * finished multi-supplier orders where that supplier was the ONLY
+    * one with a return. The reference semantics is the fact
+    * self-join + EXISTS + NOT-EXISTS on the same key (the oracle is
+    * written in literally that form); the engine plans the algebraic
+    * rewrite that touches the fact ONCE instead of three times:
+    *   EXISTS(other supplier)        ⟺ n_distinct_suppliers ≥ 2
+    *   NOT EXISTS(other late supp)   ⟺ n_late_suppliers = 1 (l1 late)
+    * so a (orderkey, suppkey) grain agg (map-side combinable) followed
+    * by an orderkey grain agg carries everything: supplier count, late
+    * supplier count, THE late supplier (max over a 1-element set) and
+    * its late-row count (numwait counts l1 ROWS, Q21's count(*)).
+    * The order-status filter joins at orderkey grain (AQE broadcasts
+    * the filtered orders at local SF; co-keyed single exchange at
+    * cluster SF), supplier⋈nation broadcast. The fact is scanned once,
+    * exchanged once — vs the literal plan's three scans + three
+    * exchanges — and hash-equality against the EXISTS-form oracle IS
+    * the proof of the rewrite. */
+  def q193WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_returnflag") === "R"
+    val perSupp = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(late).as("any_late"),
+        sum(when(late, lit(1L)).otherwise(lit(0L))).as("n_late_rows"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("any_late"), lit(1L)).otherwise(lit(0L))).as("n_late_supp"),
+        max(when(col("any_late"), col("l_suppkey"))).as("late_supp"),
+        sum(when(col("any_late"), col("n_late_rows")).otherwise(lit(0L)))
+          .as("late_rows"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    val fOrders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    perOrder.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("late_supp") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum("late_rows").as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  /** Two-fact-path join (X185, the Q8-shape thin spot): ORDER revenue
+    * and EVENT engagement per customer nation — two independent fact
+    * streams, each reduced to customer grain by its own map-side
+    * combinable agg (orders → n/Σtotalprice, events → n/Σcents), THEN
+    * joined through the shared customer dimension and rolled up to
+    * nation. The anti-pattern this query pins against is joining the
+    * raw facts first (|orders| × |events| per customer before any
+    * reduction); pre-aggregation makes each fact cross the wire once
+    * at its REDUCED grain, and the dim joins stay broadcast. Revenue
+    * through DECIMAL(18,2) (q01 rule), engagement through exact cents
+    * (q158 rule), so every sum is reduction-order-free. Customers with
+    * no orders or no events stay (left joins, zero-coalesced) — the
+    * n_active_both column pins the null bookkeeping. */
+  def q194TwoFactPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("order_rev"))
+    val evs = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("event_cents"))
+    Tables.load(spark, dir, "customer")
+      .join(ords, col("c_custkey") === col("o_custkey"), "left")
+      .join(evs, col("c_custkey") === col("user_id"), "left")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+        sum(coalesce(col("order_rev"), dec(lit(0)))).cast("double")
+          .as("order_revenue"),
+        sum(coalesce(col("n_events"), lit(0L))).as("n_events"),
+        (sum(coalesce(col("event_cents"), lit(0L))).cast("double") /
+          lit(100.0)).as("event_value"),
+        sum(when(col("n_orders").isNotNull && col("n_events").isNotNull,
+          lit(1L)).otherwise(lit(0L))).as("n_active_both"))
+      .orderBy("n_name")
+  }
+
   /** Equi-WIDTH histogram (X177; the value-grid complement of q91's
     * equi-depth): 8 equal price ranges per flag, bucket id by EXACT
     * integer arithmetic `((v−mn)·8) div (mx−mn+1)` — no float in the

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.StarQueries
+
+/** Physical-plan shape assertions for the round-8 additions: the two
+  * canonical fact-join shapes (TPC-H Q21-like self-join-as-aggregate,
+  * Q8-like two-fact-path) must keep the plans that survive 100 TB —
+  * fact scanned once, dims broadcast, no cartesian, facts reduced
+  * BEFORE the join. */
+class Round8PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q193 Q21-shape: ONE lineitem scan (no literal self-join), dims broadcast, no cartesian") {
+    val df = StarQueries.q193WaitingSupplier(spark, sf)
+    val p = finalPlan(df)
+    val nFactScans = "lineitem".r.findAllIn(p).length
+    assert(nFactScans >= 1, s"expected a lineitem scan in:\n$p")
+    // the EXISTS / NOT-EXISTS rewrite touches the fact once; the
+    // literal plan would scan it three times (l1, l2, l3)
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
+    assert(scanLines.count(_.contains("lineitem")) == 1,
+      s"fact must be scanned exactly once, got:\n${scanLines.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"supplier⋈nation must broadcast in:\n$p")
+    // at most the perOrder⋈orders pair may shuffle-join; AQE broadcasts
+    // the status-filtered orders side at this SF
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      s"more than one shuffle join:\n$p")
+  }
+
+  test("q194 two fact paths: each fact scanned once and REDUCED before the customer join") {
+    val df = StarQueries.q194TwoFactPaths(spark, sf)
+    val p = finalPlan(df)
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
+    assert(scanLines.count(_.contains("orders")) == 1,
+      s"orders must be scanned exactly once:\n${scanLines.mkString("\n")}")
+    assert(scanLines.count(_.contains("events")) == 1,
+      s"events must be scanned exactly once:\n${scanLines.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast in:\n$p")
+    // both fact paths must aggregate to customer grain BELOW the join:
+    // a HashAggregate keyed by the fact's customer key on each path
+    assert(p.contains("o_custkey"), p)
+    assert(p.contains("user_id"), p)
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("o_custkey")),
+      s"orders path must pre-aggregate on o_custkey:\n${aggs.mkString("\n")}")
+    assert(aggs.exists(_.contains("user_id")),
+      s"events path must pre-aggregate on user_id:\n${aggs.mkString("\n")}")
+  }
+
+  test("q192 audio row: features survive the round trip for a non-trivial fixture") {
+    // the oracle gate proves the arithmetic; this pins the plumbing —
+    // blob synthesis and decode compose inside the engine and the
+    // chunk-walking parse handles the LIST-chunk variant (doc_id % 3)
+    val rows = graft.queries.CorpusQueries.audioFeatures(spark, sf)
+      .limit(4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sample_rate") >= 8000L) // never the fallback
+      assert(r.getAs[Long]("n_samples") >= 100L)
+      assert(r.getAs[Long]("sum_sq") > 0L)
+    }
+  }
+}
