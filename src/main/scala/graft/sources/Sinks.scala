@@ -90,9 +90,29 @@ object Sinks {
     *
     * Scale shape: one exchange (the shard repartition) + per-shard
     * local sort; the manifest is one more shard-keyed agg over the
-    * same lines. */
+    * same lines.
+    *
+    * 100 TB hardening (round 8): a shard is a DIRECTORY, not a file.
+    * `maxLinesPerFile > 0` caps each data file — rows rank within
+    * their shard (a shard-keyed window on the already-shard-partitioned
+    * exchange, no extra shuffle) and every `__file=M/` group lands as
+    * its own bounded file inside the `__shard=N/` dir, so file size is
+    * capped EXACTLY regardless of shard skew. The manifest algebra is
+    * untouched — digests are per-shard over the line multiset, so the
+    * file split is invisible to verification, and a tamper inside any
+    * one sub-file still localizes to (that shard, root)
+    * (NestExportSpec). `compression` ("gzip" | "zstd" | …) flows to
+    * the text writer; readers and the receiver-side recompute are
+    * extension-transparent. Shard-count rule at scale: pick
+    * `numShards` ≈ corpus_bytes / (64 MB × expected files per shard)
+    * and let `maxLinesPerFile` bound the file, NOT the shard — shard
+    * count is the unit of verification granularity (and of the
+    * manifest's control-plane size), file count is the unit of
+    * parallel I/O; the two scale independently. */
   def exportJsonl(df: DataFrame, outDir: String, idCol: String,
-      numShards: Int, mode: String = "overwrite"): DataFrame = {
+      numShards: Int, mode: String = "overwrite",
+      maxLinesPerFile: Long = 0L,
+      compression: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val lines = df
       .withColumn("__line", to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
@@ -100,10 +120,21 @@ object Sinks {
         pmod(TextFunctions.md5Hash56(col(idCol).cast("string")),
           lit(numShards.toLong)))
       .select(col("__line"), col("__shard"))
-    lines
-      .repartition(numShards, col("__shard"))
-      .sortWithinPartitions("__line")
-      .write.mode(mode).partitionBy("__shard").text(outDir)
+    val parted = lines.repartition(numShards, col("__shard"))
+    val (placed, partCols) =
+      if (maxLinesPerFile <= 0L)
+        (parted.sortWithinPartitions("__line"), Seq("__shard"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__shard").orderBy("__line")
+        (parted
+          .withColumn("__file",
+            ((row_number().over(w) - 1) / lit(maxLinesPerFile)).cast("long"))
+          .sortWithinPartitions("__line"),
+          Seq("__shard", "__file"))
+      }
+    val writer = placed.write.mode(mode).partitionBy(partCols: _*)
+    compression.fold(writer)(c => writer.option("compression", c)).text(outDir)
     // manifest from the FILES just written, not the in-memory plan —
     // the artifact guards what actually landed on disk
     val written = spark.read.text(outDir)

@@ -60,6 +60,83 @@ class NestExportSpec extends AnyFunSuite {
       s"tamper must localize to shard $victimShard + root, got $changed")
   }
 
+  test("size-capped multi-file shards: cap honored, manifest split-invariant, tamper localizes inside a sub-file") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val src = CorpusQueries.nestExport(spark, sf)
+    val one = java.nio.file.Files.createTempDirectory("jsonl-onefile").toString
+    val multi = java.nio.file.Files.createTempDirectory("jsonl-multifile").toString
+    val mOne = graft.sources.Sinks
+      .exportJsonl(src, one, "o_orderkey", numShards = 4).collect()
+    val mMulti = graft.sources.Sinks
+      .exportJsonl(src, multi, "o_orderkey", numShards = 4,
+        maxLinesPerFile = 7L).collect()
+    def asMap(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the manifest is a function of the line multiset, not the layout
+    assert(asMap(mOne) == asMap(mMulti),
+      "file split must be invisible to the manifest")
+
+    // every data file honors the cap; shards are directories of files
+    val shardDirs = new java.io.File(multi).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__shard="))
+    assert(shardDirs.length == 4)
+    val fileDirs = shardDirs.flatMap(_.listFiles())
+      .filter(f => f.isDirectory && f.getName.startsWith("__file="))
+    assert(fileDirs.length > 4, "a capped shard must split into multiple files")
+    fileDirs.foreach { d =>
+      d.listFiles().filter(f => f.getName.startsWith("part-"))
+        .foreach { f =>
+          val n = java.nio.file.Files.readAllLines(f.toPath).size
+          assert(n <= 7, s"${f.getPath} has $n > 7 lines")
+        }
+    }
+
+    // parse-back across the nested layout
+    val back = spark.read.json(multi).drop("__shard", "__file")
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+
+    // tamper one byte inside ONE sub-file of a multi-file shard →
+    // exactly (that shard, root) flagged
+    val victimShardDir = shardDirs.maxBy(_.listFiles().length)
+    val victimShard = victimShardDir.getName.stripPrefix("__shard=").toLong
+    val victim = victimShardDir.listFiles().filter(_.isDirectory)
+      .maxBy(_.getName).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .head
+    val ls = java.nio.file.Files.readAllLines(victim.toPath)
+    ls.set(0, " " + ls.get(0))
+    java.nio.file.Files.write(victim.toPath, ls)
+    new java.io.File(victim.getParent, "." + victim.getName + ".crc").delete()
+    val tampered = asMap(graft.sources.Sinks.jsonlManifest(spark, multi).collect())
+    val changed = asMap(mMulti).keySet.filter(k => asMap(mMulti)(k) != tampered(k))
+    assert(changed == Set(victimShard, -1L),
+      s"tamper must localize to shard $victimShard + root, got $changed")
+  }
+
+  test("compressed JSONL export: gzip files round-trip and verify") {
+    import org.apache.spark.sql.functions._
+    val src = CorpusQueries.nestExport(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl-gz").toString
+    val shipped = graft.sources.Sinks
+      .exportJsonl(src, dir, "o_orderkey", numShards = 4,
+        maxLinesPerFile = 16L, compression = Some("gzip")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the writer really compressed
+    val gzFiles = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".gz"))
+    assert(gzFiles.nonEmpty, "expected .gz data files")
+    // receiver recompute is extension-transparent
+    val again = graft.sources.Sinks.jsonlManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again == shipped)
+    val back = spark.read.json(dir).drop("__shard", "__file")
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("streaming JSONL export: incremental manifest equals full-file recompute; re-delivery idempotent") {
     import org.apache.spark.sql.functions._
     val outDir = java.nio.file.Files.createTempDirectory("jsonl-stream").toString
