@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout passes through RAW (no "[info] " prefix): the
+// driver json-parses the LAST stdout line of graft.Bench, and sbt's
+// logger prefix is exactly what broke that parse ("parsed": null in
+// BENCH_r07.json despite a complete JSON line in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

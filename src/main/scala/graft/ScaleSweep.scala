@@ -49,7 +49,21 @@ object ScaleSweep {
       // round-7 additions: exact substring excision, weighted Jaccard,
       // 6-table star join, byte-BPE budget, equi-width histogram
       "q181_substring_dedup", "q186_equiwidth_hist",
-      "q189_weighted_jaccard", "q190_star_join", "q191_bpe_budget")
+      "q189_weighted_jaccard", "q190_star_join", "q191_bpe_budget",
+      // round-8 closure of the >1 s non-sweep gap (VERDICT r7 item 7):
+      // every bench entry above ~0.9 s now has a sweep row — the
+      // rank-riding winsorized clamp, the JSONL export+manifest sink,
+      // multi-probe ANN, int8 calibration, vocab growth, and the
+      // streaming near-dup drain (swept as its bench face: per-SF cost
+      // is dominated by the micro-batch data volume; stream startup is
+      // the same fixed cost at every SF so the slope still reads data
+      // growth)
+      "q120_streaming_neardup", "q158_clipped_quantize",
+      "q161_winsorized", "q168_vocab_growth", "q169_ann_multiprobe",
+      "q178_nest_export",
+      // round-8 additions: Q21-shape single-scan rewrite, two-fact-path
+      // pre-agg join, audio codec gate
+      "q192_audio_features", "q193_waiting_supplier", "q194_two_fact_paths")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -217,6 +217,7 @@ object SparkEntry {
     "q192_audio_features"     -> (CorpusQueries.audioFeatures(_, _)),
     "q193_waiting_supplier"   -> (StarQueries.q193WaitingSupplier(_, _)),
     "q194_two_fact_paths"     -> (StarQueries.q194TwoFactPaths(_, _)),
+    "q195_small_qty_revenue"  -> (StarQueries.q195SmallQtyRevenue(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3192,6 +3192,22 @@ object CorpusOracles {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
 
+    // X186: TPC-H Q17-shape — the oracle is the LITERAL correlated
+    // scalar subquery; the engine's decorrelated per-part pre-agg join
+    // must hash-match it (threshold compare can never flip: quantities
+    // are integer-valued doubles, so sum is order-free exact and avg
+    // is one identical division in both engines)
+    "q195_small_qty_revenue" ->
+      """SELECT p_brand,
+                CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / 7.0 AS avg_yearly,
+                count(*) AS n_small_qty_lines
+         FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+         WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+
     // X182: audio features through the real WAV codec — the twin never
     // sees a byte: the synthesized triangle wave's exact integer
     // features are closed-form in the per-doc synthesis parameters, so

@@ -574,6 +574,37 @@ object StarQueries {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q17-shape (X186): small-quantity-order revenue — per brand,
+    * the yearly-averaged revenue of lineitems whose quantity is below
+    * 20% of that PART's average quantity. The reference semantics is a
+    * correlated scalar subquery (`l_quantity < (SELECT 0.2*avg(...)
+    * WHERE l2.l_partkey = l_partkey)` — the oracle is written in
+    * literally that form); the engine plans the decorrelated rewrite:
+    * one per-part threshold agg off the fact (map-side combinable,
+    * |parts| rows), joined back co-keyed on partkey — the fact crosses
+    * the wire once at full grain and once reduced, never per-subquery.
+    * Float determinism: quantities are integer-valued doubles, so
+    * sum() is order-free exact, avg = sum/count is ONE division both
+    * engines evaluate identically, and the 0.2× threshold compare can
+    * never flip between engines; revenue through DECIMAL(18,2)
+    * (q01 rule), one division by 7.0 at the end. */
+  def q195SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thr = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1)) * lit(0.2)).as("__thr"))
+    li.join(thr, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("__thr"))
+      .join(broadcast(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"),
+        count(lit(1)).as("n_small_qty_lines"))
+      .orderBy("p_brand")
+  }
+
   /** Equi-WIDTH histogram (X177; the value-grid complement of q91's
     * equi-depth): 8 equal price ranges per flag, bucket id by EXACT
     * integer arithmetic `((v−mn)·8) div (mx−mn+1)` — no float in the

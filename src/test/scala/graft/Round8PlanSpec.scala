@@ -61,6 +61,19 @@ class Round8PlanSpec extends AnyFunSuite {
       s"events path must pre-aggregate on user_id:\n${aggs.mkString("\n")}")
   }
 
+  test("q195 Q17-shape: decorrelated threshold join stays co-keyed, part broadcasts, no cartesian") {
+    val df = StarQueries.q195SmallQtyRevenue(spark, sf)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    // the decorrelated rewrite reads the fact for the threshold agg and
+    // the probe — never once per subquery; two scans is the contract
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
+    assert(scanLines.count(_.contains("lineitem")) <= 2,
+      s"fact must not be re-read per correlation:\n${scanLines.mkString("\n")}")
+  }
+
   test("q192 audio row: features survive the round trip for a non-trivial fixture") {
     // the oracle gate proves the arithmetic; this pins the plumbing —
     // blob synthesis and decode compose inside the engine and the
