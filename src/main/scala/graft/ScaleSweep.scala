@@ -63,7 +63,14 @@ object ScaleSweep {
       "q178_nest_export",
       // round-8 additions: Q21-shape single-scan rewrite, two-fact-path
       // pre-agg join, audio codec gate
-      "q192_audio_features", "q193_waiting_supplier", "q194_two_fact_paths")
+      "q192_audio_features", "q193_waiting_supplier", "q194_two_fact_paths",
+      // round-8 session-2: the six canonical subquery shapes (Q2, Q18,
+      // Q22, Q11, Q15, Q20 rewrites) — each is a fact agg + scalar/semi
+      // machinery whose slope proves the decorrelated plan carries the
+      // data growth, not the correlation
+      "q195_small_qty_revenue", "q196_min_cost_supplier",
+      "q197_large_qty_orders", "q198_dormant_customers",
+      "q199_value_share", "q200_top_revenue_supplier", "q201_excess_stock")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -78,40 +85,67 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def sweep(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    // Query-local cached state is swept between runs, but the
+    // session-shared CurationOps artifacts (near-dup pairs, BPE model,
+    // kNN graph) are memoized with localCheckpoint-pinned RDDs whose
+    // memo entries survive the sweep — destroying their blocks while
+    // the memo still points at them turns every later reuse into
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the r8 sweep's q191/q120
+    // aborts). Exempt them exactly as Bench.sweep does.
+    def sweep(): Unit = {
+      val keep = graft.operators.CurationOps.pinnedRddIds
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
 
-    def timeOne(name: String, dir: String): Double = {
-      def once(): Double = {
+    def timeOne(name: String, dir: String): (Double, Boolean) = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        // A failed run must NOT masquerade as a fast run: record the
+        // failure and surface it in the row + summary line. (Runs stay
+        // independent — one bad query doesn't kill the sweep.)
+        val failed =
+          try {
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            false
+          } catch { case e: Throwable =>
+            println(s"[sweep] FAIL $name @ $dir: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(200))
+            true
+          }
         sweep()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, failed)
       }
-      once() // warmup (JIT + codegen cache for this plan shape)
-      math.min(once(), once())
+      val w = once() // warmup (JIT + codegen cache for this plan shape)
+      val a = once(); val b = once()
+      (math.min(a._1, b._1), w._2 || a._2 || b._2)
     }
 
     val rows = names.map { n =>
-      val ts = sfs.map(timeOne(n, _))
+      val timed = sfs.map(timeOne(n, _))
+      val ts = timed.map(_._1)
+      val anyFail = timed.exists(_._2)
       val slopes = ts.sliding(2).map { case Seq(a, b) =>
         math.log10(math.max(b, 1e-3) / math.max(a, 1e-3))
       }.toSeq
       println(f"[sweep] $n%-28s ${ts.map(t => f"$t%7.2f").mkString(" ")}  " +
-        f"slope001_01=${slopes.head}%5.2f  slope01_1=${slopes(1)}%5.2f")
-      (n, ts, slopes)
+        f"slope001_01=${slopes.head}%5.2f  slope01_1=${slopes(1)}%5.2f" +
+        (if (anyFail) "  **FAILED**" else ""))
+      (n, ts, slopes, anyFail)
     }
     val risky = rows.filter(_._3.last > 1.3)
+    val failed = rows.filter(_._4)
     println("[sweep] per-decade slope at the 0.01->0.1 step; " +
       s"${risky.size} queries above the 1.3 superlinear flag" +
-      (if (risky.nonEmpty) ": " + risky.map(_._1).mkString(", ") else ""))
-    val qs = rows.map { case (n, ts, sl) =>
+      (if (risky.nonEmpty) ": " + risky.map(_._1).mkString(", ") else "") +
+      s"; ${failed.size} queries with failed runs" +
+      (if (failed.nonEmpty) ": " + failed.map(_._1).mkString(", ") else ""))
+    val qs = rows.map { case (n, ts, sl, fail) =>
       "\"" + n.takeWhile(_ != '_') + "\":{\"t\":[" +
         ts.map(t => f"$t%.3f").mkString(",") + "],\"slope\":" +
-        f"${sl.last}%.3f}"
+        f"${sl.last}%.3f" + (if (fail) ",\"err\":true" else "") + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_sweep","sfs":["0.001","0.01","0.1"],"queries":$qs}""")
     spark.stop()

@@ -218,6 +218,12 @@ object SparkEntry {
     "q193_waiting_supplier"   -> (StarQueries.q193WaitingSupplier(_, _)),
     "q194_two_fact_paths"     -> (StarQueries.q194TwoFactPaths(_, _)),
     "q195_small_qty_revenue"  -> (StarQueries.q195SmallQtyRevenue(_, _)),
+    "q196_min_cost_supplier"  -> (StarQueries.q196MinCostSupplier(_, _)),
+    "q197_large_qty_orders"   -> (StarQueries.q197LargeQtyOrders(_, _)),
+    "q198_dormant_customers"  -> (StarQueries.q198DormantCustomers(_, _)),
+    "q199_value_share"        -> (StarQueries.q199ValueShare(_, _)),
+    "q200_top_revenue_supplier" -> (StarQueries.q200TopRevenueSupplier(_, _)),
+    "q201_excess_stock"       -> (StarQueries.q201ExcessStock(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

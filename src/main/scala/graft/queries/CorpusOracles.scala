@@ -3239,6 +3239,111 @@ object CorpusOracles {
          FROM p JOIN s USING (doc_id)
          GROUP BY p.doc_id, n, rate, extra
          ORDER BY p.doc_id""",
+
+    // X187: TPC-H Q2-shape — the oracle is the LITERAL correlated MIN
+    // subquery over the derived part-supplier cost relation; the
+    // engine's decorrelated per-part min-agg join must hash-match it
+    // (cost is a MIN of identical doubles — no summation, equality
+    // cannot flip between engines)
+    "q196_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+              FROM lineitem GROUP BY 1, 2),
+         rsupp AS (SELECT s_suppkey, s_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA')
+         SELECT p_partkey, p_brand, s_name, cost
+         FROM ps
+         JOIN rsupp ON l_suppkey = s_suppkey
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_size = 25
+           AND cost = (SELECT min(ps2.cost) FROM ps ps2
+                       JOIN rsupp r2 ON ps2.l_suppkey = r2.s_suppkey
+                       WHERE ps2.l_partkey = ps.l_partkey)
+         ORDER BY p_partkey, s_name""",
+
+    // X188: TPC-H Q18-shape — the oracle is the LITERAL IN-subquery on
+    // the HAVING-filtered aggregate; the engine's aggregate-once rewrite
+    // (survivors drive the joins, fact never rejoined for the sum) must
+    // hash-match it
+    "q197_large_qty_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS o_date,
+                o_totalprice, sum(l_quantity) AS total_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY 1 HAVING sum(l_quantity) > 200)
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    // X189: TPC-H Q22-shape — LITERAL scalar-AVG subquery + NOT EXISTS;
+    // threshold on exact cents (one identical division) so a boundary
+    // customer can never flip between engines
+    "q198_dormant_customers" ->
+      """SELECT n_name AS cntry, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+               (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                       / count(*)
+                FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= DATE '1999-01-01')
+         GROUP BY 1 ORDER BY 1""",
+
+    // X190: TPC-H Q11-shape — LITERAL HAVING-with-scalar-subquery (two
+    // logical fact reads); the engine derives the threshold from the
+    // per-part agg itself. Exact-cents sums make the 1.25×mean
+    // threshold one identical division + product in both engines
+    "q199_value_share" ->
+      """SELECT l_partkey,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM lineitem GROUP BY 1
+         HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) >
+                (SELECT 1.25 * (CAST(sum(v) AS DOUBLE) / count(*))
+                 FROM (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v
+                       FROM lineitem GROUP BY l_partkey))
+         ORDER BY value_cents DESC, l_partkey LIMIT 100""",
+
+    // X191: TPC-H Q15-shape — LITERAL max-of-view scalar subquery;
+    // DECIMAL(18,2) revenue (the q01 rule) makes max/equality exact so
+    // the tie set is engine-stable
+    "q200_top_revenue_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+
+    // X192: TPC-H Q20-shape — LITERAL nested semi chain whose correlated
+    // subquery re-reads the fact per (part, supplier); the engine folds
+    // both sums into ONE conditional agg over a single fact scan.
+    // Empty-1996 pairs drop in both engines (NULL comparison ⟂ false)
+    "q201_excess_stock" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT ps.l_suppkey
+           FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail
+                 FROM lineitem GROUP BY 1, 2) ps
+           WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'large%')
+             AND ps.avail > (SELECT 8 * sum(l2.l_quantity) FROM lineitem l2
+                             WHERE l2.l_partkey = ps.l_partkey
+                               AND l2.l_suppkey = ps.l_suppkey
+                               AND l2.l_shipdate >= DATE '1996-01-01'
+                               AND l2.l_shipdate < DATE '1997-01-01'))
+         ORDER BY s_suppkey""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -605,6 +605,187 @@ object StarQueries {
       .orderBy("p_brand")
   }
 
+  /** TPC-H Q2-shape (X187): minimum-cost supplier per part within a
+    * region. The reference semantics is a correlated MIN subquery over
+    * the part-supplier cost relation (`cost = (SELECT min(cost) ...
+    * WHERE ps2.partkey = ps.partkey)` — the oracle is written in
+    * literally that form, with the cost relation derived from lineitem
+    * since the test schema carries no partsupp). The engine plans the
+    * decorrelated rewrite: region-pruned suppliers broadcast into the
+    * (partkey, suppkey) cost agg, a per-part min agg co-keyed on
+    * partkey joined back (one exchange grain, AQE reuses it), and the
+    * size-filtered part dim broadcast last. Ties keep every min-cost
+    * supplier (set semantics, both engines). `cost` is min of
+    * identical doubles — no summation, so equality can never flip. */
+  def q196MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    val rsupp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")
+        .where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val psr = ps.join(broadcast(rsupp), col("l_suppkey") === col("s_suppkey"))
+    val minc = psr.groupBy(col("l_partkey").as("__pk"))
+      .agg(min(col("cost")).as("__min_cost"))
+    psr.join(minc, col("l_partkey") === col("__pk") &&
+        col("cost") === col("__min_cost"))
+      .join(broadcast(Tables.load(spark, dir, "part")
+        .where(col("p_size") === 25)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  /** TPC-H Q18-shape (X188): large-quantity orders. The reference
+    * semantics is an IN subquery over a HAVING-filtered aggregate
+    * (`o_orderkey IN (SELECT l_orderkey ... HAVING sum(l_quantity) >
+    * 200)` — the oracle is written literally so). The engine plans the
+    * rewrite a 100 TB join graph needs: the fact aggregates to order
+    * grain ONCE (map-side combinable) and the filtered survivors —
+    * tiny, the >200 tail — drive the joins, carrying total_qty so the
+    * fact is never rejoined for the output sum; orders joins co-keyed
+    * on orderkey (AQE broadcasts the survivor side), customer joins
+    * last at the already-tiny grain. Quantities are integer-valued
+    * doubles, so the per-order sum is order-free exact and the
+    * threshold can never flip between engines. */
+  def q197LargeQtyOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    big.join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22-shape (X189): well-funded dormant customers — above
+    * global-average balance, no order in the recent window. The
+    * reference semantics is a scalar AVG subquery plus NOT EXISTS
+    * (the oracle is written literally so); the engine plans the
+    * broadcast-scalar + anti-join shape: the one-row average crosses
+    * as a broadcast nested loop (a scalar, not a cartesian), the
+    * recent-order keys anti-join on custkey, nation broadcasts.
+    * Float discipline: the threshold compare runs on exact cents
+    * (bigint) against one identical division — a double AVG would be
+    * summation-order-dependent and could flip boundary customers
+    * between engines (the q158/q194 cents rule). */
+  def q198DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        round(col("c_acctbal") * 100).cast("long").as("__cents"))
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("__cents")).cast("double") / count(lit(1))).as("__thr"))
+    val recent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("__cents") > col("__thr"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("cntry")
+  }
+
+  /** TPC-H Q11-shape (X190): parts whose inventory value exceeds a
+    * multiple of the MEAN per-part value — a grouped aggregate
+    * filtered against a scalar aggregate of itself (Q11's literal
+    * `> 0.0001 × total` is SF-pinned; per TPC-H the fraction shrinks
+    * with SF, and the mean-relative form is exactly that made
+    * scale-invariant: 1.25 × total/n_parts). The oracle is the
+    * literal HAVING-with-scalar-subquery form (two logical fact
+    * reads); the engine derives the threshold FROM the per-part
+    * aggregate (a |parts|-row re-agg, not a second fact pass) and
+    * broadcasts the one-row scalar, so the fact is scanned once and
+    * the plan's second branch reuses the per-part exchange. Value is
+    * summed in exact cents (bigint) — mean = one identical division,
+    * threshold = one identical double product, in both engines. */
+  def q199ValueShare(spark: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("__cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("__cents")).as("value_cents"))
+    val tot = pp.agg((sum(col("value_cents")).cast("double") /
+      count(lit(1))).as("__mean"))
+    pp.crossJoin(broadcast(tot))
+      .filter(col("value_cents").cast("double") > lit(1.25) * col("__mean"))
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(desc("value_cents"), col("l_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q15-shape (X191): the top-revenue supplier(s) of a quarter —
+    * a derived revenue view compared against its own MAX (the oracle is
+    * the literal scalar-subquery form). The engine computes the
+    * |suppliers|-row view once, broadcasts the one-row max, and keeps
+    * every tied supplier (set semantics). Revenue through
+    * DECIMAL(18,2) (the q01/q190 rule) — max/equality on decimals is
+    * exact, so the tie set can never differ between engines; the
+    * shipdate filter pushes into the scan. */
+  def q200TopRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (dec(lit(1)) - dec(col("l_discount")))).as("__rev"))
+    val mx = rev.agg(max(col("__rev")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("__rev") === col("__mx"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q20-shape (X192): suppliers holding excess stock of a part
+    * family — a nested semi chain (supplier IN → part IN → correlated
+    * availability-vs-shipped threshold). The oracle is the literal
+    * nested form, whose correlated subquery re-reads the fact per
+    * (part, supplier); the engine folds BOTH sums into one conditional
+    * aggregate over a single fact scan — avail = Σqty, shipped₉₆ =
+    * Σqty·[1996] — so the correlation costs nothing extra, the part
+    * family broadcasts as a semi filter, and the qualifying supplier
+    * ids (k rows) semi-join the supplier dim. Pairs with NO 1996
+    * shipments drop in both engines (NULL comparison ⟂ false — the
+    * SQL semantics the conditional agg reproduces exactly); quantities
+    * integer-valued, sums order-free exact. */
+  def q201ExcessStock(spark: SparkSession, dir: String): DataFrame = {
+    val in96 = col("l_shipdate") >= lit("1996-01-01") &&
+      col("l_shipdate") < lit("1997-01-01")
+    val ps = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("avail"),
+        sum(when(in96, col("l_quantity"))).as("shipped96"))
+    val fam = Tables.load(spark, dir, "part")
+      .filter(col("p_name").startsWith("large"))
+      .select(col("p_partkey"))
+    val qual = ps
+      .join(broadcast(fam), col("l_partkey") === col("p_partkey"), "left_semi")
+      .filter(col("avail") > lit(8.0) * col("shipped96"))
+      .select(col("l_suppkey")).distinct()
+    Tables.load(spark, dir, "supplier")
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
   /** Equi-WIDTH histogram (X177; the value-grid complement of q91's
     * equi-depth): 8 equal price ranges per flag, bucket id by EXACT
     * integer arithmetic `((v−mn)·8) div (mx−mn+1)` — no float in the

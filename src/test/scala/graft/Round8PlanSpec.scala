@@ -87,4 +87,67 @@ class Round8PlanSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_sq") > 0L)
     }
   }
+
+  private def scanLines(p: String): Seq[String] =
+    p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
+
+  test("q196 Q2-shape: decorrelated min join, dims broadcast, no cartesian, fact not re-read per correlation") {
+    val p = finalPlan(StarQueries.q196MinCostSupplier(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"region-pruned suppliers and part dim must broadcast:\n$p")
+    // the literal correlated plan re-reads ps per part; the rewrite
+    // reads the fact for the cost agg (the psr subtree may appear in
+    // both the probe and the min branch — never more)
+    assert(scanLines(p).count(_.contains("lineitem")) <= 2,
+      s"fact must not be re-read per correlation:\n${scanLines(p).mkString("\n")}")
+  }
+
+  test("q197 Q18-shape: fact aggregated to order grain ONCE, never rejoined for the sum") {
+    val p = finalPlan(StarQueries.q197LargeQtyOrders(spark, sf))
+    assert(scanLines(p).count(_.contains("lineitem")) == 1,
+      s"fact must be scanned exactly once:\n${scanLines(p).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("l_orderkey")),
+      s"fact must pre-aggregate on l_orderkey below the joins:\n${aggs.mkString("\n")}")
+  }
+
+  test("q198 Q22-shape: scalar broadcast + anti-join, nation broadcast, no cartesian") {
+    val p = finalPlan(StarQueries.q198DormantCustomers(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), s"dormancy must plan as an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
+    // the scalar threshold crosses as a broadcast nested loop of ONE row
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q199 Q11-shape: threshold derived from the per-part agg, not a second fact pass") {
+    val p = finalPlan(StarQueries.q199ValueShare(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // both branches hang off the per-part aggregate; the fact feeds the
+    // agg at most twice (exchange reuse collapses it to once under AQE)
+    assert(scanLines(p).count(_.contains("lineitem")) <= 2,
+      s"threshold must come from the per-part agg:\n${scanLines(p).mkString("\n")}")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the one-row scalar
+  }
+
+  test("q200 Q15-shape: shipdate pushed to the scan, max broadcast, tie set by decimal equality") {
+    val df = StarQueries.q200TopRevenueSupplier(spark, sf)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+    assert(p.contains("PushedFilters") || p.contains("l_shipdate"),
+      s"quarter filter must reach the scan:\n$p")
+    assert(scanLines(p).count(_.contains("lineitem")) <= 2, p)
+  }
+
+  test("q201 Q20-shape: ONE fact scan folds both correlated sums (conditional agg)") {
+    val p = finalPlan(StarQueries.q201ExcessStock(spark, sf))
+    assert(scanLines(p).count(_.contains("lineitem")) == 1,
+      s"the correlated availability-vs-shipped compare must fold into one scan:\n${scanLines(p).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), s"part family and supplier must semi-join:\n$p")
+  }
 }
