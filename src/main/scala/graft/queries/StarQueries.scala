@@ -496,10 +496,16 @@ object StarQueries {
     * rewrite that touches the fact ONCE instead of three times:
     *   EXISTS(other supplier)        ⟺ n_distinct_suppliers ≥ 2
     *   NOT EXISTS(other late supp)   ⟺ n_late_suppliers = 1 (l1 late)
-    * so a (orderkey, suppkey) grain agg (map-side combinable) followed
-    * by an orderkey grain agg carries everything: supplier count, late
-    * supplier count, THE late supplier (max over a 1-element set) and
-    * its late-row count (numwait counts l1 ROWS, Q21's count(*)).
+    * so a (orderkey, suppkey) grain agg followed by an orderkey grain
+    * agg carries everything: supplier count, late supplier count, THE
+    * late supplier (max over a 1-element set) and its late-row count
+    * (numwait counts l1 ROWS, Q21's count(*)). The fact repartitions
+    * on orderkey ALONE before the first agg: HashPartitioning(ok)
+    * satisfies the clustering of BOTH aggs ((ok,sk) ⊇ {ok}) and the
+    * orders join, so the whole chain rides ONE exchange — the (ok,sk)
+    * grain barely compresses lineitem (~1 row each), so the map-side
+    * partial agg the plain groupBy would buy costs a second exchange
+    * for nothing (A/B at sf0.1: 1.02 → 0.75 s min-of-6).
     * The order-status filter joins at orderkey grain (AQE broadcasts
     * the filtered orders at local SF; co-keyed single exchange at
     * cluster SF), supplier⋈nation broadcast. The fact is scanned once,
@@ -509,6 +515,7 @@ object StarQueries {
   def q193WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val late = col("l_returnflag") === "R"
     val perSupp = Tables.load(spark, dir, "lineitem")
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(late).as("any_late"),
         sum(when(late, lit(1L)).otherwise(lit(0L))).as("n_late_rows"))
