@@ -619,11 +619,13 @@ object StarQueries {
     * literally that form, with the cost relation derived from lineitem
     * since the test schema carries no partsupp). The engine plans the
     * decorrelated rewrite: region-pruned suppliers broadcast into the
-    * (partkey, suppkey) cost agg, a per-part min agg co-keyed on
-    * partkey joined back (one exchange grain, AQE reuses it), and the
-    * size-filtered part dim broadcast last. Ties keep every min-cost
-    * supplier (set semantics, both engines). `cost` is min of
-    * identical doubles — no summation, so equality can never flip. */
+    * (partkey, suppkey) cost agg, the per-part min as a KEYED WINDOW
+    * over that relation (one exchange, one pass, no self-join — the
+    * min-agg-join-back alternative re-materializes the cost relation:
+    * A/B at sf0.1 1.15 → 0.84 s min-of-6), and the size-filtered part
+    * dim broadcast last. Ties keep every min-cost supplier (set
+    * semantics, both engines). `cost` is min of identical doubles —
+    * no summation, so equality can never flip. */
   def q196MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_partkey"), col("l_suppkey"))
@@ -636,10 +638,9 @@ object StarQueries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"))
     val psr = ps.join(broadcast(rsupp), col("l_suppkey") === col("s_suppkey"))
-    val minc = psr.groupBy(col("l_partkey").as("__pk"))
-      .agg(min(col("cost")).as("__min_cost"))
-    psr.join(minc, col("l_partkey") === col("__pk") &&
-        col("cost") === col("__min_cost"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    psr.withColumn("__min_cost", min(col("cost")).over(w))
+      .filter(col("cost") === col("__min_cost"))
       .join(broadcast(Tables.load(spark, dir, "part")
         .where(col("p_size") === 25)
         .select(col("p_partkey"), col("p_brand"))),

@@ -97,11 +97,12 @@ class Round8PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"region-pruned suppliers and part dim must broadcast:\n$p")
-    // the literal correlated plan re-reads ps per part; the rewrite
-    // reads the fact for the cost agg (the psr subtree may appear in
-    // both the probe and the min branch — never more)
-    assert(scanLines(p).count(_.contains("lineitem")) <= 2,
-      s"fact must not be re-read per correlation:\n${scanLines(p).mkString("\n")}")
+    // the literal correlated plan re-reads ps per part; the rewrite's
+    // per-part min is a keyed WINDOW over the cost relation, so the
+    // fact is scanned exactly once and the min costs no second branch
+    assert(scanLines(p).count(_.contains("lineitem")) == 1,
+      s"fact must be scanned exactly once:\n${scanLines(p).mkString("\n")}")
+    assert(p.contains("Window"), s"per-part min must be a keyed window:\n$p")
   }
 
   test("q197 Q18-shape: fact aggregated to order grain ONCE, never rejoined for the sum") {
