@@ -2396,8 +2396,20 @@ object CorpusQueries {
     * entire int8 range for its dimension). Output per dim: the cut
     * points, saturation counts, and the exact long sum of quantized
     * codes — gating the whole quantization, not just the bounds.
-    * Shape: one count-compressed (dim, v) agg + keyed cumsum window +
-    * a broadcast cut-point join back to the cell stream. */
+    * Shape: the cell stream is exploded ONCE into the count-compressed
+    * (dim, v) table and everything downstream — per-dim n, cumsum cut
+    * points, saturation counts, quantized-code sum — is arithmetic
+    * over that table: sat count = Σc·[v<lo], q_sum = Σc·q(v) (the
+    * quantized code is a function of the VALUE, so per-cell work
+    * compresses to per-distinct-value work), with the three consumers
+    * deduped at the shared (dim, v) exchange (ReusedExchange). The old
+    * shape re-exploded the raw cells per branch — at 100 TB that is
+    * three passes over the vector corpus vs one. At sf0.1 the A/B is
+    * time-neutral (~1.1 s either way, min-of-6: the suite floor — ~6
+    * AQE stage boundaries at ~0.15 s each — dominates both shapes;
+    * a repartition(dim) single-exchange variant measured identical),
+    * so the shape is chosen for the scale story, not the local
+    * clock. */
   def clippedQuantize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = spread(Tables.load(spark, dir, "embeddings"))
@@ -2407,7 +2419,7 @@ object CorpusQueries {
       .withColumn("cum", sum("c").over(
         Window.partitionBy("dim").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = cells.groupBy("dim").agg(count(lit(1)).as("n"))
+    val n = cnts.groupBy("dim").agg(sum("c").as("n"))
     val cuts = cnts.join(broadcast(n), Seq("dim"))
       .groupBy("dim")
       .agg(
@@ -2417,12 +2429,12 @@ object CorpusQueries {
     val q = when(col("hi") === col("lo"), lit(0L))
       .otherwise(round((clip - col("lo")) / (col("hi") - col("lo")) * lit(254.0)
         - lit(127.0)).cast("long"))
-    cells.join(broadcast(cuts), Seq("dim"))
+    cnts.join(broadcast(cuts), Seq("dim"))
       .groupBy("dim")
       .agg(min("lo").as("lo"), min("hi").as("hi"),
-        count(when(col("v") < col("lo"), 1)).as("n_sat_lo"),
-        count(when(col("v") > col("hi"), 1)).as("n_sat_hi"),
-        sum(q).as("q_sum"))
+        sum(when(col("v") < col("lo"), col("c")).otherwise(lit(0L))).as("n_sat_lo"),
+        sum(when(col("v") > col("hi"), col("c")).otherwise(lit(0L))).as("n_sat_hi"),
+        sum(col("c") * q).as("q_sum"))
       .orderBy("dim")
   }
 
