@@ -224,6 +224,7 @@ object SparkEntry {
     "q199_value_share"        -> (StarQueries.q199ValueShare(_, _)),
     "q200_top_revenue_supplier" -> (StarQueries.q200TopRevenueSupplier(_, _)),
     "q201_excess_stock"       -> (StarQueries.q201ExcessStock(_, _)),
+    "q202_cube_aggs"          -> (StarQueries.q202CubeAggs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3344,6 +3344,18 @@ object CorpusOracles {
                                AND l2.l_shipdate >= DATE '1996-01-01'
                                AND l2.l_shipdate < DATE '1997-01-01'))
          ORDER BY s_suppkey""",
+
+    // X193: CUBE multi-grain aggregate — GROUPING() bitmask (first
+    // column most significant, the Postgres convention both engines
+    // share) disambiguates lattice NULLs from data NULLs; exact cents
+    "q202_cube_aggs" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+                l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

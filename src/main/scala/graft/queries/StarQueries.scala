@@ -794,6 +794,27 @@ object StarQueries {
       .orderBy("s_suppkey")
   }
 
+  /** CUBE multi-grain aggregation (X193; the all-grains complement of
+    * X172's fact ROLLUP): one pass emits every grouping-set grain —
+    * (flag, status), (flag), (status), () — with `grouping_id()`
+    * disambiguating CUBE-generated NULLs from data NULLs, the exact
+    * contract BI tools read. Spark expands CUBE before the aggregate
+    * (an Expand node: 4 grains per input row) and the whole lattice
+    * rides ONE exchange (map-side partial aggs on 4·|keys| groups);
+    * bit order — first cube column = most significant — matches
+    * DuckDB/Postgres `GROUPING()`, which the hash gate pins. Money in
+    * exact cents (the q158/q194 rule). */
+  def q202CubeAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("__cents"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("__cents")).as("cents"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
   /** Equi-WIDTH histogram (X177; the value-grid complement of q91's
     * equi-depth): 8 equal price ranges per flag, bucket id by EXACT
     * integer arithmetic `((v−mn)·8) div (mx−mn+1)` — no float in the
