@@ -73,9 +73,14 @@ object syntax {
         : (Seq[BpeTrain.Merge], DataFrame) =
       BpeTrain.trainBytes(df, textCol, rounds)
 
-    /** JSONL export with a per-shard Merkle line manifest. */
-    def exportJsonlTo(outDir: String, idCol: String, numShards: Int): DataFrame =
-      Sinks.exportJsonl(df, outDir, idCol, numShards)
+    /** JSONL export with a per-shard Merkle line manifest; at scale cap
+      * data files (`maxLinesPerFile`) and compress (`"gzip"`/`"zstd"`) —
+      * shard = verification granularity, file = I/O granularity. */
+    def exportJsonlTo(outDir: String, idCol: String, numShards: Int,
+        maxLinesPerFile: Long = 0L,
+        compression: Option[String] = None): DataFrame =
+      Sinks.exportJsonl(df, outDir, idCol, numShards,
+        maxLinesPerFile = maxLinesPerFile, compression = compression)
 
     /** Dedup threshold calibration curve (pairs/docs surviving per τ). */
     def dedupThresholdCurve(idCol: String, textCol: String, n: Int,
