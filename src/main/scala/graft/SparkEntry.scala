@@ -225,6 +225,7 @@ object SparkEntry {
     "q200_top_revenue_supplier" -> (StarQueries.q200TopRevenueSupplier(_, _)),
     "q201_excess_stock"       -> (StarQueries.q201ExcessStock(_, _)),
     "q202_cube_aggs"          -> (StarQueries.q202CubeAggs(_, _)),
+    "q203_order_count_hist"   -> (StarQueries.q203OrderCountHist(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3356,6 +3356,18 @@ object CorpusOracles {
          FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+
+    // X194: TPC-H Q13-shape — the LITERAL left-join double aggregation;
+    // the zero-order bucket is the point (an inner join would drop it),
+    // and the engine's aggregate-before-join rewrite must reproduce it
+    // through the zero-coalesced left join of counts
+    "q203_order_count_hist" ->
+      """SELECT c_count, count(*) AS n_customers FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+           GROUP BY 1)
+         GROUP BY 1 ORDER BY n_customers DESC, c_count DESC""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -815,6 +815,28 @@ object StarQueries {
         col("n"), col("cents"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  /** TPC-H Q13-shape (X194): the customer order-count DISTRIBUTION —
+    * a left-join-preserving double aggregation whose signature bucket
+    * is the customers with ZERO matching orders (an inner join or a
+    * plain orders agg would silently drop them; Q13 exists to pin
+    * exactly that). The oracle is the literal left-join + count +
+    * re-count form; the engine aggregates orders to custkey grain
+    * FIRST (map-side combinable — at 100 TB the raw order rows never
+    * cross against customer) and left-joins the counts, zero-coalesced,
+    * before the tiny count-of-counts agg (|distinct counts| rows). */
+  def q203OrderCountHist(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"))
+    Tables.load(spark, dir, "customer")
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(desc("n_customers"), desc("c_count"))
+  }
+
   /** Equi-WIDTH histogram (X177; the value-grid complement of q91's
     * equi-depth): 8 equal price ranges per flag, bucket id by EXACT
     * integer arithmetic `((v−mn)·8) div (mx−mn+1)` — no float in the
