@@ -70,7 +70,8 @@ object ScaleSweep {
       // data growth, not the correlation
       "q195_small_qty_revenue", "q196_min_cost_supplier",
       "q197_large_qty_orders", "q198_dormant_customers",
-      "q199_value_share", "q200_top_revenue_supplier", "q201_excess_stock")
+      "q199_value_share", "q200_top_revenue_supplier", "q201_excess_stock",
+      "q202_cube_aggs", "q203_order_count_hist")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -91,9 +92,12 @@ object ScaleSweep {
     // memo entries survive the sweep — destroying their blocks while
     // the memo still points at them turns every later reuse into
     // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the r8 sweep's q191/q120
-    // aborts). Exempt them exactly as Bench.sweep does.
+    // aborts). Same exemption contract as Bench.sweep: anything
+    // persisted BEFORE the timing loop plus CurationOps.pinnedRddIds
+    // (read per sweep — the memo grows as queries first touch it).
+    val preloopPinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def sweep(): Unit = {
-      val keep = graft.operators.CurationOps.pinnedRddIds
+      val keep = preloopPinned ++ graft.operators.CurationOps.pinnedRddIds
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keep(id) }
         .values.foreach(_.unpersist(blocking = false))
@@ -135,12 +139,16 @@ object ScaleSweep {
         (if (anyFail) "  **FAILED**" else ""))
       (n, ts, slopes, anyFail)
     }
-    val risky = rows.filter(_._3.last > 1.3)
+    // a failed run's wall-clock is garbage (a fast abort at sf0.1 would
+    // fake a NEGATIVE slope and suppress the very flag it should raise),
+    // so failed rows are EXCLUDED from the slope gate and reported as
+    // their own category — the artifact row keeps err:true
+    val risky = rows.filter(r => !r._4 && r._3.last > 1.3)
     val failed = rows.filter(_._4)
     println("[sweep] per-decade slope at the 0.01->0.1 step; " +
       s"${risky.size} queries above the 1.3 superlinear flag" +
       (if (risky.nonEmpty) ": " + risky.map(_._1).mkString(", ") else "") +
-      s"; ${failed.size} queries with failed runs" +
+      s"; ${failed.size} queries with failed runs (excluded from the slope gate)" +
       (if (failed.nonEmpty) ": " + failed.map(_._1).mkString(", ") else ""))
     val qs = rows.map { case (n, ts, sl, fail) =>
       "\"" + n.takeWhile(_ != '_') + "\":{\"t\":[" +

@@ -638,7 +638,7 @@ object StarQueries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"))
     val psr = ps.join(broadcast(rsupp), col("l_suppkey") === col("s_suppkey"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
     psr.withColumn("__min_cost", min(col("cost")).over(w))
       .filter(col("cost") === col("__min_cost"))
       .join(broadcast(Tables.load(spark, dir, "part")

@@ -19,17 +19,17 @@ class Round8PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  private def scanLines(p: String): Seq[String] =
+    p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
+
   test("q193 Q21-shape: ONE lineitem scan (no literal self-join), dims broadcast, no cartesian") {
     val df = StarQueries.q193WaitingSupplier(spark, sf)
     val p = finalPlan(df)
-    val nFactScans = "lineitem".r.findAllIn(p).length
-    assert(nFactScans >= 1, s"expected a lineitem scan in:\n$p")
     // the EXISTS / NOT-EXISTS rewrite touches the fact once; the
     // literal plan would scan it three times (l1, l2, l3)
-    val scanLines = p.linesIterator.filter(l =>
-      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
-    assert(scanLines.count(_.contains("lineitem")) == 1,
-      s"fact must be scanned exactly once, got:\n${scanLines.mkString("\n")}")
+    assert(scanLines(p).count(_.contains("lineitem")) == 1,
+      s"fact must be scanned exactly once, got:\n${scanLines(p).mkString("\n")}")
     assert(!p.contains("CartesianProduct"))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
       s"supplier⋈nation must broadcast in:\n$p")
@@ -42,12 +42,10 @@ class Round8PlanSpec extends AnyFunSuite {
   test("q194 two fact paths: each fact scanned once and REDUCED before the customer join") {
     val df = StarQueries.q194TwoFactPaths(spark, sf)
     val p = finalPlan(df)
-    val scanLines = p.linesIterator.filter(l =>
-      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
-    assert(scanLines.count(_.contains("orders")) == 1,
-      s"orders must be scanned exactly once:\n${scanLines.mkString("\n")}")
-    assert(scanLines.count(_.contains("events")) == 1,
-      s"events must be scanned exactly once:\n${scanLines.mkString("\n")}")
+    assert(scanLines(p).count(_.contains("orders")) == 1,
+      s"orders must be scanned exactly once:\n${scanLines(p).mkString("\n")}")
+    assert(scanLines(p).count(_.contains("events")) == 1,
+      s"events must be scanned exactly once:\n${scanLines(p).mkString("\n")}")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastHashJoin"), s"nation must broadcast in:\n$p")
     // both fact paths must aggregate to customer grain BELOW the join:
@@ -68,10 +66,8 @@ class Round8PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
     // the decorrelated rewrite reads the fact for the threshold agg and
     // the probe — never once per subquery; two scans is the contract
-    val scanLines = p.linesIterator.filter(l =>
-      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
-    assert(scanLines.count(_.contains("lineitem")) <= 2,
-      s"fact must not be re-read per correlation:\n${scanLines.mkString("\n")}")
+    assert(scanLines(p).count(_.contains("lineitem")) <= 2,
+      s"fact must not be re-read per correlation:\n${scanLines(p).mkString("\n")}")
   }
 
   test("q192 audio row: features survive the round trip for a non-trivial fixture") {
@@ -87,10 +83,6 @@ class Round8PlanSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_sq") > 0L)
     }
   }
-
-  private def scanLines(p: String): Seq[String] =
-    p.linesIterator.filter(l =>
-      l.contains("FileScan parquet") || l.contains("Scan parquet")).toSeq
 
   test("q196 Q2-shape: decorrelated min join, dims broadcast, no cartesian, fact not re-read per correlation") {
     val p = finalPlan(StarQueries.q196MinCostSupplier(spark, sf))
@@ -142,6 +134,19 @@ class Round8PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") || p.contains("l_shipdate"),
       s"quarter filter must reach the scan:\n$p")
     assert(scanLines(p).count(_.contains("lineitem")) <= 2, p)
+  }
+
+  test("q203 Q13-shape: orders aggregated to custkey grain BELOW the left join, zero bucket preserved") {
+    val df = StarQueries.q203OrderCountHist(spark, sf)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct"))
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("o_custkey")),
+      s"orders must pre-aggregate on o_custkey below the join:\n${aggs.mkString("\n")}")
+    // the signature zero-orders bucket must be present in the result
+    val zero = df.collect().find(_.getAs[Long]("c_count") == 0L)
+    assert(zero.isDefined && zero.get.getAs[Long]("n_customers") > 0L,
+      "zero-orders bucket must survive the left join")
   }
 
   test("q201 Q20-shape: ONE fact scan folds both correlated sums (conditional agg)") {
