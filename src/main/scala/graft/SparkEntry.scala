@@ -226,6 +226,7 @@ object SparkEntry {
     "q201_excess_stock"       -> (StarQueries.q201ExcessStock(_, _)),
     "q202_cube_aggs"          -> (StarQueries.q202CubeAggs(_, _)),
     "q203_order_count_hist"   -> (StarQueries.q203OrderCountHist(_, _)),
+    "q204_volume_shipping"    -> (StarQueries.q204VolumeShipping(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

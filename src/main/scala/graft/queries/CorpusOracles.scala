@@ -3368,6 +3368,27 @@ object CorpusOracles {
              ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
            GROUP BY 1)
          GROUP BY 1 ORDER BY n_customers DESC, c_count DESC""",
+
+    // X195: TPC-H Q7-shape — the LITERAL disjunctive two-nation pair
+    // predicate; the engine plans IN-filtered broadcast dims + a
+    // post-join inequality filter (never a cartesian), which must
+    // hash-match this OR form
+    "q204_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -837,6 +837,42 @@ object StarQueries {
       .orderBy(desc("n_customers"), desc("c_count"))
   }
 
+  /** TPC-H Q7-shape (X195): two-nation volume shipping — the census row
+    * for DISJUNCTIVE join predicates. The literal form's
+    * `(n1=A AND n2=B) OR (n1=B AND n2=A)` cannot key a hash join (an
+    * OR across both sides degenerates to a cartesian if planned as the
+    * join condition); the engine's shape is the Q7 lesson: restrict
+    * each dim to the UNION of the two nations first (broadcast — the
+    * disjunction's per-side projection is a plain IN filter), join the
+    * fact on pure equi-keys, and apply the cross-pair disjunction as a
+    * post-join FILTER on the two attached nation names. Fact joins
+    * orders co-keyed on orderkey; customer/supplier dims broadcast.
+    * Revenue through DECIMAL(18,2) (q01 rule); year() on the shipdate
+    * is exact integer arithmetic in both engines. */
+  def q204VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_18", "NATION_19")
+    val n = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (dec(lit(1)) - dec(col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Equi-WIDTH histogram (X177; the value-grid complement of q91's
     * equi-depth): 8 equal price ranges per flag, bucket id by EXACT
     * integer arithmetic `((v−mn)·8) div (mx−mn+1)` — no float in the

@@ -149,6 +149,16 @@ class Round8PlanSpec extends AnyFunSuite {
       "zero-orders bucket must survive the left join")
   }
 
+  test("q204 Q7-shape: disjunctive nation pair never plans a cartesian; dims broadcast") {
+    val p = finalPlan(StarQueries.q204VolumeShipping(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"the OR pair predicate must not key the join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"IN-filtered supplier/customer dims must broadcast:\n$p")
+    assert(scanLines(p).count(_.contains("lineitem")) == 1, p)
+  }
+
   test("q201 Q20-shape: ONE fact scan folds both correlated sums (conditional agg)") {
     val p = finalPlan(StarQueries.q201ExcessStock(spark, sf))
     assert(scanLines(p).count(_.contains("lineitem")) == 1,
