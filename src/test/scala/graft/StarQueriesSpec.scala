@@ -36,6 +36,16 @@ class StarQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("queries and oracleSql keys are in exact bijection") {
+    // the driver's correctness gate compares per NAME: a query without
+    // an oracle silently downgrades to rows-only, an oracle without a
+    // query is dead SQL — both are declaration bugs, not runtime ones
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("q00 counts match known sf0.001 cardinalities") {
     val m = SparkEntry.queries("q00_counts")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
