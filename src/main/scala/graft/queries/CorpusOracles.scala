@@ -155,6 +155,42 @@ object CorpusOracles {
        fp AS (SELECT doc_id, ($fp)::BIGINT AS simhash FROM v)"""
   }
 
+  /** Twin of Multimodal.synthPixel + imagePerceptualHash: replays the
+    * 32×32 synthetic grayscale raster (pure doc_id arithmetic — PNG is
+    * lossless so the engine's real encode/decode round trip preserves
+    * it exactly), the 8×8 block-mean grid and global mean (floor
+    * divisions), and both 56-bit hashes (bit r·7+c, so every value is
+    * a non-negative BIGINT). Exposes `ph` with (doc_id, ahash, dhash). */
+  private val imagePHashCtes: String =
+    s"""ids AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+           (doc_id % 10 = 1) AS pert
+         FROM documents),
+       par AS (SELECT doc_id, seed % 7 + 1 AS a, seed % 11 + 2 AS b,
+                      seed % 251 AS c, pert
+               FROM ids),
+       cell AS (SELECT p.doc_id, r.r, cc.cc,
+           (sum(CASE WHEN p.pert AND cc.cc*4+dx.dx < 4 AND r.r*4+dy.dy < 4
+                THEN (((cc.cc*4+dx.dx+1) * (r.r*4+dy.dy+3) * p.a
+                       + p.b*(cc.cc*4+dx.dx) + p.c) % 256 + 128) % 256
+                ELSE ((cc.cc*4+dx.dx+1) * (r.r*4+dy.dy+3) * p.a
+                      + p.b*(cc.cc*4+dx.dx) + p.c) % 256 END)
+            // 16)::BIGINT AS g
+         FROM par p, generate_series(0,7) r(r), generate_series(0,7) cc(cc),
+              generate_series(0,3) dx(dx), generate_series(0,3) dy(dy)
+         GROUP BY 1, 2, 3),
+       m AS (SELECT doc_id, (sum(g) // 64)::BIGINT AS mean FROM cell GROUP BY 1),
+       ph AS (SELECT c.doc_id,
+           sum(CASE WHEN c.g > m.mean THEN (1::BIGINT << (c.r*7 + c.cc))
+               ELSE 0 END)::BIGINT AS ahash,
+           sum(CASE WHEN c.g > n.g THEN (1::BIGINT << (c.r*7 + c.cc))
+               ELSE 0 END)::BIGINT AS dhash
+         FROM cell c
+         JOIN m ON m.doc_id = c.doc_id
+         JOIN cell n ON n.doc_id = c.doc_id AND n.r = c.r AND n.cc = c.cc + 1
+         WHERE c.cc < 7
+         GROUP BY 1)"""
+
   private val multimodalSql =
     s"""WITH h AS (SELECT doc_id,
          octet_length(encode(text))::BIGINT AS n_bytes,
@@ -3389,6 +3425,66 @@ object CorpusOracles {
          WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
             OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // X196: image perceptual hashes — the q37/q192 deterministic-twin
+    // convention for the IMAGE codec: the engine round-trips a real PNG
+    // (encode + raster decode, lossless), this twin replays the pixel
+    // grid, the 8x8 block means (floor division), and both 56-bit
+    // hashes from the synthesis parameters via generate_series —
+    // integer arithmetic end-to-end, never a byte of PNG
+    "q205_image_phash" ->
+      s"""WITH $imagePHashCtes
+         SELECT doc_id, 32::BIGINT AS width, 32::BIGINT AS height,
+                ahash, dhash
+         FROM ph ORDER BY doc_id""",
+
+    // X197: image near-dup — the literal all-pairs hamming join over
+    // the replayed dHashes; the engine's pigeonhole banding
+    // (recall 1 by construction) must hash-match it exactly
+    "q206_image_neardup" ->
+      s"""WITH $imagePHashCtes
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY doc_a, doc_b""",
+
+    // X198: the NOT-IN-with-NULL trap, LITERAL three-valued-logic form —
+    // the first variant's subquery contains NULLs, so NOT IN is never
+    // TRUE and its count is 0; the engine's broadcast-null-guard +
+    // LeftAnti rewrite must reproduce all three variants
+    "q207_notin_null_census" ->
+      """WITH sub AS (SELECT CASE WHEN o_orderstatus = 'F' THEN o_custkey END AS k
+                      FROM orders),
+         t AS (SELECT 'not_in_with_nulls' AS variant, count(*) AS n_rows,
+                      coalesce(sum(c_custkey), 0) AS chk
+               FROM customer WHERE c_custkey NOT IN (SELECT k FROM sub)),
+         g AS (SELECT 'not_in_null_guarded', count(*), coalesce(sum(c_custkey), 0)
+               FROM customer
+               WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)),
+         p AS (SELECT 'in_with_nulls', count(*), coalesce(sum(c_custkey), 0)
+               FROM customer WHERE c_custkey IN (SELECT k FROM sub))
+         SELECT variant, n_rows::BIGINT AS n_rows, chk::BIGINT AS chk
+         FROM (SELECT * FROM t UNION ALL SELECT * FROM g UNION ALL SELECT * FROM p)
+         ORDER BY variant""",
+
+    // X199: null-safe equality join (IS NOT DISTINCT FROM) vs the
+    // null-dropping plain join — divergence pinned row-for-row (the
+    // NULL-key group exists only in the nullsafe variant); both sides
+    // pre-aggregated so the null groups multiply as counts
+    "q208_nullsafe_join" ->
+      """WITH a AS (SELECT CASE WHEN o_custkey % 100 <> 13 THEN o_custkey % 100 END AS k,
+                           count(*) AS na
+                    FROM orders GROUP BY 1),
+         b AS (SELECT CASE WHEN c_custkey % 100 <> 13 THEN c_custkey % 100 END AS k,
+                      count(*) AS nb
+               FROM customer GROUP BY 1),
+         u AS (SELECT 'nullsafe' AS variant, a.k AS key, na * nb AS n_pairs
+               FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+               UNION ALL
+               SELECT 'plain', a.k, na * nb FROM a JOIN b ON a.k = b.k)
+         SELECT variant, key, n_pairs::BIGINT AS n_pairs
+         FROM u ORDER BY variant, key NULLS FIRST""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -919,6 +919,82 @@ object StarQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** NULL-semantics census row 1 (X198): the classic NOT-IN-with-NULL
+    * trap (TPC-H Q16 family — the cross-engine migration bug most
+    * likely to bite in practice). The subquery
+    * `CASE WHEN o_orderstatus='F' THEN o_custkey END` contains NULLs,
+    * so by three-valued logic `x NOT IN (subquery)` is never TRUE and
+    * the literal query returns ZERO rows — while the null-guarded form
+    * returns the real "customers with no F-order" set, and plain IN is
+    * unaffected by the extra NULLs. One labeled count+checksum row per
+    * variant pins all three semantics in one oracle row.
+    *
+    * Engine shape: Spark's own NOT-IN planning is a null-aware anti
+    * join that requires a BROADCASTABLE build side (else BNLJ); the
+    * decorrelated rewrite here is the scale-safe equivalent — the
+    * build side's null count crosses as a broadcast 1-row scalar that
+    * guards (empties) the probe, and the key match itself is a plain
+    * LeftAnti/LeftSemi on the distinct non-null keys, shuffleable at
+    * any size. The only nested loop is that broadcast ONE-ROW scalar
+    * crossing the probe (the q198 device); no cartesian over data.
+    * Probe keys (c_custkey) are non-null by schema — a nullable probe
+    * would additionally drop its null rows under NOT IN, which LeftAnti
+    * alone would keep. */
+  def q207NotInNullCensus(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"))
+    val sub = Tables.load(spark, dir, "orders")
+      .select(when(col("o_orderstatus") === "F", col("o_custkey")).as("k"))
+    // one pass over sub for both the null guard and the key set
+    val nullCount = sub.agg(
+      sum(col("k").isNull.cast("long")).as("n_nulls"))
+    val keys = sub.filter(col("k").isNotNull).distinct()
+    def summarize(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("c_custkey")), lit(0L)).as("chk"))
+        .select(lit(label).as("variant"), col("n_rows"), col("chk"))
+    val trap = summarize(
+      cust.crossJoin(broadcast(nullCount))
+        .filter(col("n_nulls") === 0L)
+        .join(keys, col("c_custkey") === col("k"), "left_anti"),
+      "not_in_with_nulls")
+    val guarded = summarize(
+      cust.join(keys, col("c_custkey") === col("k"), "left_anti"),
+      "not_in_null_guarded")
+    val positive = summarize(
+      cust.join(keys, col("c_custkey") === col("k"), "left_semi"),
+      "in_with_nulls")
+    trap.unionAll(guarded).unionAll(positive).orderBy("variant")
+  }
+
+  /** NULL-semantics census row 2 (X199): null-safe equality join
+    * (`<=>` / IS NOT DISTINCT FROM) vs the null-dropping plain join,
+    * divergence pinned row-for-row — the null-key group exists ONLY in
+    * the nullsafe variant. Both sides pre-aggregate to (key, count)
+    * BELOW the join (the q194 rule), which is also the null-skew
+    * guard: a raw null-safe join would cross-product the two null
+    * groups, |nulls_a|·|nulls_b| rows; pre-aggregated, the null group
+    * is ONE row per side and n_pairs is a product of counts. Null-safe
+    * equality is hashable, so both variants plan as hash joins — never
+    * BNLJ (asserted in Round9PlanSpec). */
+  def q208NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, c: String): DataFrame =
+      df.select(when(col(c) % 100 =!= 13, col(c) % 100).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val a = keyed(Tables.load(spark, dir, "orders"), "o_custkey")
+      .withColumnRenamed("cnt", "na")
+    val b = keyed(Tables.load(spark, dir, "customer"), "c_custkey")
+      .withColumnRenamed("cnt", "nb")
+    val nullsafe = a.join(b, a("k") <=> b("k"))
+      .select(lit("nullsafe").as("variant"), a("k").as("key"),
+        (col("na") * col("nb")).as("n_pairs"))
+    val plain = a.join(b, a("k") === b("k"))
+      .select(lit("plain").as("variant"), a("k").as("key"),
+        (col("na") * col("nb")).as("n_pairs"))
+    nullsafe.unionAll(plain)
+      .orderBy(col("variant"), col("key").asc_nulls_first)
+  }
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),

@@ -128,8 +128,11 @@ object Sinks {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("__shard").orderBy("__line")
         (parted
-          .withColumn("__file",
-            ((row_number().over(w) - 1) / lit(maxLinesPerFile)).cast("long"))
+          // integral floor division (`div`), not double division + cast:
+          // the cap arithmetic stays exact by construction at any count
+          .withColumn("__rn", row_number().over(w).cast("long"))
+          .withColumn("__file", expr(s"(__rn - 1L) div ${maxLinesPerFile}L"))
+          .drop("__rn")
           .sortWithinPartitions("__line"),
           Seq("__shard", "__file"))
       }

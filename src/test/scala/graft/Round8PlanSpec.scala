@@ -15,8 +15,17 @@ class Round8PlanSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save() // let AQE finalize
-    df.queryExecution.executedPlan.toString
+    // an action on THIS Dataset executes THIS QueryExecution, so AQE
+    // finalizes the plan we assert on (a noop write would spawn a
+    // separate QueryExecution and leave df's plan at isFinalPlan=false)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("isFinalPlan=false"),
+      s"plan did not AQE-finalize after collect():\n$p")
+    // the executed AdaptiveSparkPlan prints BOTH plans; assert on the
+    // final one only (the initial section would double scan counts)
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
   }
 
   private def scanLines(p: String): Seq[String] =
