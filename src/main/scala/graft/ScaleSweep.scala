@@ -76,7 +76,9 @@ object ScaleSweep {
       // raster decode + banding — the heaviest per-row stage in the
       // suite) and the NULL-semantics census joins
       "q205_image_phash", "q206_image_neardup",
-      "q207_notin_null_census", "q208_nullsafe_join")
+      "q207_notin_null_census", "q208_nullsafe_join",
+      "q209_frame_sample", "q211_supplier_count_by_part",
+      "q212_banded_revenue")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

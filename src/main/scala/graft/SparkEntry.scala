@@ -231,6 +231,10 @@ object SparkEntry {
     "q206_image_neardup"      -> (CorpusQueries.imageNearDup(_, _)),
     "q207_notin_null_census"  -> (StarQueries.q207NotInNullCensus(_, _)),
     "q208_nullsafe_join"      -> (StarQueries.q208NullSafeJoin(_, _)),
+    "q209_frame_sample"       -> (CorpusQueries.frameSample(_, _)),
+    "q210_blob_resize"        -> (CorpusQueries.blobResize(_, _)),
+    "q211_supplier_count_by_part" -> (StarQueries.q211SupplierCountByPart(_, _)),
+    "q212_banded_revenue"     -> (StarQueries.q212BandedRevenue(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3485,6 +3485,59 @@ object CorpusOracles {
                SELECT 'plain', a.k, na * nb FROM a JOIN b ON a.k = b.k)
          SELECT variant, key, n_pairs::BIGINT AS n_pairs
          FROM u ORDER BY variant, key NULLS FIRST""",
+
+    // X200: the frame-sampling generator shape (1 blob → N frame rows),
+    // replayed from the ASCII text via generate_series — offsets stride
+    // 16, byte value = the character code
+    "q209_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+             unnest(generate_series(0, length(text) - 1, 16)) AS off
+           FROM documents)
+         SELECT doc_id, off::BIGINT AS frame_offset,
+                unicode(substr(text, off::INT + 1, 1))::BIGINT AS frame_byte
+         FROM f ORDER BY doc_id, frame_offset""",
+
+    // X202: TPC-H Q16-shape — the LITERAL NOT IN + count(DISTINCT)
+    // form (null-free subquery: the plain-anti-join half of the
+    // NOT-IN census; q207 pins the null half)
+    "q211_supplier_count_by_part" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 21, 30)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+         GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""",
+
+    // X203: TPC-H Q19-shape — the LITERAL OR of per-brand
+    // (size band × quantity band) conjunctions; the engine's
+    // union-pushed broadcast dim + post-join disjunction filter must
+    // hash-match it
+    "q212_banded_revenue" ->
+      """SELECT p_brand,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 20
+                AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 30
+                AND l_quantity BETWEEN 20 AND 35)
+         GROUP BY 1 ORDER BY 1""",
+
+    // X201: crop-resize + columnar feature re-extract — the q36 pseudo-
+    // feature math over the 100-byte prefix (ASCII: byte == char prefix)
+    "q210_blob_resize" ->
+      s"""WITH h AS (SELECT doc_id,
+           octet_length(encode(substr(text, 1, 100)))::BIGINT AS n_bytes,
+           md5(substr(text, 1, 100)) AS checksum,
+           ${md5h56("substr(text, 1, 100)")} AS h FROM documents)
+         SELECT doc_id, n_bytes, checksum,
+                h % 640 + 64 AS width, h % 480 + 64 AS height,
+                h % 30 + 1 AS n_frames
+         FROM h ORDER BY doc_id""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -253,6 +253,34 @@ object CorpusQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Video-style frame sampling (X200): every 16th byte of the blob as
+    * one frame row — the 1-blob→N-rows generator shape of real frame
+    * extraction, now ORACLE-GATED (the corpus is printable ASCII, so
+    * DuckDB replays byte offsets and values from the text itself via
+    * generate_series; a multi-byte corpus would need the binary-replay
+    * convention of q192 instead). Partition-local flatMap: blobs never
+    * shuffle, frames are the projection. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.asBlobTable(
+        Tables.load(spark, dir, "documents"), "doc_id", "text"),
+      stride = 16)
+      .orderBy("doc_id", "frame_offset")
+
+  /** Blob resize + feature re-extract (X201): the crop-to-`maxBytes`
+    * stand-in for a re-encode, composed with the columnar feature
+    * decode — blob-in/blob-out transforms chain inside the partition
+    * and only the features table leaves it. Oracle replays the crop as
+    * a string prefix (ASCII corpus: byte prefix == char prefix) and
+    * the md5-derived pseudo-features exactly as q36. */
+  def blobResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeaturesColumnar(
+      Multimodal.resizeBlobs(
+        Multimodal.asBlobTable(
+          Tables.load(spark, dir, "documents"), "doc_id", "text"),
+        maxBytes = 100))
+      .orderBy("doc_id")
+
   /** Shared blob stage of the image rows: a REAL PNG per document,
     * synthesized from doc_id arithmetic
     * ([[graft.operators.Multimodal.synthPng]] — docs with

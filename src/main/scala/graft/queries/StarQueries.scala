@@ -995,6 +995,64 @@ object StarQueries {
       .orderBy(col("variant"), col("key").asc_nulls_first)
   }
 
+  /** TPC-H Q16-shape (X202): supplier-count-by-part-attribute with a
+    * NOT IN exclusion — the census shape q207's trap row left open (the
+    * subquery here is null-free, so NOT IN degenerates to a plain anti
+    * join; q207 pins the null case). ENGINE: the attribute-filtered
+    * part dim and the excluded-supplier key set both broadcast, the
+    * fact is scanned ONCE, and count(DISTINCT suppkey) runs as Spark's
+    * two-phase distinct aggregate — the (brand, size, suppkey) distinct
+    * pass and the final count ride one exchange chain, never a
+    * re-scan. Plan-asserted: one fact scan, LeftAnti, no cartesian. */
+  def q211SupplierCountByPart(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.load(spark, dir, "supplier")
+      .filter(col("s_name").endsWith("7"))
+      .select(col("s_suppkey"))
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 9, 13, 21, 30))
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_size"))
+  }
+
+  /** TPC-H Q19-shape (X203): an OR of per-brand (size band × quantity
+    * band) conjunctions — the disjunctive-predicate complement of
+    * q204's two-nation pair. The disjunction must NOT break the equi
+    * join: the ENGINE pushes the UNION of the part-side disjuncts into
+    * the broadcast dim filter (brand IN (...), size ≤ max band — these
+    * reach the part scan as pushed filters), joins the fact on the
+    * plain partkey equi-key, and applies the full cross-side
+    * disjunction as a post-join filter. Revenue through DECIMAL(18,2)
+    * (q01 rule). Plan-asserted: BroadcastHashJoin, no cartesian/BNLJ,
+    * one fact scan. */
+  def q212BandedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#2", "Brand#3", "Brand#4") &&
+        col("p_size") <= 30)
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 35)))
+      .groupBy("p_brand")
+      .agg(sum(dec(col("l_extendedprice")) *
+          (dec(lit(1)) - dec(col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),

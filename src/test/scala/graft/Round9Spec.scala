@@ -96,6 +96,28 @@ class Round9Spec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q211 Q16-shape: one fact scan, LeftAnti exclusion, dims broadcast, no cartesian") {
+    val p = finalPlan(StarQueries.q211SupplierCountByPart(spark, sf))
+    assert(p.linesIterator.count(l =>
+      (l.contains("FileScan parquet") || l.contains("Scan parquet")) &&
+        l.contains("lineitem")) == 1, s"fact must be scanned once:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q212 Q19-shape: the disjunction never breaks the equi join; part filter pushed") {
+    val p = finalPlan(StarQueries.q212BandedRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-conjunctions must stay a post-join filter:\n$p")
+    assert(p.linesIterator.count(l =>
+      (l.contains("FileScan parquet") || l.contains("Scan parquet")) &&
+        l.contains("lineitem")) == 1, s"fact must be scanned once:\n$p")
+    // the union of the part-side disjuncts reaches the part scan
+    assert(p.contains("PushedFilters") || p.contains("p_brand"), p)
+  }
+
   test("q208 divergence is exactly the null-key group; null-safe join stays a hash join") {
     val df = StarQueries.q208NullSafeJoin(spark, sf)
     val p = finalPlan(df)
