@@ -285,11 +285,18 @@ object CorpusQueries {
     * synthesized from doc_id arithmetic
     * ([[graft.operators.Multimodal.synthPng]] — docs with
     * doc_id % 10 == 1 are planted near-dups of doc_id − 1). Blobs are
-    * born and die inside the partition; only hashes shuffle. */
+    * born and die inside the partition; only hashes shuffle. The id
+    * stream is SPREAD before the synth+decode chain: a single-file
+    * parquet scan is one task, and without the exchange the whole
+    * codec stage ran on one core (round-9 bench caught it mechanically
+    * — 3 jobs, floor_excess 3.2 s; spread drops the row to ~0.9 s).
+    * On a real media lake the scan is many files and this exchange of
+    * 8-byte ids is noise — but codec stages must never inherit a
+    * narrow scan's parallelism. */
   private def imageBlobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    spread(Tables.load(spark, dir, "documents").select(col("doc_id").cast("long")))
+      .as[Long]
       .mapPartitions(_.map(id => (id, Multimodal.synthPng(id))))
       .toDF("doc_id", "blob")
   }
@@ -2362,7 +2369,14 @@ object CorpusQueries {
     * [[graft.operators.FuzzyJoin.blockedLevenshteinJoin]]. */
   def fuzzyLinkage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
-    val a = c.select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // spread the PROBE side: the feed broadcasts, so the join + the
+    // Levenshtein verify + the ~100k-pair emission all execute in the
+    // probe's scan stage — which on a single-file table is ONE task
+    // (the q205 lesson; round-9 bench flagged the row mechanically at
+    // floor_excess 1.43 s, spread drops it to ~0.6 s). The exchange
+    // ships 8-byte-key name rows; the verify stage must never inherit
+    // a narrow scan's parallelism.
+    val a = spread(c.select(col("c_custkey").as("id"), col("c_name").as("name")))
     val b = c.select((col("c_custkey") + lit(1000000L)).as("id"),
       when(col("c_custkey") % 3 === 0,
         expr("""concat(substr(c_name, 1, 10 + (c_custkey div 3) % 3), 'X',
