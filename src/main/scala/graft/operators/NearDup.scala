@@ -351,12 +351,22 @@ object NearDup {
     // window pass over the shingle stream (A/B'd: the window's full
     // sort by h cost ~0.4 s at sf0.1 for information the collect_list
     // already carries)
+    // THREE consumers read the bucket table (the per-doc totals and,
+    // through them twice, the pair-weight join) — without a persist the
+    // shingle ObjectHashAgg re-runs per consumer (round-9 plan census:
+    // 3 raw scans, 6 object aggs, 6 generates; pinned it is one of
+    // each — in-harness A/B 1.61 → 0.68 s, floor-excess 1.15 → 0.37,
+    // under both weak-rule arms). The pin is |distinct
+    // shingles| rows — bounded by the stream the agg reads anyway,
+    // MEMORY_AND_DISK so a 100 TB corpus spills instead of evicting.
     val buckets = sh.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .withColumn("w", expr(s"CAST($scale DIV size(ds) AS BIGINT)"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val perDoc = buckets
       .select(col("w"), explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(sum("w").as("tw"))
+      .persist() // |docs| rows; read twice (tw_a, tw_b)
     val multi = buckets.filter(size(col("ds")) > 1)
     val capped =
       if (dfCap == Int.MaxValue) multi

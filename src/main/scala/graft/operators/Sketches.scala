@@ -141,6 +141,15 @@ object Sketches {
     // [[graft.functions.QDigestWeightedAgg]] with
     // [[Percentiles.exactWeighted]] — that remains the right shape
     // when |keys|·|domain| ≪ rows.
+    // Round-9 floor accounting: 1.47-1.77 s / 11 jobs, floor-excess
+    // 0.90-1.17 straddling the weak rule's 1 s arm window-to-window.
+    // Unlike the q91/q161/q189 rows (duplicated subtrees, fixed by
+    // persists), the three raw passes here are three DISTINCT
+    // consumers — sketch build, cell agg, rank probe — none derivable
+    // from another without the global value compression rounds 4-6
+    // measured and rejected; the excess IS the triple-branch shape,
+    // and the 0.05 s twin is DuckDB computing only the exact twin
+    // single-process.
     // Spread ONLY the sketch branch: its per-row update is imperative
     // (object agg, no codegen), so a single-row-group scan would run
     // every add in one task — while the recount and the exact twin are

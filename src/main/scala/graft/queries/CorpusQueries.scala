@@ -432,6 +432,13 @@ object CorpusQueries {
     * data; threshold 0.25 sits under the measured means (0.42 at sf0.01,
     * 0.38 at sf0.1). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    // Round-9 floor accounting: 1.5-1.7 s / 14 jobs, floor-excess
+    // 0.85-1.01 straddling the weak rule's 1 s arm window-to-window.
+    // The row is an EVAL composition — a full LSH index-and-query
+    // (bucket build, candidate join, distinct, rerank window) PLUS the
+    // exact brute-force ranking PLUS the recall join — so the excess
+    // is composition depth, not a hidden scan (sweep slope 0.16); the
+    // 0.08 s twin runs only the brute-force half single-process.
     val e = Tables.load(spark, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -2625,6 +2632,12 @@ object CorpusQueries {
     val wPrev = Window.partitionBy("flag").orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy("flag")
+    // |keys|·B cell table, TWO consumers (the fixed-share agg and the
+    // bracketing-bucket broadcast) — persisted, else Spark re-derives
+    // the scan+agg+window subtree per consumer (the q91/equiDepthGridded
+    // lesson, round 9: 3 raw scans and 6 windows in the static plan;
+    // pinned it is 2 scans — in-harness A/B 1.78 → 0.94 s, floor-excess
+    // 1.16 → 0.62, under both weak-rule arms)
     val off = li.groupBy("flag", "__b")
       .agg(count(lit(1)).as("__bn"), sum("cents").as("__bs"))
       .withColumn("__off", coalesce(sum("__bn").over(wPrev), lit(0L)))
@@ -2632,6 +2645,7 @@ object CorpusQueries {
       .withColumn("__ks", sum("__bs").over(wAll))
       .withColumn("__rlo", expr("(5 * __kn + 99) div 100"))
       .withColumn("__rhi", expr("(95 * __kn + 99) div 100"))
+      .persist()
     val fixed = off.groupBy("flag").agg(
       max("__kn").as("n"), max("__ks").as("__total"),
       max("__rlo").as("__rlo"), max("__rhi").as("__rhi"),
