@@ -31,6 +31,14 @@ import graft.functions.TextFunctions
   */
 object Multimodal {
 
+  // ImageIO defaults every encode/decode stream to a FILE-backed cache
+  // (a temp file created, locked, and deleted per call) — pure overhead
+  // and a disk-I/O serializer for blob work that is in-memory by
+  // design (byte-array in, byte-array out, 32 concurrent tasks). The
+  // flag is JVM-global; in-memory streams are strictly what every
+  // caller of these codecs wants.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed decoded-media features. `width`/`height`/`nFrames` come from the
     * (stubbed) codec; `checksum`/`nBytes` from the blob itself. */
   final case class MediaFeatures(

@@ -292,10 +292,21 @@ object CorpusQueries {
     * — 3 jobs, floor_excess 3.2 s; spread drops the row to ~0.9 s).
     * On a real media lake the scan is many files and this exchange of
     * 8-byte ids is noise — but codec stages must never inherit a
-    * narrow scan's parallelism. */
+    * narrow scan's parallelism. They spread to the CORE count, not the
+    * shuffle width — a codec stage is CPU-bound compute, not an
+    * exchange, so `spark.sql.shuffle.partitions` (tuned for shuffle
+    * BYTES, 8 in the bench) is the wrong sizing knob. The decisive
+    * round-9 finding, though, was ImageIO's default FILE-backed stream
+    * cache (see the Multimodal object init): with a temp file created
+    * and locked per encode/decode, width barely mattered (8-way 0.92 s,
+    * 32-way 1.15 s); with the cache off, q205 reads 0.31 s and q206
+    * 0.50 s at sf0.1 — both now beat their DuckDB twins. */
   private def imageBlobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spread(Tables.load(spark, dir, "documents").select(col("doc_id").cast("long")))
+    val cores = spark.sparkContext.defaultParallelism
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.load(spark, dir, "documents").select(col("doc_id").cast("long"))
+      .repartition(math.max(cores, shuffle))
       .as[Long]
       .mapPartitions(_.map(id => (id, Multimodal.synthPng(id))))
       .toDF("doc_id", "blob")
