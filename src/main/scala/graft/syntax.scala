@@ -43,6 +43,19 @@ object syntax {
         bits: Int = 32): DataFrame =
       NearDup.simhashPairs(df, idCol, textCol, maxHamming, bits)
 
+    /** Pigeonhole-banded hamming-≤d pairs over any (id, fingerprint)
+      * table — text SimHash, image perceptual dHash, or any 64-bit
+      * sketch column. */
+    def hammingPairs(idCol: String, fpCol: String, maxHamming: Int = 3,
+        bits: Int = 56): DataFrame =
+      NearDup.hammingPairs(df, idCol, fpCol, maxHamming, bits)
+
+    /** aHash/dHash perceptual hashes from a (doc_id, blob) image table —
+      * the decode stage of image near-dup; pair the `dhash` column with
+      * [[hammingPairs]]. */
+    def imagePerceptualHashes(batchSize: Int = 64): DataFrame =
+      graft.operators.Multimodal.decodeImageHashes(df, batchSize).toDF()
+
     /** Connected components over a (doc_a, doc_b) pair table built from
       * this or any pair source. */
     def dupGroupsFrom(pairs: DataFrame, maxIters: Int = 20): DataFrame =

@@ -100,4 +100,17 @@ class SyntaxSpec extends AnyFunSuite {
       .incrementalNearDupAgainst(docs.filter(srcNum < 10), "doc_id", "text")
     assert(inc.count() == docs.filter(srcNum >= 10).count())
   }
+
+  test("round-9 image facade: perceptual hashes + hammingPairs match the query path") {
+    import TestSpark.spark.implicits._
+    val blobs = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.operators.Multimodal.synthPng(id))))
+      .toDF("doc_id", "blob")
+    val hashes = blobs.imagePerceptualHashes()
+    val pairs = hashes.hammingPairs("doc_id", "dhash", maxHamming = 3, bits = 56)
+    val direct = graft.queries.CorpusQueries.imageNearDup(TestSpark.spark, sf)
+    assert(pairs.orderBy("doc_a", "doc_b").collect().toSeq ==
+      direct.collect().toSeq)
+  }
 }
