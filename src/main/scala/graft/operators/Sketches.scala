@@ -149,7 +149,9 @@ object Sketches {
     // from another without the global value compression rounds 4-6
     // measured and rejected; the excess IS the triple-branch shape,
     // and the 0.05 s twin is DuckDB computing only the exact twin
-    // single-process.
+    // single-process. (Round-9 A/B: widening the sketch branch to core
+    // count moved nothing — 1.70 s either way — confirming the row is
+    // depth-bound, not width-bound.)
     // Spread ONLY the sketch branch: its per-row update is imperative
     // (object agg, no codegen), so a single-row-group scan would run
     // every add in one task — while the recount and the exact twin are
