@@ -153,6 +153,23 @@ object Bench {
     // narrative ("8 q00-floors" = 8 actions × ~11 jobs × per-job cost).
     val canaryName = "q00_counts"
     var canarySeq = 0
+    // statusTracker is fed by the async listener bus, so a read right
+    // after the last job can undercount (round-9 advice: an undercounted
+    // CANARY inflates the per-job floor and shrinks every floor_excess —
+    // the one direction the weak rule is blind to). Poll until two
+    // consecutive reads agree; the bus drains in ms, the cap is paranoia.
+    def jobsInGroup(gid: String): Int = {
+      var prev = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+      var tries = 0
+      while (tries < 40) {
+        Thread.sleep(25)
+        val cur = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+        if (cur == prev) return cur
+        prev = cur
+        tries += 1
+      }
+      prev
+    }
     def canaryFloor(): Double = {
       canarySeq += 1
       val gid = s"canary-$canarySeq"
@@ -161,8 +178,7 @@ object Bench {
       try run(canaryName) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
-      val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
-      dt / math.max(jobs, 1)
+      dt / math.max(jobsInGroup(gid), 1)
     }
     final case class Sample(sec: Double, jobs: Int, floor: Double)
     def timedPass(pass: Int): Map[String, Sample] = {
@@ -175,7 +191,7 @@ object Bench {
         try run(name) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.clearJobGroup()
-        val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+        val jobs = jobsInGroup(gid)
         // operators that persist() intermediates would otherwise accumulate
         // cached blocks across the 40+ queries and skew later timings
         sweep()
@@ -323,6 +339,12 @@ object Bench {
     // streamingNearDedup scaladoc
     val q120Drain = graft.queries.CorpusQueries.q120DrainSecs
       .getOrElse(runDir, -1.0)
+    // eval-harness cost of the exact brute-force ANN ranking the recall
+    // gates (q35/q49/q157) compare against (memoized; paid in warmup) —
+    // reported NEXT TO, not inside, those query rows, the q120-drain
+    // precedent (round-9 verdict item 2)
+    val q49Eval = graft.queries.CorpusQueries.annExactFixtureSecs
+      .getOrElse(runDir, -1.0)
     import scala.jdk.CollectionConverters._
     val gcMs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
@@ -351,6 +373,7 @@ object Bench {
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":$q00Floor,""" +
       s""""floor_adjusted_total_sec":${math.rint(floorAdjTotal * 100) / 100},""" +
       s""""q120_drain_sec":${math.rint(q120Drain * 100) / 100},""" +
+      s""""q49_eval_sec":${math.rint(q49Eval * 100) / 100},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb)}"""
     val verbose =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -371,7 +394,7 @@ object Bench {
       s""""duckdb_total_sec":${r2(duckTotal)},"ratio_throughput":${ratio(wallSec)},""" +
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":${r2(q00Floor)},""" +
       s""""floor_adjusted_total_sec":${r2(floorAdjTotal)},""" +
-      s""""q120_drain_sec":${r2(q120Drain)},""" +
+      s""""q120_drain_sec":${r2(q120Drain)},"q49_eval_sec":${r2(q49Eval)},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb).toLong},""" +
       s""""sf":"$sfName","n_queries":${results.size},"slowest":$slowest}"""
     // tail budget guard: never emit a final line the driver would clip

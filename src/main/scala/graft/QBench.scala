@@ -28,11 +28,21 @@ object QBench {
     // SPARK_GRAFT_EXPLAIN=1: print the formatted physical plan once
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    // per-rep sweep matches Bench's: query-local caches go, memoized
+    // cross-query artifacts (CurationOps memos, the ANN eval fixture)
+    // stay — a blanket clearCache would evict them and make QBench reps
+    // unrepresentative of the Bench rows they A/B
+    def sweep(): Unit = {
+      val keep = graft.operators.CurationOps.pinnedRddIds
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[qbench] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      if (!hot) spark.catalog.clearCache()
+      if (!hot) sweep()
     }
     spark.stop()
   }

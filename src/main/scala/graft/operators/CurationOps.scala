@@ -82,6 +82,12 @@ object CurationOps {
     * artifact is cross-query state by design, like a staged table). */
   def pinnedRddIds: Set[Int] = pinned
 
+  /** Register RDDs backing an EXTERNALLY memoized cross-query artifact
+    * (e.g. the ANN exact-ranking eval fixture in CorpusQueries) with the
+    * same sweep exemption as this object's own memos. */
+  private[graft] def registerPinnedRdds(ids: Set[Int]): Unit =
+    synchronized { pinned = pinned ++ ids }
+
   /** The shared pair/component artifact for `docs` (keyed by `corpusKey`
     * — the table path — plus shingle/threshold params). First call
     * derives and persists; subsequent calls in the same Spark app return

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** HITS (Kleinberg '99) hubs-and-authorities on a bipartite graph, in
@@ -25,12 +24,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per round TWO equi-joins of the (persisted, exchanged
   * once) edge table with the score vectors and TWO map-side-combinable
-  * sums — the irreducible Pregel cost; the per-half-round max rides a
-  * keyless window over the node-side-bounded score table (round 9 —
-  * formerly a broadcast scalar whose build job re-derived the join+agg
-  * per half-round). Score vectors broadcast below the
-  * [[PageRank.BroadcastNodeLimit]] node count, shuffle above, same
-  * physical strategy choice.
+  * sums — the irreducible Pregel cost; the per-half-round max has two
+  * physical strategies picked by the SAME [[PageRank.BroadcastNodeLimit]]
+  * switch as the score-vector broadcast (round 10): a zero-extra-job
+  * keyless window while the score table is broadcast-small, a persisted
+  * distributed agg(max) + scalar broadcast above the limit (where a
+  * single-task window would serialize billions of scores through one
+  * task). Values are identical either way; in the large regime no
+  * cached state survives the call.
   */
 object Hits {
 
@@ -52,23 +53,39 @@ object Hits {
 
     // norm(x, m) = x div (m div SCALE): multiply-free max-normalization
     val norm = expr(s"s div (m div $Scale)")
-    // the per-half-round max rides a KEYLESS window over the score
-    // table instead of a crossJoin(broadcast(agg(max))): the broadcast
-    // form cost a separate build JOB per half-round that re-derived the
-    // whole join+agg subtree (the round-8 bench read ~8 sequential job
-    // floors for 4 rounds; VERDICT r8 item 6). The window is the q117
-    // discipline's legitimate case — the score table is bounded by the
-    // node-side cardinality (|vocab| / |docs|), never the edge count —
-    // and the max is the identical value, so the fixed point replays
-    // bit-for-bit (hash unchanged; oracle re-passed). A/B in the Bench
-    // harness, same session at matched canaries (0.31/0.44): 3.57 s /
-    // 68 jobs → 2.24 s / 30 jobs (floor-excess ≈ 0.70 s — the round-8
-    // done-bar "≤3 s at a ≤0.5 floor" met with margin).
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
+    // The per-half-round global max: TWO physical strategies, picked by
+    // the SAME node-count switch as the score-vector broadcast (`small`)
+    // — the round-10 advisor's point made precise. The keyless window
+    // computes-and-attaches the max in one pass with zero extra jobs,
+    // but serializes the whole score table through ONE task: legitimate
+    // exactly when that table is small enough that we already broadcast
+    // it whole (≤ BroadcastNodeLimit rows), a parallelism collapse on a
+    // billion-node graph. Above the limit the raw score table is
+    // PERSISTED and the max is a map-side-combinable agg broadcast back
+    // as a scalar — the round-8 broadcast form's real defect was the
+    // UN-persisted build job re-deriving the join+agg subtree per
+    // half-round, not the agg itself (round-9 A/B: 3.57 s / 68 jobs vs
+    // 2.24 s / 30; round-10 re-check of the persisted broadcast form at
+    // local SF: 3.6-4.9 s — the ~14 sequential build-job barriers, not
+    // re-derivation, dominate a local run, which is why the small
+    // regime keeps the window). The max is the identical value either
+    // way, so the fixed point replays bit-for-bit; the large path
+    // materializes the result and releases every pin before returning
+    // (no cached state outlives the call).
+    val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pins = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def normalize(raw: DataFrame, keyCol: String): DataFrame =
-      raw.withColumn("m", max("s").over(wAll))
-        .select(col(keyCol), norm.as("score"))
+      if (small)
+        raw.withColumn("m", max("s").over(wAll))
+          .select(col(keyCol), norm.as("score"))
+      else {
+        val pinned = raw.persist()
+        pins += pinned
+        pinned.crossJoin(broadcast(pinned.agg(max("s").as("m"))))
+          .select(col(keyCol), norm.as("score"))
+      }
 
     var hub = e.select(col("src")).distinct()
       .select(col("src"), lit(Scale).as("score"))
@@ -88,6 +105,17 @@ object Hits {
         hub = hub.localCheckpoint(eager = false)
       }
     }
-    auth.select(col("dst"), col("score").as("auth_scaled"))
+    val result = auth.select(col("dst"), col("score").as("auth_scaled"))
+    if (pins.isEmpty) result
+    else {
+      // large regime: materialize off the pinned caches, then release
+      // them — "no pinned state after return" (the advisor's leak
+      // class); the eager checkpoint is one job at a scale where jobs
+      // are noise
+      val out = result.localCheckpoint(eager = true)
+      pins.foreach(_.unpersist(blocking = false))
+      e.unpersist(blocking = false)
+      out
+    }
   }
 }

@@ -340,7 +340,15 @@ object NearDup {
     * the exchanged BYTES don't drop — collect_list partials carry the
     * same raw (h, doc) rows the semi-join would. At cluster scale the
     * same arithmetic holds per-wave; a singleton's buffer is one
-    * 1-element array, not a scale term. */
+    * 1-element array, not a scale term.
+    *
+    * CACHING CONTRACT: the returned plan reads two persisted
+    * intermediates (the shingle bucket table, the per-doc totals) for
+    * its lifetime — lazy evaluation makes an eager unpersist here
+    * wrong, so callers own the release: loop-invoking library callers
+    * must sweep query-local caches between invocations (as
+    * graft.Bench's sweep does); the benchmark/verify harnesses
+    * already do. */
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, scale: Long = 1000000L,
       dfCap: Int = Int.MaxValue): DataFrame = {

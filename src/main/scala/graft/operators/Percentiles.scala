@@ -216,7 +216,16 @@ object Percentiles {
     * Two raw scans total (cell agg + probe filter), both wide; every
     * other stage is |keys|·B-bounded. Results are value-identical to
     * the unfused plan for any grid width. Output: one row per (key,
-    * bucket) — (n, lo, hi). */
+    * bucket) — (n, lo, hi).
+    *
+    * CACHING CONTRACT: the returned plan reads two persisted
+    * intermediates (the |keys|·B offsets table and the probed-cell
+    * rows) for its lifetime — lazy evaluation makes an eager unpersist
+    * here wrong, so callers own the release. Loop-invoking library
+    * callers must sweep query-local caches between invocations
+    * (`sparkContext.getPersistentRDDs` minus their own pins, as
+    * graft.Bench's sweep does) or cached blocks accumulate for the
+    * session; the benchmark/verify harnesses already do. */
   def equiDepthGridded(df: DataFrame, key: String, value: String,
       nBuckets: Int, gridWidth: Double): DataFrame = {
     require(gridWidth > 0 && nBuckets > 1)

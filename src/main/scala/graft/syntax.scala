@@ -45,9 +45,16 @@ object syntax {
 
     /** Pigeonhole-banded hamming-≤d pairs over any (id, fingerprint)
       * table — text SimHash, image perceptual dHash, or any 64-bit
-      * sketch column. */
-    def hammingPairs(idCol: String, fpCol: String, maxHamming: Int = 3,
-        bits: Int = 56): DataFrame =
+      * sketch column. `bits` has NO default on purpose: the generic
+      * facade cannot know the fingerprint width, and overstating it
+      * (e.g. 56 over a 32-bit simhash) makes the high pigeonhole
+      * blocks all-zero — every row collides there and candidate
+      * generation silently degenerates toward all-pairs (results stay
+      * correct; the cliff is performance). State the width of the
+      * column you pass: 56 for [[imagePerceptualHashes]] output, 32
+      * for [[simhashPairs]]-family fingerprints. */
+    def hammingPairs(idCol: String, fpCol: String, maxHamming: Int,
+        bits: Int): DataFrame =
       NearDup.hammingPairs(df, idCol, fpCol, maxHamming, bits)
 
     /** aHash/dHash perceptual hashes from a (doc_id, blob) image table —
