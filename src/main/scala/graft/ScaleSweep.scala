@@ -78,7 +78,13 @@ object ScaleSweep {
       "q205_image_phash", "q206_image_neardup",
       "q207_notin_null_census", "q208_nullsafe_join",
       "q209_frame_sample", "q211_supplier_count_by_part",
-      "q212_banded_revenue")
+      "q212_banded_revenue",
+      // round-10: the real resize (decode+decimate+re-encode+re-decode
+      // — was the one bench row absent from the sweep), the fused
+      // two-hash near-dup (double banding pass), and the probe-side
+      // NOT-IN census join
+      "q210_blob_resize", "q213_notin_probe_null",
+      "q214_image_neardup_fused")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -235,6 +235,8 @@ object SparkEntry {
     "q210_blob_resize"        -> (CorpusQueries.blobResize(_, _)),
     "q211_supplier_count_by_part" -> (StarQueries.q211SupplierCountByPart(_, _)),
     "q212_banded_revenue"     -> (StarQueries.q212BandedRevenue(_, _)),
+    "q213_notin_probe_null"   -> (StarQueries.q213NotInProbeNull(_, _)),
+    "q214_image_neardup_fused" -> (CorpusQueries.imageNearDupFused(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

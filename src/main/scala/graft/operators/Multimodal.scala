@@ -265,21 +265,7 @@ object Multimodal {
   private[graft] def synthPng(docId: Long): Array[Byte] = {
     val seed = if (docId % 10 == 1) docId - 1 else docId
     val pert = docId % 10 == 1
-    val img = new java.awt.image.BufferedImage(
-      32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < 32) {
-      var x = 0
-      while (x < 32) {
-        raster.setSample(x, y, 0, synthPixel(seed, pert, x, y))
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodeGrayPng(32, 32, (x, y) => synthPixel(seed, pert, x, y))
   }
 
   /** aHash/dHash from a REAL raster decode (`ImageIO.read` — unlike the
@@ -349,28 +335,172 @@ object Multimodal {
       }
   }
 
-  /** Stub "resize": crop blobs to at most `maxBytes` (a real pipeline would
-    * re-encode); demonstrates blob-in/blob-out partition-local transforms. */
-  def resizeBlobs(blobs: DataFrame, maxBytes: Int): DataFrame = {
-    val spark = blobs.sparkSession
-    import spark.implicits._
-    val resized = blobs.select(col("doc_id").cast("long"), col("blob"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, b) => (id, b.take(maxBytes)) })
-      .toDF("doc_id", "blob")
-    resized.withColumn("modality", lit("text/plain"))
+  /** REAL raster resize (round 10 — replaces the byte-crop stand-in):
+    * `javax.imageio` decode → integer block-mean decimation by `factor`
+    * (output pixel (x,y) = FLOOR of the factor×factor input block's
+    * mean — integer arithmetic end-to-end, so a SQL oracle replays
+    * every output pixel) → REAL PNG re-encode. Operates on the
+    * grayscale band 0, the repo's media convention ([[synthPng]]).
+    * Blobs no reader decodes, or rasters smaller than `factor`, yield
+    * a (−1, −1) sentinel with an empty blob (mixed batches never
+    * throw). Returns None for the sentinel case. */
+  private[graft] def resizeRaster(bytes: Array[Byte],
+      factor: Int): Option[(Array[Byte], Int, Int)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth < factor || img.getHeight < factor) None
+    else {
+      val w2 = img.getWidth / factor
+      val h2 = img.getHeight / factor
+      val in = img.getRaster
+      val out = new java.awt.image.BufferedImage(
+        w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val or = out.getRaster
+      val area = factor * factor
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          var s = 0L
+          var dy = 0
+          while (dy < factor) {
+            var dx = 0
+            while (dx < factor) {
+              s += in.getSample(x * factor + dx, y * factor + dy, 0)
+              dx += 1
+            }
+            dy += 1
+          }
+          or.setSample(x, y, 0, (s / area).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some((bos.toByteArray, w2, h2))
+    }
   }
 
-  /** Stub "frame sample": every `stride`-th byte as one "frame" row —
-    * the generator shape (1 blob → N frame rows) of real video sampling. */
-  def sampleFrames(blobs: DataFrame, stride: Int): DataFrame = {
+  /** Blob-in/blob-out image downscale over a (doc_id, blob) table —
+    * the batched `mapPartitions` seam of [[decodeFeatures]]: blobs are
+    * decoded, decimated and re-encoded inside the partition and never
+    * pass the driver; at 100 TB the resized blobs are the projection
+    * (factor² smaller than the input). Output: (doc_id, blob, width,
+    * height) of the RESIZED image; sentinel rows carry (empty, −1, −1). */
+  def resizeImages(blobs: DataFrame, factor: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, s"resizeImages: factor=$factor")
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, b) =>
-        Iterator.range(0, b.length, stride).map(i => (id, i.toLong, b(i).toLong))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, b) =>
+          resizeRaster(b, factor) match {
+            case Some((nb, w, h)) => (id, nb, w.toLong, h.toLong)
+            case None => (id, Array.emptyByteArray, -1L, -1L)
+          }
+        })
       }
-      .toDF("doc_id", "frame_offset", "frame_byte")
+      .toDF("doc_id", "blob", "width", "height")
+  }
+
+  /** Shared grayscale-PNG encoder for the synthetic fixtures: raster
+    * filled from `px(x, y)`, encoded through the REAL codec. */
+  private[graft] def encodeGrayPng(w: Int, h: Int,
+      px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, px(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Tiny multi-frame media container for the video fixtures: magic
+    * "GFV0", big-endian int32 frame count, int32 byte length per frame,
+    * then the frames — each a REAL PNG. The format is deliberately
+    * minimal: the point is the 1-blob→N-decoded-frames dataflow, not
+    * container archaeology; a production pipeline swaps [[parseFrames]]
+    * for its demuxer behind the same seam. */
+  private[graft] def synthVideo(docId: Long): Array[Byte] = {
+    val nFrames = (1 + docId % 3).toInt
+    val seed0 = if (docId % 10 == 1) docId - 1 else docId
+    val frames = (0 until nFrames).map { f =>
+      // frame f's pattern seed = seed0·8 + f: docs with doc_id%10==1
+      // share every frame seed with doc_id−1 (nFrames may differ), so
+      // common frames are EXACT dups except frame 0, whose 4×4
+      // perturbation makes it a planted near-dup — the cross-video
+      // frame-dedup structure q209's fixture spec asserts
+      Multimodal.encodeGrayPng(32, 32,
+        (x, y) => synthPixel(seed0 * 8 + f, docId % 10 == 1 && f == 0, x, y))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes("GFV0")
+    dos.writeInt(nFrames)
+    frames.foreach(f => dos.writeInt(f.length))
+    frames.foreach(dos.write)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a [[synthVideo]]-format container into its frame blobs;
+    * None when the magic/lengths don't check out (never throws). */
+  private[graft] def parseFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 8 ||
+        new String(bytes, 0, 4, "US-ASCII") != "GFV0") return None
+    val buf = java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
+    val n = buf.getInt
+    if (n < 0 || n > 4096 || buf.remaining < 4 * n) return None
+    val lens = Seq.fill(n)(buf.getInt)
+    if (lens.exists(_ < 0) || lens.sum > buf.remaining) return None
+    Some(lens.map { len =>
+      val frame = new Array[Byte](len)
+      buf.get(frame)
+      frame
+    })
+  }
+
+  /** Per-frame perceptual hashes. */
+  final case class FrameHashes(
+      doc_id: Long, frame_no: Long, width: Long, height: Long,
+      ahash: Long, dhash: Long)
+
+  /** REAL frame extraction (round 10 — replaces the byte-stride
+    * stand-in): 1 container blob → N DECODED frame rows, each frame
+    * paying the genuine PNG raster decode and reducing to its
+    * [[imagePerceptualHash]] — the video leg of the image near-dup
+    * family (frame dHashes feed [[NearDup.hammingPairs]] unchanged).
+    * Partition-local flatMap: containers are demuxed and frames
+    * decoded inside the partition, only (6 longs)/frame leave it.
+    * Unparseable blobs yield one (−1, −1, −1, −1, −1) sentinel row. */
+  def extractFrameHashes(blobs: DataFrame,
+      batchSize: Int = 64): Dataset[FrameHashes] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, b) =>
+          parseFrames(b) match {
+            case Some(frames) => frames.iterator.zipWithIndex.map {
+              case (fb, i) =>
+                val h = imagePerceptualHash(id, fb)
+                FrameHashes(id, i.toLong, h.width, h.height, h.ahash, h.dhash)
+            }
+            case None => Iterator.single(FrameHashes(id, -1L, -1L, -1L, -1L, -1L))
+          }
+        })
+      }
   }
 }

@@ -191,6 +191,85 @@ object CorpusOracles {
          WHERE c.cc < 7
          GROUP BY 1)"""
 
+  /** The synthetic grayscale pixel ([[graft.operators.Multimodal
+    * .synthPixel]]) as SQL, parameterized over the x/y expressions;
+    * expects an alias `p` exposing (a, b, c, pert). */
+  private def synthPxSql(x: String, y: String): String =
+    s"""CASE WHEN p.pert AND ($x) < 4 AND ($y) < 4
+        THEN (((($x)+1) * (($y)+3) * p.a + p.b*($x) + p.c) % 256 + 128) % 256
+        ELSE ((($x)+1) * (($y)+3) * p.a + p.b*($x) + p.c) % 256 END"""
+
+  /** q209 twin core: per-(doc, frame) hash replay of the synthVideo
+    * container — frame f of doc d uses pattern seed seed0·8+f (seed0 =
+    * d−1 when d%10==1, else d; frame 0 of a %10==1 doc perturbed), so
+    * the whole demux+decode+hash chain reduces to (doc_id, frame_no)
+    * arithmetic. Exposes `fph` with (doc_id, frame_no, ahash, dhash). */
+  private val framePHashCtes: String =
+    s"""vids AS (SELECT doc_id, 1 + doc_id % 3 AS nf,
+           CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS seed0,
+           (doc_id % 10 = 1) AS pert0
+         FROM documents),
+       fids AS (SELECT doc_id, f.f AS frame_no, seed0 * 8 + f.f AS seed,
+                       (pert0 AND f.f = 0) AS pert
+                FROM vids, generate_series(0, 2) f(f) WHERE f.f < nf),
+       fpar AS (SELECT doc_id, frame_no, seed % 7 + 1 AS a,
+                       seed % 11 + 2 AS b, seed % 251 AS c, pert
+                FROM fids),
+       fcell AS (SELECT p.doc_id, p.frame_no, r.r, cc.cc,
+           (sum(${synthPxSql("cc.cc*4+dx.dx", "r.r*4+dy.dy")}) // 16)::BIGINT AS g
+         FROM fpar p, generate_series(0,7) r(r), generate_series(0,7) cc(cc),
+              generate_series(0,3) dx(dx), generate_series(0,3) dy(dy)
+         GROUP BY 1, 2, 3, 4),
+       fm AS (SELECT doc_id, frame_no, (sum(g) // 64)::BIGINT AS mean
+              FROM fcell GROUP BY 1, 2),
+       fph AS (SELECT c.doc_id, c.frame_no,
+           sum(CASE WHEN c.g > m.mean THEN (1::BIGINT << (c.r*7 + c.cc))
+               ELSE 0 END)::BIGINT AS ahash,
+           sum(CASE WHEN c.g > n.g THEN (1::BIGINT << (c.r*7 + c.cc))
+               ELSE 0 END)::BIGINT AS dhash
+         FROM fcell c
+         JOIN fm m ON m.doc_id = c.doc_id AND m.frame_no = c.frame_no
+         JOIN fcell n ON n.doc_id = c.doc_id AND n.frame_no = c.frame_no
+              AND n.r = c.r AND n.cc = c.cc + 1
+         WHERE c.cc < 7
+         GROUP BY 1, 2)"""
+
+  /** q210 twin core: the REAL resize replayed in two integer-floor
+    * stages — resized pixel v(x2,y2) = floor(2×2 original block mean),
+    * then the 16×16 image's 8×8 grid cell = floor(2×2 resized mean) —
+    * floors of floors, exactly the engine's decode→decimate→re-encode→
+    * re-decode→hash chain (PNG lossless at both hops). Reuses `ids`/
+    * `par` from [[imagePHashCtes]]'s prefix (re-declared standalone
+    * here); exposes `rph` with (doc_id, ahash, dhash). */
+  private val resizePHashCtes: String =
+    s"""ids AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+           (doc_id % 10 = 1) AS pert
+         FROM documents),
+       par AS (SELECT doc_id, seed % 7 + 1 AS a, seed % 11 + 2 AS b,
+                      seed % 251 AS c, pert
+               FROM ids),
+       rpx AS (SELECT p.doc_id, x2.x2, y2.y2,
+           (sum(${synthPxSql("x2.x2*2+dx.dx", "y2.y2*2+dy.dy")}) // 4)::BIGINT AS v
+         FROM par p, generate_series(0,15) x2(x2), generate_series(0,15) y2(y2),
+              generate_series(0,1) dx(dx), generate_series(0,1) dy(dy)
+         GROUP BY 1, 2, 3),
+       rcell AS (SELECT doc_id, y2 // 2 AS r, x2 // 2 AS cc,
+                        (sum(v) // 4)::BIGINT AS g
+                 FROM rpx GROUP BY 1, 2, 3),
+       rm AS (SELECT doc_id, (sum(g) // 64)::BIGINT AS mean
+              FROM rcell GROUP BY 1),
+       rph AS (SELECT c.doc_id,
+           sum(CASE WHEN c.g > m.mean THEN (1::BIGINT << (c.r*7 + c.cc))
+               ELSE 0 END)::BIGINT AS ahash,
+           sum(CASE WHEN c.g > n.g THEN (1::BIGINT << (c.r*7 + c.cc))
+               ELSE 0 END)::BIGINT AS dhash
+         FROM rcell c
+         JOIN rm m ON m.doc_id = c.doc_id
+         JOIN rcell n ON n.doc_id = c.doc_id AND n.r = c.r AND n.cc = c.cc + 1
+         WHERE c.cc < 7
+         GROUP BY 1)"""
+
   private val multimodalSql =
     s"""WITH h AS (SELECT doc_id,
          octet_length(encode(text))::BIGINT AS n_bytes,
@@ -3486,16 +3565,15 @@ object CorpusOracles {
          SELECT variant, key, n_pairs::BIGINT AS n_pairs
          FROM u ORDER BY variant, key NULLS FIRST""",
 
-    // X200: the frame-sampling generator shape (1 blob → N frame rows),
-    // replayed from the ASCII text via generate_series — offsets stride
-    // 16, byte value = the character code
+    // X200 (round 10, REAL): frame extraction — 1 container blob → N
+    // DECODED PNG frames, each reduced to its perceptual hashes; the
+    // twin replays every frame's grid from (doc_id, frame_no)
+    // arithmetic, never a container byte
     "q209_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
-             unnest(generate_series(0, length(text) - 1, 16)) AS off
-           FROM documents)
-         SELECT doc_id, off::BIGINT AS frame_offset,
-                unicode(substr(text, off::INT + 1, 1))::BIGINT AS frame_byte
-         FROM f ORDER BY doc_id, frame_offset""",
+      s"""WITH $framePHashCtes
+         SELECT doc_id, frame_no::BIGINT AS frame_no,
+                32::BIGINT AS width, 32::BIGINT AS height, ahash, dhash
+         FROM fph ORDER BY doc_id, frame_no""",
 
     // X202: TPC-H Q16-shape — the LITERAL NOT IN + count(DISTINCT)
     // form (null-free subquery: the plain-anti-join half of the
@@ -3527,17 +3605,48 @@ object CorpusOracles {
                 AND l_quantity BETWEEN 20 AND 35)
          GROUP BY 1 ORDER BY 1""",
 
-    // X201: crop-resize + columnar feature re-extract — the q36 pseudo-
-    // feature math over the 100-byte prefix (ASCII: byte == char prefix)
+    // X201 (round 10, REAL): raster downscale — decode, 2× integer
+    // block-mean decimation, PNG re-encode, re-decode, perceptual
+    // hashes of the 16×16 result; the twin replays both floor stages
     "q210_blob_resize" ->
-      s"""WITH h AS (SELECT doc_id,
-           octet_length(encode(substr(text, 1, 100)))::BIGINT AS n_bytes,
-           md5(substr(text, 1, 100)) AS checksum,
-           ${md5h56("substr(text, 1, 100)")} AS h FROM documents)
-         SELECT doc_id, n_bytes, checksum,
-                h % 640 + 64 AS width, h % 480 + 64 AS height,
-                h % 30 + 1 AS n_frames
-         FROM h ORDER BY doc_id""",
+      s"""WITH $resizePHashCtes
+         SELECT doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
+                ahash, dhash
+         FROM rph ORDER BY doc_id""",
+
+    // X205: the PROBE-side half of the NOT-IN NULL census (q207 pins
+    // the subquery side): a nullable probe key under NOT IN silently
+    // drops its NULL rows (NULL NOT IN nonempty = NULL), while the
+    // anti-join/NOT EXISTS form KEEPS them — the literal three-valued
+    // forms, one labeled count+checksum row each
+    "q213_notin_probe_null" ->
+      """WITH probe AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 97 <> 3 THEN c_custkey END AS pk
+           FROM customer),
+         sub AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         t AS (SELECT 'not_in_drops_probe_nulls' AS variant,
+                      count(*) AS n_rows, coalesce(sum(c_custkey), 0) AS chk
+               FROM probe WHERE pk NOT IN (SELECT k FROM sub)),
+         a AS (SELECT 'anti_join_keeps_probe_nulls', count(*),
+                      coalesce(sum(c_custkey), 0)
+               FROM probe
+               WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = probe.pk))
+         SELECT variant, n_rows::BIGINT AS n_rows, chk::BIGINT AS chk
+         FROM (SELECT * FROM t UNION ALL SELECT * FROM a)
+         ORDER BY variant""",
+
+    // X204: fused two-hash image near-dup — the literal all-pairs OR
+    // join over both replayed hashes; the engine's double banding pass
+    // (recall 1 per hash by pigeonhole) must hash-match it
+    "q214_image_neardup_fused" ->
+      s"""WITH $imagePHashCtes
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.ahash, b.ahash))::BIGINT AS a_hamming,
+                bit_count(xor(a.dhash, b.dhash))::BIGINT AS d_hamming
+         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+            OR bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY doc_a, doc_b""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -295,33 +295,56 @@ object CorpusQueries {
       .toDF().orderBy("doc_id")
   }
 
-  /** Video-style frame sampling (X200): every 16th byte of the blob as
-    * one frame row — the 1-blob→N-rows generator shape of real frame
-    * extraction, now ORACLE-GATED (the corpus is printable ASCII, so
-    * DuckDB replays byte offsets and values from the text itself via
-    * generate_series; a multi-byte corpus would need the binary-replay
-    * convention of q192 instead). Partition-local flatMap: blobs never
-    * shuffle, frames are the projection. */
-  def frameSample(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(
-      Multimodal.asBlobTable(
-        Tables.load(spark, dir, "documents"), "doc_id", "text"),
-      stride = 16)
-      .orderBy("doc_id", "frame_offset")
+  /** REAL frame extraction (X200, upgraded round 10 from the
+    * byte-stride stand-in): each document carries a multi-frame
+    * container blob (1 + doc_id%3 REAL PNG frames behind a tiny index
+    * header — [[graft.operators.Multimodal.synthVideo]]), and the
+    * operator demuxes it and DECODES every frame to its perceptual
+    * hashes — the 1-blob→N-rows generator of video sampling with a
+    * genuine codec in the loop, the video leg of q205/q206. Frames of
+    * doc_id%10==1 docs share their pattern seeds with doc_id−1 (frame
+    * 0 perturbed), so the emitted dHashes carry the same planted
+    * near-dup structure as the image rows — fed to `hammingPairs` in
+    * the Round10 fixture spec (cross-video frame dedup end-to-end).
+    * Oracle: PNG is lossless, so DuckDB replays every frame's 8×8
+    * block-mean grid and both hashes from (doc_id, frame_no)
+    * arithmetic via generate_series — never a byte of container.
+    * Blobs are born and die inside the partition; the id stream
+    * spreads to core count first (codec stages never inherit a narrow
+    * scan — the q205 rule). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val blobs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .repartition(math.max(cores, shuffle))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthVideo(id))))
+      .toDF("doc_id", "blob")
+    Multimodal.extractFrameHashes(blobs)
+      .toDF().orderBy("doc_id", "frame_no")
+  }
 
-  /** Blob resize + feature re-extract (X201): the crop-to-`maxBytes`
-    * stand-in for a re-encode, composed with the columnar feature
-    * decode — blob-in/blob-out transforms chain inside the partition
-    * and only the features table leaves it. Oracle replays the crop as
-    * a string prefix (ASCII corpus: byte prefix == char prefix) and
-    * the md5-derived pseudo-features exactly as q36. */
+  /** REAL image resize + feature re-extract (X201, upgraded round 10
+    * from the byte-crop stand-in): the 32×32 synthetic PNGs are
+    * raster-DECODED, downscaled 2× by integer block-mean decimation
+    * (output pixel = floor of its 2×2 block's mean), re-ENCODED
+    * through the real PNG codec
+    * ([[graft.operators.Multimodal.resizeImages]]), then the resized
+    * blobs pay a second real decode for their perceptual hashes — the
+    * blob-in/blob-out transform chain of a thumbnailing pipeline, all
+    * inside the partition; only (doc_id, 16, 16, ahash, dhash) leaves.
+    * Oracle: both decimation and hashing are integer floors over a
+    * lossless codec, so DuckDB replays resized pixels, 8×8 block means
+    * (2×2 of resized), and both hashes from doc_id arithmetic. The
+    * Round10 fixture spec additionally asserts the intermediate blob
+    * DECODES to exactly the decimated raster. */
   def blobResize(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeFeaturesColumnar(
-      Multimodal.resizeBlobs(
-        Multimodal.asBlobTable(
-          Tables.load(spark, dir, "documents"), "doc_id", "text"),
-        maxBytes = 100))
-      .orderBy("doc_id")
+    Multimodal.decodeImageHashes(
+      Multimodal.resizeImages(imageBlobs(spark, dir), factor = 2)
+        .select("doc_id", "blob"))
+      .toDF().orderBy("doc_id")
 
   /** Shared blob stage of the image rows: a REAL PNG per document,
     * synthesized from doc_id arithmetic
@@ -380,6 +403,41 @@ object CorpusQueries {
       Multimodal.decodeImageHashes(imageBlobs(spark, dir)).toDF(),
       "doc_id", "dhash", maxHamming = 3, bits = 56)
       .orderBy("doc_a", "doc_b")
+
+  /** Fused two-hash image near-dup (X204, round 10 — the round-9
+    * verdict's "decide aHash's fate" item): a pair is a near-dup when
+    * EITHER perceptual hash sits within its radius — the two hashes
+    * catch different perturbation classes (aHash: mean shifts; dHash:
+    * gradient flips), so the union strictly dominates either alone.
+    * Candidates come from TWO pigeonhole banding passes over the SAME
+    * persisted hash table (decode runs once — the hash table is 4
+    * longs/doc, control-plane-sized; caching contract as on
+    * equiDepthGridded), unioned and deduped, then one exact verify
+    * emits both distances and applies the OR. Recall 1 by the same
+    * pigeonhole argument per hash; no theta join. Output: (doc_a,
+    * doc_b, a_hamming, d_hamming). */
+  def imageNearDupFused(spark: SparkSession, dir: String): DataFrame = {
+    val ph = Multimodal.decodeImageHashes(imageBlobs(spark, dir)).toDF()
+      .select("doc_id", "ahash", "dhash")
+      .persist()
+    val candD = NearDup.hammingPairs(ph, "doc_id", "dhash",
+      maxHamming = 3, bits = 56).select("doc_a", "doc_b")
+    val candA = NearDup.hammingPairs(ph, "doc_id", "ahash",
+      maxHamming = 3, bits = 56).select("doc_a", "doc_b")
+    val cand = candD.unionByName(candA).distinct()
+    val ham = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      bit_count(x.bitwiseXOR(y)).cast("long")
+    cand
+      .join(ph.select(col("doc_id").as("doc_a"), col("ahash").as("__aa"),
+        col("dhash").as("__da")), Seq("doc_a"))
+      .join(ph.select(col("doc_id").as("doc_b"), col("ahash").as("__ab"),
+        col("dhash").as("__db")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        ham(col("__aa"), col("__ab")).as("a_hamming"),
+        ham(col("__da"), col("__db")).as("d_hamming"))
+      .filter(col("a_hamming") <= 3 || col("d_hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** As-of join: for each click event, the most recent prior-or-equal
     * purchase (value + its ts) of the same user. */

@@ -937,9 +937,9 @@ object StarQueries {
     * LeftAnti/LeftSemi on the distinct non-null keys, shuffleable at
     * any size. The only nested loop is that broadcast ONE-ROW scalar
     * crossing the probe (the q198 device); no cartesian over data.
-    * Probe keys (c_custkey) are non-null by schema — a nullable probe
-    * would additionally drop its null rows under NOT IN, which LeftAnti
-    * alone would keep. */
+    * Probe keys (c_custkey) are non-null by schema here; the
+    * nullable-PROBE half of the trap is pinned by
+    * [[q213NotInProbeNull]] (round 10). */
   def q207NotInNullCensus(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"))
@@ -1051,6 +1051,47 @@ object StarQueries {
           (dec(lit(1)) - dec(col("l_discount")))).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
+  }
+
+  /** NULL-semantics census row 3 (X205, round 10): the PROBE-side half
+    * of the NOT-IN trap — [[q207NotInNullCensus]] pins a NULL-bearing
+    * SUBQUERY; here the subquery is null-free and the PROBE key is
+    * nullable (`CASE WHEN c_custkey % 97 <> 3 THEN c_custkey END`).
+    * Under NOT IN a NULL probe key yields NULL (never TRUE) against a
+    * non-empty subquery, so those rows are silently DROPPED; the
+    * anti-join / NOT EXISTS equality form finds no match for a NULL
+    * key and KEEPS them — the exact divergence a cross-engine port of
+    * "WHERE x NOT IN (...)" to "LEFT ANTI JOIN" introduces on nullable
+    * columns. One labeled count+checksum row per variant.
+    *
+    * Engine shape (the q207 discipline): the subquery's row count
+    * crosses as a broadcast 1-row scalar whose only job is the
+    * empty-subquery edge (NOT IN over an EMPTY set keeps everything,
+    * nulls included); the key match is a plain LeftAnti on distinct
+    * keys, shuffleable at any size; no cartesian over data
+    * (plan-asserted in Round10Spec). */
+  def q213NotInProbeNull(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 97 =!= 3, col("c_custkey")).as("pk"))
+    val sub = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val subCount = sub.agg(count(lit(1)).as("n_sub"))
+    val keys = sub.distinct()
+    def summarize(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("c_custkey")), lit(0L)).as("chk"))
+        .select(lit(label).as("variant"), col("n_rows"), col("chk"))
+    val notIn = summarize(
+      probe.crossJoin(broadcast(subCount))
+        .filter(col("n_sub") === 0L || col("pk").isNotNull)
+        .join(keys, col("pk") === col("k"), "left_anti"),
+      "not_in_drops_probe_nulls")
+    val anti = summarize(
+      probe.join(keys, col("pk") === col("k"), "left_anti"),
+      "anti_join_keeps_probe_nulls")
+    notIn.unionAll(anti).orderBy("variant")
   }
 
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -271,15 +271,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L).sample_rate == -1L)
   }
 
-  test("multimodal: resize bounds blob size; frame sampling fans out") {
-    val blobs = Multimodal.asBlobTable(docs.limit(20), "doc_id", "text")
-    val resized = Multimodal.resizeBlobs(blobs, maxBytes = 50)
-    assert(resized.select(max(length(col("blob")))).head().getInt(0) <= 50)
-    val frames = Multimodal.sampleFrames(blobs, stride = 10)
+  test("multimodal: real resize halves dims; frame extraction fans out per container") {
+    val blobs = docs.limit(20).select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, Multimodal.synthPng(id))).toDF("doc_id", "blob")
+    val resized = Multimodal.resizeImages(blobs, factor = 2)
+    assert(resized.filter(col("width") =!= 16L || col("height") =!= 16L).count() == 0)
+    val vids = docs.limit(20).select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, Multimodal.synthVideo(id))).toDF("doc_id", "blob")
+    val frames = Multimodal.extractFrameHashes(vids).toDF()
     val perDoc = frames.groupBy("doc_id").count()
-      .join(blobs.select(col("doc_id"), length(col("blob")).as("len")), Seq("doc_id"))
-    // ceil(len / stride) frames per doc
-    assert(perDoc.filter(col("count") =!= ceil(col("len") / 10.0).cast("long")).count() == 0)
+    // 1 + doc_id % 3 decoded frames per container
+    assert(perDoc.filter(
+      col("count") =!= lit(1L) + pmod(col("doc_id"), lit(3L))).count() == 0)
   }
 
   test("as-of join: handcrafted semantics incl. equal-ts inclusivity and no-match null") {
