@@ -35,7 +35,8 @@ import graft.functions.PairCombinations
   *      self-join), with the size-ratio filter min >= t*max applied
   *      before the distinct;
   *   5. exact-Jaccard verify touches candidate docs only.
-  * Nothing is persisted; the driver sees no data.
+  * The only persisted state is the candidate PAIR table (two broadcast
+  * consumers — see the inline note); the driver sees no data.
   *
   * Latency floor (round 7): the plan is ~8 pipeline-depth exchanges —
   * generate (h-window, doc-window, bucket agg, spread) then verify
@@ -46,14 +47,14 @@ import graft.functions.PairCombinations
   * shared between the candidate and verify sides (ReusedExchange,
   * plan-verified), so the corpus is shingled once.
   *
-  * Round-9 floor accounting (the mechanical form of the same verdict):
-  * Bench measures 1.76 s / 14 jobs at a 0.068 s/job floor —
-  * floor_excess ≈ 0.80 s against the 0.39 s DuckDB twin, i.e. within
-  * one stage floor of the 2× bar and under the weak rule's 1 s arm.
-  * The exchange chain h → doc → h → pairs is a strict dependency of
-  * prefix filtering (each stage keys on the previous stage's output),
-  * so no further exchange can ride an earlier one; the round-7 A/Bs
-  * above already rejected the persist and set-attach variants.
+  * Round-9 floor accounting flagged this as the boundary row
+  * (floor_excess 0.89 vs a 2×twin bar of 0.67); round 10 closed it by
+  * persisting the candidate pair table (the round-9 shared-subtree
+  * class — the round-7 A/B had rejected persisting the SHINGLE STREAM,
+  * which is the big end; the pair table is the small end and its two
+  * broadcast consumers each re-derived the whole generate pipeline).
+  * The exchange chain h → doc → h → pairs remains a strict dependency
+  * of prefix filtering; it now runs once.
   */
 object SetSimJoin {
 
@@ -111,13 +112,27 @@ object SetSimJoin {
       else buckets.filter(size(col("ds")) <= bucketCap)
     // no distinct here: the verify's semi-join collapses duplicate
     // candidates for free, and candDocs below dedups doc ids itself —
-    // a distinct would be one more full exchange of the pair stream
+    // a distinct would be one more full exchange of the pair stream.
+    // PERSISTED (round 10): the pair table has TWO broadcast consumers
+    // — the candDocs semi build and the final pair semi build — and
+    // broadcast build subtrees are where ReuseExchange does NOT save
+    // you (the round-9 shared-subtree class): unpinned, the static
+    // plan derived the whole shingle→window→window→bucket→expand
+    // pipeline TWICE (plan census: 3 document scans / 4 windows across
+    // the two broadcast subtrees; pinned, both consumers read
+    // InMemoryTableScans of one materialization). The pin is the
+    // candidate PAIR set — id pairs only, prefix-bounded, the small
+    // end of the operator. QBench A/B min-of-6, same degraded-ish
+    // window (canary 0.57): 1.75 → 1.06 s. Caching contract as on
+    // Percentiles.equiDepthGridded: the pin lives as long as the
+    // returned plan; the harness sweep releases it.
     val cand = capped
       .repartition(spread)
       .select(exprColumn(PairCombinations(columnExpr(col("ds")))).as(Seq("x", "y")))
       .filter(least(col("x.n_sh"), col("y.n_sh")) >=
         lit(threshold) * greatest(col("x.n_sh"), col("y.n_sh")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5. exact verification via the COUNT formulation, restricted to
     // candidate docs: re-bucket just their shingles and count common
