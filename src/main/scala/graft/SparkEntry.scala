@@ -237,6 +237,7 @@ object SparkEntry {
     "q212_banded_revenue"     -> (StarQueries.q212BandedRevenue(_, _)),
     "q213_notin_probe_null"   -> (StarQueries.q213NotInProbeNull(_, _)),
     "q214_image_neardup_fused" -> (CorpusQueries.imageNearDupFused(_, _)),
+    "q215_audio_neardup"      -> (CorpusQueries.audioNearDup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

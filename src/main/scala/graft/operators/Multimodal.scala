@@ -147,17 +147,17 @@ object Multimodal {
     * no cheaper header to stop at). Anything that is not a PCM-16 WAV
     * falls back to [[fakeDecode]]-style md5 pseudo-features (marked by
     * sample_rate = −1), so mixed batches never throw. */
-  private[graft] def wavDecode(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+  /** Parsed PCM-16 WAV geometry: the chunk walk shared by
+    * [[wavDecode]] and [[audioFingerprint]]. None when the bytes are
+    * not a PCM-16 RIFF/WAVE. */
+  private final case class WavPcm(
+      rate: Long, channels: Int, dataOff: Int, nSamples: Int)
+
+  private def parseWavPcm16(bytes: Array[Byte]): Option[WavPcm] = {
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def le32(o: Int): Long = (le16(o) & 0xffffL) | ((le16(o + 2) & 0xffffL) << 16)
     def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
-    def fallback: AudioFeatures = {
-      val hex = md5Hex(bytes)
-      val h = java.lang.Long.parseLong(hex.substring(0, 14), 16)
-      AudioFeatures(docId, bytes.length.toLong, -1L, h % 2 + 1, 16L,
-        h % 1000, h % 32768, 0L)
-    }
-    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return fallback
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
     var rate = -1L; var channels = -1L; var bps = -1L; var fmt = -1
     var dataOff = -1; var dataLen = 0
@@ -175,21 +175,38 @@ object Multimodal {
       }
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    if (fmt != 1 || bps != 16L || channels < 1 || dataOff < 0) return fallback
-    val nSamples = dataLen / (channels.toInt * 2)
-    var peak = 0L
-    var sumSq = 0L
-    var i = dataOff
-    val end = dataOff + nSamples * channels.toInt * 2
-    while (i + 1 < end + 1) {
-      val s = (le16(i) << 16) >> 16 // sign-extend
-      val a = math.abs(s.toLong)
-      if (a > peak) peak = a
-      sumSq += s.toLong * s.toLong
-      i += 2
+    if (fmt != 1 || bps != 16L || channels < 1 || dataOff < 0) None
+    else Some(WavPcm(rate, channels.toInt, dataOff,
+      dataLen / (channels.toInt * 2)))
+  }
+
+  private def sampleAt(bytes: Array[Byte], o: Int): Int =
+    ((((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)) << 16) >> 16) // sign-extend
+
+  private[graft] def wavDecode(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    def fallback: AudioFeatures = {
+      val hex = md5Hex(bytes)
+      val h = java.lang.Long.parseLong(hex.substring(0, 14), 16)
+      AudioFeatures(docId, bytes.length.toLong, -1L, h % 2 + 1, 16L,
+        h % 1000, h % 32768, 0L)
     }
-    AudioFeatures(docId, bytes.length.toLong, rate, channels, bps,
-      nSamples.toLong, peak, sumSq)
+    parseWavPcm16(bytes) match {
+      case None => fallback
+      case Some(w) =>
+        var peak = 0L
+        var sumSq = 0L
+        var i = w.dataOff
+        val end = w.dataOff + w.nSamples * w.channels * 2
+        while (i + 1 < end + 1) {
+          val s = sampleAt(bytes, i)
+          val a = math.abs(s.toLong)
+          if (a > peak) peak = a
+          sumSq += s.toLong * s.toLong
+          i += 2
+        }
+        AudioFeatures(docId, bytes.length.toLong, w.rate, w.channels.toLong,
+          16L, w.nSamples.toLong, peak, sumSq)
+    }
   }
 
   /** Decode audio features from a blob table — the audio face of
@@ -207,9 +224,13 @@ object Multimodal {
 
   /** Deterministic PCM-16 WAV synthesizer (test/fixture use): a
     * triangle wave of `n` samples — integer sample math, so the decoded
-    * features are exactly predictable. */
+    * features are exactly predictable. `boostFirst`/`boost` add a
+    * transient (+boost on the first `boostFirst` samples) — the
+    * planted-near-dup device for [[audioFingerprint]]: it perturbs
+    * only the leading energy windows, flipping ≤2 fingerprint bits. */
   private[graft] def synthWav(n: Int, rate: Int, amplitude: Int,
-      period: Int, extraChunk: Boolean = false): Array[Byte] = {
+      period: Int, extraChunk: Boolean = false,
+      boostFirst: Int = 0, boost: Int = 0): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
@@ -224,10 +245,63 @@ object Multimodal {
     while (i < n) {
       val ph = i % period
       val tri = if (ph < period / 2) ph else period - ph
-      w16(((tri * 2 * amplitude / period) * (if ((i / period) % 2 == 0) 1 else -1)) & 0xffff)
+      val base = (tri * 2 * amplitude / period) * (if ((i / period) % 2 == 0) 1 else -1)
+      w16((if (i < boostFirst) base + boost else base) & 0xffff)
       i += 1
     }
     bos.toByteArray
+  }
+
+  /** Per-blob acoustic fingerprint. `afp` = −1 marks the sentinel
+    * (non-PCM-16 or fewer than 57 samples). */
+  final case class AudioFingerprint(doc_id: Long, n_samples: Long, afp: Long)
+
+  /** 56-bit acoustic fingerprint — the AUDIO leg of the perceptual
+    * near-dup family (text SimHash / image dHash / video frame dHash):
+    * the int16 sample stream is cut into 57 contiguous windows
+    * (sample j → window (j·57) div total — pure integer arithmetic, so
+    * a SQL oracle replays the cut exactly), each window reduced to its
+    * exact energy Σs², and bit k = [e(k) > e(k+1)] — the dHash
+    * sign-of-gradient idiom over time instead of space. Loudness-scale
+    * changes move energies monotonically and mostly preserve the
+    * gradient signs; a local transient flips only the bits whose
+    * windows it touches, which is what makes hamming distance a
+    * near-dup signal. Integer end-to-end: engine-portable,
+    * hash-oracle-exact. */
+  private[graft] def audioFingerprint(docId: Long, bytes: Array[Byte]): AudioFingerprint =
+    parseWavPcm16(bytes) match {
+      case Some(w) if w.nSamples * w.channels >= 57 =>
+        val total = w.nSamples * w.channels
+        val e = new Array[Long](57)
+        var j = 0
+        while (j < total) {
+          val s = sampleAt(bytes, w.dataOff + 2 * j).toLong
+          e(((j.toLong * 57L) / total).toInt) += s * s
+          j += 1
+        }
+        var fp = 0L
+        var k = 0
+        while (k < 56) {
+          if (e(k) > e(k + 1)) fp |= 1L << k
+          k += 1
+        }
+        AudioFingerprint(docId, total.toLong, fp)
+      case _ => AudioFingerprint(docId, -1L, -1L)
+    }
+
+  /** Acoustic fingerprints from a blob table — the audio-dedup face of
+    * [[decodeImageHashes]], same batched `mapPartitions` seam (blobs
+    * never pass the driver; one long per clip is the projection — pair
+    * the `afp` column with [[NearDup.hammingPairs]]). */
+  def decodeAudioFingerprints(blobs: DataFrame,
+      batchSize: Int = 64): Dataset[AudioFingerprint] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, b) => audioFingerprint(id, b) })
+      }
   }
 
   /** Typed perceptual-hash features: 56-bit aHash (mean-threshold) and

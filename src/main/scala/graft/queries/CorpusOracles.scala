@@ -270,6 +270,36 @@ object CorpusOracles {
          WHERE c.cc < 7
          GROUP BY 1)"""
 
+  /** q215 twin core: the acoustic fingerprint replayed from doc_id
+    * arithmetic — triangle samples (seed0 convention, +500 transient on
+    * the first 4 samples of %10==1 docs), 57 window energies via the
+    * (j·57)//n cut, gradient-sign bits. All integer floors, matching
+    * the engine's int16 round trip exactly (|samples| < 32768, so the
+    * PCM encode is lossless). Exposes `afp` with (doc_id, fp). */
+  private val audioFpCtes: String =
+    s"""aids AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+           (doc_id % 10 = 1) AS pert
+         FROM documents),
+       apar AS (SELECT doc_id, 100 + seed % 157 AS n,
+                       500 + (seed % 29) * 250 AS amp,
+                       6 + seed % 23 AS period, pert
+                FROM aids),
+       asamp AS (SELECT doc_id, n, i.i AS i,
+           (((CASE WHEN (i.i % period) < period // 2 THEN i.i % period
+              ELSE period - i.i % period END) * 2 * amp) // period)
+           * (CASE WHEN (i.i // period) % 2 = 0 THEN 1 ELSE -1 END)
+           + (CASE WHEN pert AND i.i < 4 THEN 500 ELSE 0 END) AS s
+         FROM apar, generate_series(0, 255) i(i) WHERE i.i < n),
+       aen AS (SELECT doc_id, (i * 57) // n AS w, sum(s * s) AS e
+               FROM asamp GROUP BY 1, 2),
+       afp AS (SELECT a.doc_id,
+           sum(CASE WHEN a.e > b.e THEN (1::BIGINT << a.w) ELSE 0 END)::BIGINT AS fp
+         FROM aen a
+         JOIN aen b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+         WHERE a.w < 56
+         GROUP BY 1)"""
+
   private val multimodalSql =
     s"""WITH h AS (SELECT doc_id,
          octet_length(encode(text))::BIGINT AS n_bytes,
@@ -3634,6 +3664,17 @@ object CorpusOracles {
          SELECT variant, n_rows::BIGINT AS n_rows, chk::BIGINT AS chk
          FROM (SELECT * FROM t UNION ALL SELECT * FROM a)
          ORDER BY variant""",
+
+    // X206: audio near-dup — the literal all-pairs hamming join over
+    // the replayed acoustic fingerprints; the engine's pigeonhole
+    // banding over the decoded WAV stream must hash-match it
+    "q215_audio_neardup" ->
+      s"""WITH $audioFpCtes
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY doc_a, doc_b""",
 
     // X204: fused two-hash image near-dup — the literal all-pairs OR
     // join over both replayed hashes; the engine's double banding pass

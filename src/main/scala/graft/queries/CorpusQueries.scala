@@ -295,6 +295,44 @@ object CorpusQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Audio near-dup pairs (X206, round 10): the AUDIO leg of the
+    * perceptual near-dup family — per-doc PCM-16 WAV clips
+    * (triangle-wave synthesis on the seed0 convention: doc_id%10==1
+    * docs reuse doc_id−1's parameters with a +500 transient on the
+    * first 4 samples) reduce to the 56-bit acoustic fingerprint
+    * ([[graft.operators.Multimodal.audioFingerprint]] — window-energy
+    * gradient signs, the dHash idiom over time), and pairs at hamming
+    * ≤ 3 ride the SAME pigeonhole banding as text/image/video
+    * (`hammingPairs`, recall 1, no theta join). The transient touches
+    * only the leading energy windows, so a planted pair differs in ≤2
+    * bits; the DuckDB twin replays samples, window energies,
+    * fingerprints and the all-pairs hamming join from doc_id
+    * arithmetic. Codec stage spreads to core count (the q205 rule);
+    * clips die inside the partition, one long per clip leaves. */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val blobs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .repartition(math.max(cores, shuffle))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = if (id % 10 == 1) id - 1 else id
+        (id, Multimodal.synthWav(
+          n = (100 + seed % 157).toInt,
+          rate = 8000,
+          amplitude = (500 + (seed % 29) * 250).toInt,
+          period = (6 + seed % 23).toInt,
+          boostFirst = if (id % 10 == 1) 4 else 0,
+          boost = 500))
+      }).toDF("doc_id", "blob")
+    NearDup.hammingPairs(
+      Multimodal.decodeAudioFingerprints(blobs).toDF(),
+      "doc_id", "afp", maxHamming = 3, bits = 56)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** REAL frame extraction (X200, upgraded round 10 from the
     * byte-stride stand-in): each document carries a multi-frame
     * container blob (1 + doc_id%3 REAL PNG frames behind a tiny index

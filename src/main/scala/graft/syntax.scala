@@ -59,9 +59,22 @@ object syntax {
 
     /** aHash/dHash perceptual hashes from a (doc_id, blob) image table —
       * the decode stage of image near-dup; pair the `dhash` column with
-      * [[hammingPairs]]. */
+      * [[hammingPairs]] (bits = 56). */
     def imagePerceptualHashes(batchSize: Int = 64): DataFrame =
       graft.operators.Multimodal.decodeImageHashes(df, batchSize).toDF()
+
+    /** 56-bit acoustic fingerprints from a (doc_id, blob) PCM-16 WAV
+      * table — the decode stage of audio near-dup; pair the `afp`
+      * column with [[hammingPairs]] (bits = 56). */
+    def audioFingerprints(batchSize: Int = 64): DataFrame =
+      graft.operators.Multimodal.decodeAudioFingerprints(df, batchSize).toDF()
+
+    /** Per-frame perceptual hashes from a (doc_id, blob) multi-frame
+      * container table — the decode stage of video near-dup; encode
+      * (doc_id, frame_no) into one id and pair `dhash` with
+      * [[hammingPairs]] (bits = 56). */
+    def frameHashes(batchSize: Int = 64): DataFrame =
+      graft.operators.Multimodal.extractFrameHashes(df, batchSize).toDF()
 
     /** Connected components over a (doc_a, doc_b) pair table built from
       * this or any pair source. */

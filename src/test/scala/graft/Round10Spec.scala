@@ -113,6 +113,34 @@ class Round10Spec extends AnyFunSuite {
       "the dHash-only pair set must be a subset of the fused set")
   }
 
+  test("q215 acoustic fingerprints: planted transient flips ≤2 bits; banded = brute force") {
+    def fp(id: Long): Long = {
+      val seed = if (id % 10 == 1) id - 1 else id
+      Multimodal.audioFingerprint(id, Multimodal.synthWav(
+        n = (100 + seed % 157).toInt, rate = 8000,
+        amplitude = (500 + (seed % 29) * 250).toInt,
+        period = (6 + seed % 23).toInt,
+        boostFirst = if (id % 10 == 1) 4 else 0, boost = 500)).afp
+    }
+    for (base <- Seq(0L, 10L, 40L, 130L)) {
+      val h = java.lang.Long.bitCount(fp(base) ^ fp(base + 1))
+      assert(h <= 2, s"planted audio pair ($base,${base + 1}) fingerprint hamming $h")
+      assert(fp(base) >= 0, "56-bit fingerprints stay non-negative")
+    }
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val fps = ids.map(id => (id, fp(id)))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = CorpusQueries.audioNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banded/brute diverge: only-banded=${(banded -- brute).take(5)}, " +
+        s"only-brute=${(brute -- banded).take(5)}")
+  }
+
   test("q213 probe-null divergence: NOT IN drops exactly the rows the anti join keeps") {
     val rows = StarQueries.q213NotInProbeNull(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
