@@ -238,6 +238,8 @@ object SparkEntry {
     "q213_notin_probe_null"   -> (StarQueries.q213NotInProbeNull(_, _)),
     "q214_image_neardup_fused" -> (CorpusQueries.imageNearDupFused(_, _)),
     "q215_audio_neardup"      -> (CorpusQueries.audioNearDup(_, _)),
+    "q216_spatial_radius"     -> (CorpusQueries.spatialRadius(_, _)),
+    "q217_markov_transitions" -> (CorpusQueries.markovTransitions(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

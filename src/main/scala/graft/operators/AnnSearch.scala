@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
 
-import graft.functions.{Vectors, VectorAvgAgg}
+import graft.functions.{LshSignatures, Vectors, VectorAvgAgg}
 
 /** Similarity search over embedding columns (array<float>).
   *
@@ -233,12 +233,26 @@ object AnnSearch {
   }
 
   /** Sign-bit signature of `vec` under one table's planes: bit j =
-    * [dot(vec, plane_j) >= 0]. Pure codegen'd column arithmetic. */
+    * [dot(vec, plane_j) >= 0]. Pure codegen'd column arithmetic.
+    * REFERENCE formulation — [[sigTables]] is the production path: at
+    * L·m plane literals this expression tree inlines L·m unrolled dot
+    * loops into one whole-stage method, which passes the JVM's 8 KB
+    * JIT bytecode ceiling and drops the projection to interpreted
+    * bytecode (~50×; the round-10 q49 finding). Kept for the
+    * equivalence spec that pins the two formulations bit-identical. */
   def lshSignature(vec: org.apache.spark.sql.Column,
       planes: Seq[Array[Double]]): org.apache.spark.sql.Column =
     planes.zipWithIndex.map { case (p, j) =>
       when(Vectors.dot(vec, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All L table signatures in ONE pre-compiled expression node
+    * (array<long>, index = table id — pair with `posexplode`); see
+    * [[graft.functions.LshSignatures]] for why this beats the
+    * declarative per-plane formulation. */
+  private def sigTables(vec: org.apache.spark.sql.Column,
+      planes: Seq[Seq[Array[Double]]]): org.apache.spark.sql.Column =
+    exprColumn(LshSignatures(columnExpr(vec), planes.map(_.toArray).toArray))
 
   /** Random-hyperplane LSH approximate top-k (the classic L-tables/m-bits
     * sign-random-projection scheme): vectors collide in table t when all
@@ -264,15 +278,12 @@ object AnnSearch {
     require(dim <= 0 || dim == actualDim,
       s"lshTopK: caller dim=$dim but corpus embeddings have $actualDim components")
     val planes = lshPlanes(numTables, planesPerTable, actualDim, seed)
-    def sigs(vec: org.apache.spark.sql.Column) = array(planes.zipWithIndex.map {
-      case (ps, t) => struct(lit(t).as("t"), lshSignature(vec, ps).as("sig"))
-    }: _*)
     val c = castDouble(corpus, "embedding")
     val q = castDouble(queries, "q")
-    val cbuck = c.select(col("vec_id"), explode(sigs(col("embedding"))).as("b"))
-      .select(col("vec_id"), col("b.t"), col("b.sig"))
-    val qbuck = q.select(col("query_id"), explode(sigs(col("q"))).as("b"))
-      .select(col("query_id"), col("b.t"), col("b.sig"))
+    val cbuck = c.select(col("vec_id"),
+      posexplode(sigTables(col("embedding"), planes)).as(Seq("t", "sig")))
+    val qbuck = q.select(col("query_id"),
+      posexplode(sigTables(col("q"), planes)).as(Seq("t", "sig")))
     val cand = qbuck.join(cbuck, Seq("t", "sig"))
       .select("query_id", "vec_id").distinct()
     val scored = cand
@@ -302,18 +313,16 @@ object AnnSearch {
       seed: Long = 42L): DataFrame = {
     val actualDim = corpusDim(corpus, "lshMultiProbeTopK")
     val planes = lshPlanes(numTables, planesPerTable, actualDim, seed)
-    def sigs(vec: org.apache.spark.sql.Column) = array(planes.zipWithIndex.map {
-      case (ps, t) => struct(lit(t).as("t"), lshSignature(vec, ps).as("sig"))
-    }: _*)
     val c = castDouble(corpus, "embedding")
     val q = castDouble(queries, "q")
-    val cbuck = c.select(col("vec_id"), explode(sigs(col("embedding"))).as("b"))
-      .select(col("vec_id"), col("b.t"), col("b.sig"))
+    val cbuck = c.select(col("vec_id"),
+      posexplode(sigTables(col("embedding"), planes)).as(Seq("t", "sig")))
     // probe set: exact signature + all m single-bit flips
     val flips = lit(0L) +: (0 until planesPerTable).map(j => lit(1L << j))
-    val qbuck = q.select(col("query_id"), explode(sigs(col("q"))).as("b"))
-      .select(col("query_id"), col("b.t"),
-        explode(array(flips.map(f => col("b.sig").bitwiseXOR(f)): _*)).as("sig"))
+    val qbuck = q.select(col("query_id"),
+        posexplode(sigTables(col("q"), planes)).as(Seq("t", "sig0")))
+      .select(col("query_id"), col("t"),
+        explode(array(flips.map(f => col("sig0").bitwiseXOR(f)): _*)).as("sig"))
     val cand = qbuck.join(cbuck, Seq("t", "sig"))
       .select("query_id", "vec_id").distinct()
     val scored = cand
@@ -449,11 +458,8 @@ object AnnSearch {
     val dim = corpusDim(corpus, "cosineNearDupPairsLsh")
     val planes = lshPlanes(numTables, planesPerTable, dim, seed)
     val c = castDouble(corpus, "embedding")
-    val sigs = array(planes.zipWithIndex.map { case (ps, t) =>
-      struct(lit(t).as("t"), lshSignature(col("embedding"), ps).as("sig"))
-    }: _*)
-    val buck = c.select(col("vec_id"), explode(sigs).as("b"))
-      .select(col("vec_id"), col("b.t"), col("b.sig"))
+    val buck = c.select(col("vec_id"),
+      posexplode(sigTables(col("embedding"), planes)).as(Seq("t", "sig")))
     // id-only candidate pairs: bucket-group one shuffle, ordered expansion
     val cand = buck.groupBy("t", "sig")
       .agg(sort_array(collect_list(col("vec_id"))).as("ds"))

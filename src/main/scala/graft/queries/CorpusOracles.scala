@@ -3688,6 +3688,38 @@ object CorpusOracles {
          WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
             OR bit_count(xor(a.dhash, b.dhash)) <= 3
          ORDER BY doc_a, doc_b""",
+
+    // X207: spatial radius join — the literal all-pairs distance join
+    // over LCG-derived integer points (density held constant by scaling
+    // the y-extent with the corpus count); the engine's grid-cell
+    // banding must hash-match it, exact integer distances included
+    "q216_spatial_radius" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         pts AS (SELECT doc_id AS id,
+             ((doc_id * 1103515245 + 12345) // 65536) % 4096 AS x,
+             ((doc_id * 69069 + 1) // 65536) % greatest(n.n, 64) AS y
+           FROM documents, n)
+         SELECT a.id AS id_a, b.id AS id_b,
+                ((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist_sq
+         FROM pts a JOIN pts b ON a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) <= 64 * 64
+         ORDER BY id_a, id_b""",
+
+    // X208: first-order Markov transition matrix — lag over the
+    // per-user (ts, event_id) order, cell counts, exact-ratio p_ppm
+    "q217_markov_transitions" ->
+      """WITH seq AS (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+           FROM events),
+         t AS (SELECT prev AS src, event_type AS dst,
+                      count(*)::BIGINT AS n
+               FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT src, dst, n,
+                (n * 1000000 // sum(n) OVER (PARTITION BY src))::BIGINT AS p_ppm
+         FROM t ORDER BY src, dst""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, ConsistentHash, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KCore, KMeansExact, KsDrift, Manifest, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, ConsistentHash, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KCore, KMeansExact, KsDrift, Manifest, Markov, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Spatial, Temporal, Triangles, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -3356,4 +3356,38 @@ object CorpusQueries {
       Tables.load(spark, dir, "orders").select("o_custkey"), "o_custkey",
       Tables.load(spark, dir, "customer").select("c_custkey"), "c_custkey",
       k = 256)
+
+  /** 2-D spatial radius join (X207, round 10): pairs of points within
+    * L2 distance 64, via [[graft.operators.Spatial.radiusSelfJoin]]'s
+    * grid-cell banding — never a theta join. Points derive from doc_id
+    * by LCG arithmetic (both engines replay the integer ops exactly);
+    * the y-extent scales with |documents| (constant density ρ=1/4096),
+    * so expected output is LINEAR in corpus size — the sweep-friendly
+    * contract real spatial data (fixed geographic density) also has.
+    * The corpus count enters as a broadcast 1-row scalar. */
+  def spatialRadius(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long")))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val pts = docs.crossJoin(broadcast(n)).select(
+      col("doc_id").as("id"),
+      expr("((doc_id * 1103515245 + 12345) div 65536) % 4096").as("x"),
+      expr("((doc_id * 69069 + 1) div 65536) % greatest(__n, 64)").as("y"))
+    Spatial.radiusSelfJoin(pts, "id", "x", "y", radius = 64L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** First-order Markov transition matrix over per-user event streams
+    * (X208, round 10): the ORDERED complement of q151's co-visitation —
+    * see [[graft.operators.Markov.transitions]]. Probabilities are the
+    * exact-ratio p_ppm (integer division), so the full matrix
+    * hash-matches; (ts, event_id) ordering makes the lag deterministic
+    * under ties. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    Markov.transitions(
+      spread(Tables.load(spark, dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")),
+      key = "user_id", typeCol = "event_type",
+      orderCols = Seq(col("ts"), col("event_id")))
+      .orderBy("src", "dst")
 }

@@ -161,4 +161,92 @@ class Round10Spec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"anti-join expected:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q216 grid-banded radius join: exactly-once, boundary-exact, equals brute force") {
+    import spark.implicits._
+    // hand-placed boundary fixture: same cell, touching r exactly (kept,
+    // closed ball), one past r (dropped), diagonal neighbors, far apart
+    val fix = Seq(
+      (0L, 10L, 10L), (1L, 12L, 14L),   // same cell, d²=20
+      (2L, 100L, 100L), (3L, 164L, 100L), // adjacent cells, d=64 exactly
+      (4L, 200L, 200L), (5L, 265L, 200L), // d=65 — just outside
+      (6L, 319L, 319L), (7L, 320L, 320L), // diagonal cell corner, d²=2
+      (8L, 1000L, 1000L), (9L, 5000L, 5000L))
+    val got = operators.Spatial
+      .radiusSelfJoin(fix.toDF("id", "x", "y"), "id", "x", "y", 64L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(got.length == got.map(_._1).distinct.length, "pairs must emit exactly once")
+    val gotMap = got.toMap
+    assert(gotMap == Map((0L, 1L) -> 20L, (2L, 3L) -> 4096L, (6L, 7L) -> 2L),
+      s"boundary fixture mismatch: $gotMap")
+    // full-query brute-force equality on the real sf table
+    val pairs = CorpusQueries.spatialRadius(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(pairs.length == pairs.map(_._1).distinct.length)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    val n = math.max(docs.length.toLong, 64L)
+    val pts = docs.map(id => (id,
+      ((id * 1103515245L + 12345L) / 65536L) % 4096L,
+      ((id * 69069L + 1L) / 65536L) % n))
+    val brute = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib
+      d = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d <= 64L * 64L
+    } yield ((ia, ib), d)).toMap
+    assert(pairs.toMap == brute,
+      s"banded/brute diverge: only-banded=${(pairs.toMap -- brute.keys).take(5)}, " +
+        s"only-brute=${(brute -- pairs.map(_._1)).take(5)}")
+  }
+
+  test("LshSignatures expression == declarative per-plane formulation, bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftsql.{columnExpr, exprColumn}
+    val planes = operators.AnnSearch.lshPlanes(8, 6, 16, 42L)
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(50)(i => (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val native = df.select(col("vec_id"),
+        posexplode(exprColumn(functions.LshSignatures(
+          columnExpr(col("embedding")), planes.map(_.toArray).toArray))).as(Seq("t", "sig")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val declarative = planes.zipWithIndex.flatMap { case (ps, t) =>
+      df.select(col("vec_id"),
+          operators.AnnSearch.lshSignature(col("embedding"), ps).as("sig"))
+        .collect().map(r => (r.getLong(0), t) -> r.getLong(1))
+    }.toMap
+    assert(native == declarative)
+  }
+
+  test("q217 Markov transitions: hand fixture counts, exact-ratio p_ppm, tie order") {
+    import spark.implicits._
+    // user 1: A,B,A,B → A→B ×2, B→A ×1; user 2 contributes A→A once;
+    // two events share a timestamp — event_id must break the tie
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "A"), (1L, ts(1), 11L, "B"),
+      (1L, ts(2), 12L, "A"), (1L, ts(2), 13L, "B"), // tied ts, id orders
+      (2L, ts(0), 20L, "A"), (2L, ts(5), 21L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = operators.Markov
+      .transitions(ev, "user_id", "event_type", Seq(col("ts"), col("event_id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("A", "B") -> (2L, 666666L), // 2·1e6 div 3
+      ("A", "A") -> (1L, 333333L),
+      ("B", "A") -> (1L, 1000000L)), s"fixture mismatch: $got")
+    // row-stochastic up to integer-floor slack on the real table
+    val full = CorpusQueries.markovTransitions(spark, sf).collect()
+    val bySrc = full.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      val ppm = rows.map(_.getLong(3)).sum
+      val k = rows.length
+      assert(ppm > 1000000L - k && ppm <= 1000000L,
+        s"src $src p_ppm sums to $ppm over $k cells")
+    }
+  }
 }
