@@ -240,6 +240,7 @@ object SparkEntry {
     "q215_audio_neardup"      -> (CorpusQueries.audioNearDup(_, _)),
     "q216_spatial_radius"     -> (CorpusQueries.spatialRadius(_, _)),
     "q217_markov_transitions" -> (CorpusQueries.markovTransitions(_, _)),
+    "q218_ktruss"             -> (CorpusQueries.ktrussPeel(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2725,6 +2725,47 @@ object CorpusOracles {
          ORDER BY n.vec_id"""
     },
 
+    // X209: fixed-round k-truss peel — per round: oriented-wedge
+    // triangles, 3-role edge-support counts, support >= k-2 survival;
+    // survivors' final support recounted on the closing edge set
+    "q218_ktruss" -> {
+      def round(i: Int) =
+        s"""tri$i AS MATERIALIZED (SELECT x.vec_a AS a, x.vec_b AS b, y.vec_b AS c
+              FROM te${i - 1} x JOIN te${i - 1} y
+                ON x.vec_a = y.vec_a AND x.vec_b < y.vec_b
+              JOIN te${i - 1} z ON z.vec_a = x.vec_b AND z.vec_b = y.vec_b),
+            sup$i AS MATERIALIZED (SELECT vec_a, vec_b, count(*) AS sup FROM (
+              SELECT a AS vec_a, b AS vec_b FROM tri$i
+              UNION ALL SELECT a, c FROM tri$i
+              UNION ALL SELECT b, c FROM tri$i) GROUP BY 1, 2),
+            te$i AS MATERIALIZED (SELECT e.vec_a, e.vec_b FROM te${i - 1} e
+              JOIN sup$i s ON e.vec_a = s.vec_a AND e.vec_b = s.vec_b
+              WHERE s.sup >= 1),
+            trm$i AS (SELECT e.vec_a, e.vec_b, CAST($i AS BIGINT) AS rr
+              FROM te${i - 1} e LEFT JOIN te$i a
+                ON e.vec_a = a.vec_a AND e.vec_b = a.vec_b
+              WHERE a.vec_a IS NULL)"""
+      s"""WITH $mutual5Ctes,
+         te0 AS MATERIALIZED (SELECT vec_a, vec_b FROM e),
+         ${round(1)}, ${round(2)}, ${round(3)},
+         ftri AS (SELECT x.vec_a AS a, x.vec_b AS b, y.vec_b AS c
+            FROM te3 x JOIN te3 y ON x.vec_a = y.vec_a AND x.vec_b < y.vec_b
+            JOIN te3 z ON z.vec_a = x.vec_b AND z.vec_b = y.vec_b),
+         fsup AS (SELECT vec_a, vec_b, count(*)::BIGINT AS sup FROM (
+            SELECT a AS vec_a, b AS vec_b FROM ftri
+            UNION ALL SELECT a, c FROM ftri
+            UNION ALL SELECT b, c FROM ftri) GROUP BY 1, 2),
+         trem AS (SELECT * FROM trm1 UNION ALL SELECT * FROM trm2
+                  UNION ALL SELECT * FROM trm3)
+         SELECT e.vec_a, e.vec_b, trem.rr AS removed_round,
+                CASE WHEN trem.rr IS NULL THEN coalesce(fsup.sup, 0) END
+                  AS final_support
+         FROM te0 e
+         LEFT JOIN trem ON e.vec_a = trem.vec_a AND e.vec_b = trem.vec_b
+         LEFT JOIN fsup ON e.vec_a = fsup.vec_a AND e.vec_b = fsup.vec_b
+         ORDER BY e.vec_a, e.vec_b"""
+    },
+
     // X151: langid eval — shared prediction CTEs, harmonic-identity F1
     "q163_langid_eval" ->
       s"""WITH $langPredCtes,

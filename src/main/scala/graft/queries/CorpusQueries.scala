@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, ConsistentHash, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KCore, KMeansExact, KsDrift, Manifest, Markov, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Spatial, Temporal, Triangles, Winnow}
+import graft.operators.{AnnSearch, Anomaly, AsOfJoin, BloomPrune, Boilerplate, BpeTrain, ChunkDedup, Communities, ConsistentHash, Contamination, Coreset, CoVisit, CurationOps, Decay, Dedup, FuzzyJoin, GapFill, Hits, ImportanceWeights, KCore, KMeansExact, KsDrift, Manifest, Markov, Multimodal, NearDup, Packing, Percentiles, PowerIteration, QualityRules, RangeJoin, RowIds, Sampling, Sessionize, SetSimJoin, Sketches, Skew, Skyline, Spatial, Temporal, Triangles, Truss, Winnow}
 import graft.streaming.CorpusStreams
 
 /** Training-data-pipeline extensions over `documents` / `embeddings`:
@@ -2845,6 +2845,16 @@ object CorpusQueries {
       knnGraph(spark, dir).select("vec_a", "vec_b"),
       k = 3, rounds = 5)
       .orderBy("vec_id")
+
+  /** Fixed-round k-truss peel (X209, round 10) toward the 3-truss of
+    * the mutual 5-NN graph — the EDGE-grain sibling of q162's k-core:
+    * an edge survives iff it closes ≥ k−2 triangles among survivors,
+    * which keeps cohesive-community edges and peels bridges/hub spokes
+    * a degree test cannot tell apart; see
+    * [[graft.operators.Truss.peel]]. */
+  def ktrussPeel(spark: SparkSession, dir: String): DataFrame =
+    Truss.peel(knnGraph(spark, dir).select("vec_a", "vec_b"), k = 3, rounds = 3)
+      .orderBy("vec_a", "vec_b")
 
   /** Classifier eval against ground truth (X151): the X8 language-ID
     * heuristic scored against the documents' `lang` labels — per-class

@@ -220,6 +220,32 @@ class Round10Spec extends AnyFunSuite {
     assert(native == declarative)
   }
 
+  test("q218 k-truss peel: cascade fixture, exactly-once triangles, kcore divergence") {
+    import spark.implicits._
+    // strip of three triangles 123/234/345: under k=4 (support ≥ 2)
+    // round 1 peels every support-1 edge (12,13,24,35,45) — which kills
+    // all three triangles, so the shared edges 23/34 (support 2 in
+    // round 1!) CASCADE out in round 2. This is the edge-grain behavior
+    // no degree test shows: nodes 2-4 keep degree ≥ 2 through round 1.
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("vec_a", "vec_b")
+    val got = operators.Truss.peel(strip, k = 4, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got == Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 4L) -> 1L, (3L, 5L) -> 1L,
+      (4L, 5L) -> 1L, (2L, 3L) -> 2L, (3L, 4L) -> 2L), s"cascade mismatch: $got")
+    // k=3: a lone triangle survives with support 1, a pendant edge peels
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L)).toDF("vec_a", "vec_b")
+    val got3 = operators.Truss.peel(tri, k = 3, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2),
+         if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got3 == Map(
+      (1L, 2L) -> (-1L, 1L), (1L, 3L) -> (-1L, 1L), (2L, 3L) -> (-1L, 1L),
+      (3L, 9L) -> (1L, -1L)), s"triangle fixture mismatch: $got3")
+  }
+
   test("q217 Markov transitions: hand fixture counts, exact-ratio p_ppm, tie order") {
     import spark.implicits._
     // user 1: A,B,A,B → A→B ×2, B→A ×1; user 2 contributes A→A once;
