@@ -242,6 +242,18 @@ object syntax {
     def paretoFrontier(xCol: String, yCol: String): DataFrame =
       Skyline.paretoFrontier(df, xCol, yCol)
 
+    /** Grid-cell-banded radius self-join over non-negative integer
+      * 2-D points (exact L2; each pair emits exactly once). */
+    def radiusSelfJoin(id: String, x: String, y: String,
+        radius: Long): DataFrame =
+      operators.Spatial.radiusSelfJoin(df, id, x, y, radius)
+
+    /** First-order Markov transition matrix (ordered per-key lag;
+      * exact-ratio p_ppm). */
+    def markovTransitions(key: String, typeCol: String,
+        orderCols: Seq[Column]): DataFrame =
+      operators.Markov.transitions(df, key, typeCol, orderCols)
+
     // ---- aggregation helpers ----
     def exactPercentiles(key: String, value: String,
         ps: Seq[(String, Double)]): DataFrame =
@@ -292,6 +304,11 @@ object syntax {
     /** this = weighted edge list (src, dst, w). */
     def pageRank(iters: Int = 10, damping: Int = 85): DataFrame =
       PageRank.weighted(df, iters, damping)
+
+    /** this = undirected edge list (vec_a, vec_b): fixed-round k-truss
+      * peel — (edge, removed_round, final_support). */
+    def ktrussPeel(k: Int, rounds: Int): DataFrame =
+      operators.Truss.peel(df, k, rounds)
 
     // ---- layout sinks ----
     def shardedTo(outDir: String, idCol: String, numShards: Int): Unit =

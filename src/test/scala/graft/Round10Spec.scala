@@ -246,6 +246,16 @@ class Round10Spec extends AnyFunSuite {
       (3L, 9L) -> (1L, -1L)), s"triangle fixture mismatch: $got3")
   }
 
+  test("q216/q218 plan shapes: banded joins stay hash equi-joins, never cartesian") {
+    val p216 = finalPlan(CorpusQueries.spatialRadius(spark, sf))
+    assert(!p216.contains("CartesianProduct"), s"q216 went cartesian:\n$p216")
+    // the only nested loop allowed is the broadcast 1-row count scalar
+    assert(p216.contains("HashJoin"), s"q216 cell join must hash:\n$p216")
+    val p218 = finalPlan(CorpusQueries.ktrussPeel(spark, sf))
+    assert(!p218.contains("CartesianProduct"), s"q218 went cartesian:\n$p218")
+    assert(!p218.contains("BroadcastNestedLoopJoin"), s"q218 wedge join must stay equi:\n$p218")
+  }
+
   test("q217 Markov transitions: hand fixture counts, exact-ratio p_ppm, tie order") {
     import spark.implicits._
     // user 1: A,B,A,B → A→B ×2, B→A ×1; user 2 contributes A→A once;
