@@ -29,15 +29,26 @@ object Markov {
     * from per-`key` event sequences ordered by `orderCols`. Output:
     * (src, dst, n, p_ppm), one row per observed transition cell. */
   def transitions(events: DataFrame, key: String, typeCol: String,
+      orderCols: Seq[Column]): DataFrame =
+    fromCounts(cellCounts(events, key, typeCol, orderCols))
+
+  /** The raw (src, dst, n) cell counts — the re-aggregatable core the
+    * streaming face maintains incrementally (additive under union, so
+    * shard-by-shard / batch-by-batch counting composes losslessly). */
+  def cellCounts(events: DataFrame, key: String, typeCol: String,
       orderCols: Seq[Column]): DataFrame = {
     val seq = Window.partitionBy(key).orderBy(orderCols: _*)
-    val trans = events
+    events
       .withColumn("__src", lag(col(typeCol), 1).over(seq))
       .where(col("__src").isNotNull)
       .groupBy(col("__src").as("src"), col(typeCol).as("dst"))
       .agg(count(lit(1)).as("n"))
-    trans
-      .withColumn("p_ppm",
-        expr("n * 1000000 div sum(n) over (partition by src)").cast("long"))
   }
+
+  /** p_ppm derivation over a (src, dst, n) cell table — shared by the
+    * batch operator and the streaming face, so parity is by shared
+    * code, not reimplementation. */
+  def fromCounts(cells: DataFrame): DataFrame =
+    cells.withColumn("p_ppm",
+      expr("n * 1000000 div sum(n) over (partition by src)").cast("long"))
 }

@@ -74,6 +74,57 @@ object CorpusStreams {
       sink(decayedStep(batch, key, tsCol, halfLifeDays, stateDir, id), id)
     }
 
+  /** Per-batch step of [[markovIngest]]: seed the batch with each
+    * user's LAST committed event (state `last`, v=id−1) and run the
+    * SAME lag+count core as the batch operator
+    * ([[graft.operators.Markov.cellCounts]]) over the seeded union —
+    * the seed row pairs with the user's first in-batch event, so
+    * cross-batch boundary transitions are counted exactly once and
+    * never missed (the failure mode of naive per-batch lag). The cell
+    * counts are additive, so they merge into state `cells` by plain
+    * summation; the new per-user last event is a max_by over the
+    * seeded union. Contract: in-order ingest per key (batches arrive
+    * in (ts, seq) order, the log-structured shape) — an event older
+    * than a user's committed last would count a transition full-history
+    * batch order wouldn't. State: |types|² cells + one row per user,
+    * regardless of stream volume. Idempotence: see [[VersionedState]]. */
+  private[graft] def markovStep(batch: DataFrame, key: String,
+      typeCol: String, tsCol: String, seqCol: String, stateDir: String,
+      id: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val ev = batch.select(col(key), col(typeCol), col(tsCol), col(seqCol))
+    val lastDir = s"$stateDir/last"
+    val seeded = VersionedState.read(spark, lastDir, id - 1) match {
+      case Some(prev) =>
+        prev.select(ev.columns.map(col).toIndexedSeq: _*).unionByName(ev)
+      case None => ev
+    }
+    val cells = graft.operators.Markov.cellCounts(
+      seeded, key, typeCol, Seq(col(tsCol), col(seqCol)))
+    val merged = VersionedState.mergeCounts(
+      cells, Seq("src", "dst"), "n", s"$stateDir/cells", id)
+    val last = seeded.groupBy(col(key)).agg(
+      max_by(struct(col(tsCol), col(seqCol), col(typeCol)),
+        struct(col(tsCol), col(seqCol))).as("__m"))
+      .select(col(key), col(s"__m.$tsCol").as(tsCol),
+        col(s"__m.$seqCol").as(seqCol), col(s"__m.$typeCol").as(typeCol))
+    VersionedState.commit(last, lastDir, id)
+    graft.operators.Markov.fromCounts(merged)
+  }
+
+  /** Incrementally-maintained Markov transition matrix (X210, the
+    * streaming face of [[graft.operators.Markov]]): each micro-batch
+    * folds into |types|²-bounded cell counts plus one last-event row
+    * per user — no history rescan, boundary transitions exact; the
+    * p_ppm derivation is the shared [[graft.operators.Markov.fromCounts]]
+    * code, so streaming == batch parity is by construction. */
+  def markovIngest(events: DataFrame, key: String, typeCol: String,
+      tsCol: String, seqCol: String, stateDir: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    VersionedState.ingest(events) { (batch, id) =>
+      sink(markovStep(batch, key, typeCol, tsCol, seqCol, stateDir, id), id)
+    }
+
   /** Per-batch step of [[heavyHitterIngest]]: fold the batch through
     * the Misra–Gries aggregate, merge counter-wise with state `v=id−1`,
     * apply the PODS'12 reduction (subtract the (k+1)-largest, drop ≤0)

@@ -256,6 +256,52 @@ class Round10Spec extends AnyFunSuite {
     assert(!p218.contains("BroadcastNestedLoopJoin"), s"q218 wedge join must stay equi:\n$p218")
   }
 
+  test("streaming Markov: uneven time-ordered batches == batch operator; boundary exact") {
+    val events = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type", "ts", "event_id")
+    val dir = java.nio.file.Files.createTempDirectory("markov-stream").toString
+    // three uneven batches cut along the global (ts, event_id) order —
+    // consistent with every per-user subsequence, so full-history batch
+    // semantics are well-defined; many users straddle the cuts, which
+    // is exactly the boundary the last-event seed must cover
+    val ordered = events.orderBy("ts", "event_id").collect()
+    val cuts = Seq(ordered.length / 5, ordered.length / 2, ordered.length)
+    var start = 0
+    val schema = events.schema
+    cuts.zipWithIndex.foreach { case (end, id) =>
+      val batch = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          ordered.slice(start, end): _*)), schema)
+      graft.streaming.CorpusStreams
+        .markovStep(batch, "user_id", "event_type", "ts", "event_id", dir, id.toLong)
+        .count()
+      start = end
+    }
+    val streamed = graft.operators.Markov.fromCounts(
+      spark.read.parquet(
+        graft.streaming.VersionedState.path(s"$dir/cells", 2L)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val batchOp = CorpusQueries.markovTransitions(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batchOp,
+      s"streaming/batch diverge: ${(streamed.toSet -- batchOp.toSet).take(3)} / " +
+        s"${(batchOp.toSet -- streamed.toSet).take(3)}")
+    // boundary coverage: the cuts split at least one user's sequence,
+    // so a naive per-batch lag (no seed) would undercount
+    val naive = cuts.zip(0 +: cuts.dropRight(1)).map { case (end, s0) =>
+      val b = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          ordered.slice(s0, end): _*)), schema)
+      graft.operators.Markov.cellCounts(b, "user_id", "event_type",
+        Seq(col("ts"), col("event_id"))).agg(sum("n")).head().getLong(0)
+    }.sum
+    val total = batchOp.values.map(_._1).sum
+    assert(naive < total,
+      s"fixture must exercise the batch boundary (naive $naive vs $total)")
+  }
+
   test("q217 Markov transitions: hand fixture counts, exact-ratio p_ppm, tie order") {
     import spark.implicits._
     // user 1: A,B,A,B → A→B ×2, B→A ×1; user 2 contributes A→A once;

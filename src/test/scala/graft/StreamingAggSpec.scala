@@ -419,7 +419,7 @@ class StreamingAggSpec extends AnyFunSuite {
     // are bit-identical
     import graft.streaming.{CorpusStreams, VersionedState}
     val events = Tables.load(spark, sf, "events")
-      .select(col("event_type"), col("ts"), col("user_id"))
+      .select(col("event_type"), col("ts"), col("user_id"), col("event_id"))
     val b1 = events.where(col("user_id") % 2 === 0)
     val b2 = events.where(col("user_id") % 2 =!= 0)
     def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -445,7 +445,10 @@ class StreamingAggSpec extends AnyFunSuite {
           CorpusStreams.slidingDistinctStep(b, "user_id", "ts", 64, 7, d, id), Seq("")),
         ("lateDim", (d: String) => (b: org.apache.spark.sql.DataFrame, id: Long) =>
           CorpusStreams.lateDimStep(b.select(col("event_type").as("k"), col("user_id")),
-            dimDir, "k", d, id), Seq("")))
+            dimDir, "k", d, id), Seq("")),
+        ("markov", (d: String) => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CorpusStreams.markovStep(b, "user_id", "event_type", "ts",
+            "event_id", d, id), Seq("/cells", "/last")))
     }
     cases.foreach { case (name, mkStep, stateSubdirs) =>
       val dir = java.nio.file.Files.createTempDirectory(s"mx-$name").toString
