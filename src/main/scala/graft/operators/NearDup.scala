@@ -601,6 +601,42 @@ object NearDup {
         .as(Seq("doc_a", "doc_b", "hamming")))
   }
 
+  /** Cross-TABLE pigeonhole-banded hamming-≤d pairs — the incremental
+    * shape of [[hammingPairs]]: left = an arriving batch's
+    * fingerprints, right = the committed index, every qualifying
+    * (left, right) pair emitted once with ids normalized doc_a <
+    * doc_b. Same pigeonhole guarantee (agreement on ≥1 of d+1 disjoint
+    * blocks ⇒ recall 1), but as a plain two-sided equi-join on
+    * (block, value) + a candidate-dedup agg + the exact verify — no
+    * index rescan beyond the bucket join, no self-join of the history.
+    * Shuffle: O(|L|·(d+1)) + O(|R|·(d+1)) block rows, then candidates
+    * bounded by genuine block agreement. */
+  def hammingCrossPairs(left: DataFrame, right: DataFrame, idCol: String,
+      fpCol: String, maxHamming: Int, bits: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(bits >= nBlocks,
+      s"hammingCrossPairs: bits=$bits < maxHamming+1=$nBlocks blocks")
+    val base = bits / nBlocks
+    val widths = Seq.tabulate(nBlocks)(i => base + (if (i < bits % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blocks(df: DataFrame, side: String) =
+      df.select(col(idCol).cast("long").as(s"__id$side"),
+          col(fpCol).cast("long").as(s"__fp$side"))
+        .select(col(s"__id$side"), col(s"__fp$side"),
+          posexplode(array(Seq.tabulate(nBlocks) { i =>
+            shiftright(col(s"__fp$side"), offsets(i))
+              .bitwiseAND(lit((1L << widths(i)) - 1))
+          }: _*)).as(Seq("blk", "v")))
+    blocks(left, "L").join(blocks(right, "R"), Seq("blk", "v"))
+      .where(col("__idL") =!= col("__idR"))
+      .groupBy("__idL", "__idR") // dedup multi-block agreement
+      .agg(first("__fpL").as("__fpL"), first("__fpR").as("__fpR"))
+      .select(least(col("__idL"), col("__idR")).as("doc_a"),
+        greatest(col("__idL"), col("__idR")).as("doc_b"),
+        bit_count(col("__fpL").bitwiseXOR(col("__fpR"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** All-pairs SimHash twin of [[simhashPairs]] — O(n²) through a theta
     * self-join, kept as the small-data exactness baseline the banded
     * operator is spec-checked against. Not a scale path. */

@@ -125,6 +125,49 @@ object CorpusStreams {
       sink(markovStep(batch, key, typeCol, tsCol, seqCol, stateDir, id), id)
     }
 
+  /** Per-batch step of [[fingerprintNearDupIngest]]: pairs WITHIN the
+    * batch via the banded self-join plus pairs AGAINST the committed
+    * fingerprint index via [[graft.operators.NearDup.hammingCrossPairs]]
+    * — a pair whose members arrive in different batches is found
+    * exactly once (in the later member's batch), so the union over all
+    * batches equals the batch operator over full history (spec-pinned).
+    * State is the fingerprint index itself: one long per document ever
+    * seen — the same thing any dedup-at-ingest deployment must retain —
+    * versioned for re-delivery idempotence. Contract: document ids are
+    * unique across the stream (re-delivery of the SAME batch id is
+    * handled by versioning; the same doc under two ids is two docs). */
+  private[graft] def fingerprintNearDupStep(batch: DataFrame,
+      idCol: String, fpCol: String, maxHamming: Int, bits: Int,
+      stateDir: String, id: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val fps = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(fpCol).cast("long").as("fp"))
+    val fpsDir = s"$stateDir/fps"
+    val prev = VersionedState.read(spark, fpsDir, id - 1)
+    val within = NearDup.hammingPairs(fps, "doc_id", "fp", maxHamming, bits)
+    val cross = prev match {
+      case Some(p) =>
+        NearDup.hammingCrossPairs(fps, p, "doc_id", "fp", maxHamming, bits)
+      case None => within.limit(0)
+    }
+    VersionedState.commit(
+      prev.map(_.unionByName(fps)).getOrElse(fps), fpsDir, id)
+    within.unionByName(cross)
+  }
+
+  /** Streaming near-dup ingest over ANY fingerprint stream (X211 —
+    * the modality-generic incremental face of the perceptual near-dup
+    * family: image dHash, audio fingerprints, text SimHash all ride
+    * it): each micro-batch emits its new near-dup pairs exactly once,
+    * no history self-join, state = the id+fingerprint index only. */
+  def fingerprintNearDupIngest(fps: DataFrame, idCol: String,
+      fpCol: String, maxHamming: Int, bits: Int, stateDir: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    VersionedState.ingest(fps) { (batch, id) =>
+      sink(fingerprintNearDupStep(
+        batch, idCol, fpCol, maxHamming, bits, stateDir, id), id)
+    }
+
   /** Per-batch step of [[heavyHitterIngest]]: fold the batch through
     * the Misra–Gries aggregate, merge counter-wise with state `v=id−1`,
     * apply the PODS'12 reduction (subtract the (k+1)-largest, drop ≤0)

@@ -302,6 +302,53 @@ class Round10Spec extends AnyFunSuite {
       s"fixture must exercise the batch boundary (naive $naive vs $total)")
   }
 
+  test("streaming fingerprint near-dup: batched union == full hammingPairs; re-delivery idempotent") {
+    import spark.implicits._
+    // real image dHashes from the q205 codec path — the modality the
+    // generic ingest exists for
+    val fps = operators.Multimodal.decodeImageHashes(
+      Tables.load(spark, sf, "documents").select(col("doc_id"))
+        .as[Long].map(id => (id, operators.Multimodal.synthPng(id)))
+        .toDF("doc_id", "blob")).toDF()
+      .select(col("doc_id"), col("dhash").as("fp")).collect()
+    val dir = java.nio.file.Files.createTempDirectory("fp-stream").toString
+    val cuts = Seq(fps.length / 4, fps.length / 2, fps.length)
+    var start = 0
+    val emitted = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    var crossBatch = 0
+    cuts.zipWithIndex.foreach { case (end, id) =>
+      val batchIds = fps.slice(start, end).map(_.getLong(0)).toSet
+      val batch = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(fps.slice(start, end): _*)),
+        fps.head.schema)
+      val out = graft.streaming.CorpusStreams
+        .fingerprintNearDupStep(batch, "doc_id", "fp", 3, 56, dir, id.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.forall { case (a, b, _) =>
+        batchIds.contains(a) || batchIds.contains(b) }, "pairs must involve the batch")
+      crossBatch += out.count { case (a, b, _) =>
+        batchIds.contains(a) ^ batchIds.contains(b) }
+      out.foreach { p => assert(!emitted.contains(p), s"pair $p emitted twice"); emitted += p }
+      start = end
+    }
+    assert(crossBatch > 0, "fixture must exercise cross-batch pairs")
+    val full = NearDup.hammingPairs(
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(fps: _*)), fps.head.schema),
+      "doc_id", "fp", 3, 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(emitted.toSet == full,
+      s"streamed/batch diverge: ${(emitted.toSet -- full).take(3)} / ${(full -- emitted).take(3)}")
+    // re-delivery of the last batch id recomputes identical output + state
+    val lastBatch = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        fps.slice(cuts(1), cuts(2)): _*)), fps.head.schema)
+    def run() = graft.streaming.CorpusStreams
+      .fingerprintNearDupStep(lastBatch, "doc_id", "fp", 3, 56, dir, 2L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run() == run(), "re-delivered batch must recompute identically")
+  }
+
   test("q217 Markov transitions: hand fixture counts, exact-ratio p_ppm, tie order") {
     import spark.implicits._
     // user 1: A,B,A,B → A→B ×2, B→A ×1; user 2 contributes A→A once;
