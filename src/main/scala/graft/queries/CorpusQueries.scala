@@ -2660,15 +2660,17 @@ object CorpusQueries {
     * points, saturation counts, quantized-code sum — is arithmetic
     * over that table: sat count = Σc·[v<lo], q_sum = Σc·q(v) (the
     * quantized code is a function of the VALUE, so per-cell work
-    * compresses to per-distinct-value work), with the three consumers
-    * deduped at the shared (dim, v) exchange (ReusedExchange). The old
-    * shape re-exploded the raw cells per branch — at 100 TB that is
-    * three passes over the vector corpus vs one. At sf0.1 the A/B is
-    * time-neutral (~1.1 s either way, min-of-6: the suite floor — ~6
-    * AQE stage boundaries at ~0.15 s each — dominates both shapes;
-    * a repartition(dim) single-exchange variant measured identical),
-    * so the shape is chosen for the scale story, not the local
-    * clock. */
+    * compresses to per-distinct-value work). The old shape re-exploded
+    * the raw cells per branch — at 100 TB that is three passes over
+    * the vector corpus vs one. Round 10: ReusedExchange dedupes only
+    * the (dim, v) agg EXCHANGE — the cumsum window on top of it was
+    * re-evaluated per consumer (the q161/q189 shared-subtree class),
+    * so the |dims|·|values|-bounded cnts table is now persisted:
+    * QBench min-of-6 0.46 s vs 1.11 s unpersisted (the round-8
+    * "time-neutral" A/B predates the persist class and compared
+    * explode shapes, not the window re-derivation). Caching contract
+    * as on Percentiles.equiDepthGridded: the pin lives with the
+    * returned plan; the harness sweep releases it per query. */
   def clippedQuantize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = spread(Tables.load(spark, dir, "embeddings"))
@@ -2678,6 +2680,7 @@ object CorpusQueries {
       .withColumn("cum", sum("c").over(
         Window.partitionBy("dim").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
     val n = cnts.groupBy("dim").agg(sum("c").as("n"))
     val cuts = cnts.join(broadcast(n), Seq("dim"))
       .groupBy("dim")
