@@ -85,7 +85,8 @@ object ScaleSweep {
       // NOT-IN census join
       "q210_blob_resize", "q213_notin_probe_null",
       "q214_image_neardup_fused", "q215_audio_neardup",
-      "q216_spatial_radius", "q217_markov_transitions", "q218_ktruss")
+      "q216_spatial_radius", "q217_markov_transitions", "q218_ktruss",
+      "q219_privacy_census")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

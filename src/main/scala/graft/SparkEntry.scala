@@ -241,6 +241,7 @@ object SparkEntry {
     "q216_spatial_radius"     -> (CorpusQueries.spatialRadius(_, _)),
     "q217_markov_transitions" -> (CorpusQueries.markovTransitions(_, _)),
     "q218_ktruss"             -> (CorpusQueries.ktrussPeel(_, _)),
+    "q219_privacy_census"     -> (CorpusQueries.privacyCensus(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2791,6 +2791,35 @@ object CorpusOracles {
                 END AS f1
          FROM m LEFT JOIN tp ON m.cls = tp.cls ORDER BY m.cls""",
 
+    // X212: l-diversity + integer-exact t-closeness (categorical TVD by
+    // rational cross-multiplication) over the complete nation×segment
+    // grid — missing segments contribute |0 − c_alls·n_g|
+    "q219_privacy_census" ->
+      """WITH cell AS (SELECT c_nationkey AS nation, c_mktsegment AS seg,
+                count(*)::BIGINT AS cg
+              FROM customer GROUP BY 1, 2),
+         segtot AS (SELECT seg, sum(cg)::BIGINT AS call FROM cell GROUP BY 1),
+         nall AS (SELECT sum(call)::BIGINT AS n_all FROM segtot),
+         grid AS (SELECT n.nation, s.seg, s.call,
+                coalesce(c.cg, 0)::BIGINT AS cg
+              FROM (SELECT DISTINCT nation FROM cell) n
+              CROSS JOIN segtot s
+              LEFT JOIN cell c ON c.nation = n.nation AND c.seg = s.seg),
+         g2 AS (SELECT nation, seg, call, cg,
+                sum(cg) OVER (PARTITION BY nation) AS ng,
+                (SELECT n_all FROM nall) AS n_all
+              FROM grid),
+         agg AS (SELECT nation, max(ng)::BIGINT AS n,
+                sum(CASE WHEN cg > 0 THEN 1 ELSE 0 END)::BIGINT AS l_distinct,
+                sum(abs(cg * n_all - call * ng))::BIGINT AS num,
+                max(n_all)::BIGINT AS n_all
+              FROM g2 GROUP BY 1)
+         SELECT nation, n, l_distinct,
+                (num * 1000000 // (2 * n * n_all))::BIGINT AS tvd_ppm,
+                l_distinct >= 3 AS l_ok,
+                (num * 1000000 // (2 * n * n_all)) <= 200000 AS t_ok
+         FROM agg ORDER BY nation""",
+
     // X152: k-anonymity equivalence classes over (segment, nation)
     "q164_k_anonymity" ->
       """SELECT c_mktsegment AS segment, c_nationkey AS nation,

@@ -2909,6 +2909,48 @@ object CorpusQueries {
     g.orderBy("segment", "nation")
   }
 
+  /** l-diversity + t-closeness privacy census (X212, round 10 — the
+    * two audits k-anonymity (q164) famously does NOT cover: a class
+    * can be large yet leak its sensitive attribute outright when every
+    * member shares it (homogeneity → l-diversity), or leak
+    * statistically when its distribution skews far from the global one
+    * (skewness → t-closeness)). Quasi-identifier = nation, sensitive =
+    * market segment. l = distinct sensitive values per class;
+    * t-closeness is the categorical total-variation distance, computed
+    * EXACTLY in integers by cross-multiplying the two rationals —
+    * tvd_ppm = (Σ_s |c_gs·n_all − c_alls·n_g| · 10^6) div (2·n_g·n_all)
+    * — no float ever, so both engines agree to the last ppm. Missing
+    * segments matter (|0 − c_alls·n_g| terms), so the census rides the
+    * complete nation×segment grid — |QI|·|S|-bounded, built from one
+    * map-side-combinable cell count; everything downstream is
+    * arithmetic over that tiny table. */
+  def privacyCensus(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cg"))
+    val segTot = cell.groupBy("seg").agg(sum("cg").as("call"))
+    val nAll = segTot.agg(sum("call").as("n_all"))
+    val grid = cell.select("nation").distinct()
+      .crossJoin(broadcast(segTot))
+      .join(cell, Seq("nation", "seg"), "left")
+      .select(col("nation"), col("seg"), col("call"),
+        coalesce(col("cg"), lit(0L)).as("cg"))
+    grid.crossJoin(broadcast(nAll))
+      .withColumn("ng", sum("cg").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("nation")))
+      .groupBy("nation")
+      .agg(
+        first("ng").as("n"),
+        sum(when(col("cg") > 0, 1L).otherwise(0L)).as("l_distinct"),
+        sum(abs(col("cg") * col("n_all") - col("call") * col("ng"))).as("__num"),
+        first("n_all").as("__n_all"))
+      .select(col("nation"), col("n"), col("l_distinct"),
+        expr("__num * 1000000 div (2 * n * __n_all)").cast("long").as("tvd_ppm"))
+      .withColumn("l_ok", col("l_distinct") >= 3)
+      .withColumn("t_ok", col("tvd_ppm") <= 200000L)
+      .orderBy("nation")
+  }
+
   /** Relational data-contract audit (X153): the ingest-side DQ gate a
     * warehouse runs before promoting a batch — FK orphans (orders →
     * customer anti-join), domain violations (non-positive totals,

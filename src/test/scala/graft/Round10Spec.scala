@@ -349,6 +349,46 @@ class Round10Spec extends AnyFunSuite {
     assert(run() == run(), "re-delivered batch must recompute identically")
   }
 
+  test("q219 privacy census: uniform group tvd=0, homogeneous group pinned, missing segments count") {
+    val got = CorpusQueries.privacyCensus(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // engine-independent invariants on the real table
+    got.values.foreach { case (n, l, tvd) =>
+      assert(l >= 1 && tvd >= 0 && tvd <= 1000000, s"($n, $l, $tvd) out of range")
+    }
+    // hand-replayed exact TVD for one nation vs the same integer formula
+    import spark.implicits._
+    val cells = Tables.load(spark, sf, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).agg(count(lit(1)).as("c"))
+      .collect().map(r =>
+        (r.getAs[Number](0).longValue, r.getString(1)) -> r.getLong(2)).toMap
+    val segs = cells.keys.map(_._2).toSet
+    val nAll = cells.values.sum
+    val nation0 = cells.keys.map(_._1).min
+    val ng = cells.collect { case ((n, _), c) if n == nation0 => c }.sum
+    val num = segs.toSeq.map { s =>
+      val cg = cells.getOrElse((nation0, s), 0L)
+      val call = cells.collect { case ((_, s2), c) if s2 == s => c }.sum
+      math.abs(cg * nAll - call * ng)
+    }.sum
+    val expected = num * 1000000L / (2L * ng * nAll)
+    assert(got(nation0)._3 == expected,
+      s"nation $nation0 tvd ${got(nation0)._3} != replayed $expected")
+    // a group distributed exactly like the global distribution has tvd 0:
+    // synthetic two-nation fixture where nation 1 mirrors the global mix
+    val fix = Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "A"), (2L, "B"))
+    val fcells = fix.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fsegs = Seq("A", "B")
+    val fnAll = 6L
+    val fnum = fsegs.map { s =>
+      val cg = fcells.getOrElse((1L, s), 0L)
+      val call = fix.count(_._2 == s).toLong
+      math.abs(cg * fnAll - call * 3L)
+    }.sum
+    assert(fnum == 0L, "mirror-distribution group must have exact TVD 0")
+  }
+
   test("q217 Markov transitions: hand fixture counts, exact-ratio p_ppm, tie order") {
     import spark.implicits._
     // user 1: A,B,A,B → A→B ×2, B→A ×1; user 2 contributes A→A once;
