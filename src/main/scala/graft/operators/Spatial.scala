@@ -40,21 +40,49 @@ object Spatial {
       col(id).cast("long").as("__id"),
       col(x).cast("long").as("__x"),
       col(y).cast("long").as("__y"))
-    val build = p.select(
-      col("__id").as("__bid"), col("__x").as("__bx"), col("__y").as("__by"),
-      expr(s"__x div $radius").as("__cx"),
-      expr(s"__y div $radius").as("__cy"))
-    val probe = p
-      .withColumn("__dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("__id"), col("__x"), col("__y"),
-        (expr(s"__x div $radius") + col("__dx")).as("__cx"),
-        (expr(s"__y div $radius") + col("__dy")).as("__cy"))
     val dsq = (col("__x") - col("__bx")) * (col("__x") - col("__bx")) +
       (col("__y") - col("__by")) * (col("__y") - col("__by"))
-    probe.join(build, Seq("__cx", "__cy"))
+    probeSide(p, radius).join(buildSide(p, radius), Seq("__cx", "__cy"))
       .where(col("__id") < col("__bid") && dsq <= lit(radius * radius))
       .select(col("__id").as("id_a"), col("__bid").as("id_b"),
         dsq.cast("long").as("dist_sq"))
   }
+
+  /** Cross-TABLE radius join — the incremental shape of
+    * [[radiusSelfJoin]]: every (left, right) pair within `radius`,
+    * emitted once with ids normalized id_a < id_b (ids must be unique
+    * across BOTH tables). Left explodes to its 3×3 cell neighborhood,
+    * right keeps its one cell, so each qualifying pair meets in
+    * exactly one (cell, offset) — no post-dedup. The ingest shape:
+    * left = an arriving batch of points, right = the committed point
+    * index. */
+  def radiusCrossJoin(left: DataFrame, right: DataFrame, id: String,
+      x: String, y: String, radius: Long): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    def norm(df: DataFrame) = df.select(
+      col(id).cast("long").as("__id"),
+      col(x).cast("long").as("__x"),
+      col(y).cast("long").as("__y"))
+    val dsq = (col("__x") - col("__bx")) * (col("__x") - col("__bx")) +
+      (col("__y") - col("__by")) * (col("__y") - col("__by"))
+    probeSide(norm(left), radius).join(buildSide(norm(right), radius),
+        Seq("__cx", "__cy"))
+      .where(col("__id") =!= col("__bid") && dsq <= lit(radius * radius))
+      .select(least(col("__id"), col("__bid")).as("id_a"),
+        greatest(col("__id"), col("__bid")).as("id_b"),
+        dsq.cast("long").as("dist_sq"))
+  }
+
+  private def buildSide(p: DataFrame, radius: Long): DataFrame =
+    p.select(
+      col("__id").as("__bid"), col("__x").as("__bx"), col("__y").as("__by"),
+      expr(s"__x div $radius").as("__cx"),
+      expr(s"__y div $radius").as("__cy"))
+
+  private def probeSide(p: DataFrame, radius: Long): DataFrame =
+    p.withColumn("__dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("__id"), col("__x"), col("__y"),
+        (expr(s"__x div $radius") + col("__dx")).as("__cx"),
+        (expr(s"__y div $radius") + col("__dy")).as("__cy"))
 }

@@ -168,6 +168,44 @@ object CorpusStreams {
         batch, idCol, fpCol, maxHamming, bits, stateDir, id), id)
     }
 
+  /** Per-batch step of [[spatialNearbyIngest]]: pairs WITHIN the batch
+    * via the grid-banded self-join plus pairs AGAINST the committed
+    * point index via [[graft.operators.Spatial.radiusCrossJoin]] — the
+    * 2-D leg of the X211 incremental-banded-join protocol (a pair
+    * spanning batches is found exactly once, in the later point's
+    * batch). State = the (id, x, y) point index, versioned; ids unique
+    * across the stream. */
+  private[graft] def spatialNearbyStep(batch: DataFrame, idCol: String,
+      xCol: String, yCol: String, radius: Long, stateDir: String,
+      id: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val pts = batch.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val ptsDir = s"$stateDir/pts"
+    val prev = VersionedState.read(spark, ptsDir, id - 1)
+    val within = graft.operators.Spatial.radiusSelfJoin(pts, "id", "x", "y", radius)
+    val cross = prev match {
+      case Some(p) =>
+        graft.operators.Spatial.radiusCrossJoin(pts, p, "id", "x", "y", radius)
+      case None => within.limit(0)
+    }
+    VersionedState.commit(
+      prev.map(_.unionByName(pts)).getOrElse(pts), ptsDir, id)
+    within.unionByName(cross)
+  }
+
+  /** Streaming proximity ingest over a 2-D point stream (X213 — the
+    * spatial leg of the incremental banded-join family next to the
+    * fingerprint ingest): each micro-batch emits its new within-radius
+    * pairs exactly once against everything seen so far; no history
+    * self-join, state = the point index only. */
+  def spatialNearbyIngest(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long, stateDir: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    VersionedState.ingest(points) { (batch, id) =>
+      sink(spatialNearbyStep(batch, idCol, xCol, yCol, radius, stateDir, id), id)
+    }
+
   /** Per-batch step of [[heavyHitterIngest]]: fold the batch through
     * the Misra–Gries aggregate, merge counter-wise with state `v=id−1`,
     * apply the PODS'12 reduction (subtract the (k+1)-largest, drop ≤0)

@@ -389,6 +389,39 @@ class Round10Spec extends AnyFunSuite {
     assert(fnum == 0L, "mirror-distribution group must have exact TVD 0")
   }
 
+  test("streaming spatial nearby: batched union == full radiusSelfJoin; boundary exact") {
+    import spark.implicits._
+    // the q216 point synthesis, streamed in three batches
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = math.max(ids.length.toLong, 64L)
+    val pts = ids.map(id => (id,
+      ((id * 1103515245L + 12345L) / 65536L) % 4096L,
+      ((id * 69069L + 1L) / 65536L) % n))
+    val dir = java.nio.file.Files.createTempDirectory("spatial-stream").toString
+    val cuts = Seq(pts.length / 3, 2 * pts.length / 3, pts.length)
+    var start = 0
+    val emitted = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    var crossBatch = 0
+    cuts.zipWithIndex.foreach { case (end, id) =>
+      val batchIds = pts.slice(start, end).map(_._1).toSet
+      val out = graft.streaming.CorpusStreams
+        .spatialNearbyStep(pts.slice(start, end).toSeq.toDF("id", "x", "y"),
+          "id", "x", "y", 64L, dir, id.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      crossBatch += out.count { case (a, b, _) =>
+        batchIds.contains(a) ^ batchIds.contains(b) }
+      out.foreach { p => assert(!emitted.contains(p), s"pair $p emitted twice"); emitted += p }
+      start = end
+    }
+    assert(crossBatch > 0, "fixture must exercise cross-batch pairs")
+    val full = operators.Spatial
+      .radiusSelfJoin(pts.toSeq.toDF("id", "x", "y"), "id", "x", "y", 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(emitted.toSet == full,
+      s"streamed/batch diverge: ${(emitted.toSet -- full).take(3)} / ${(full -- emitted).take(3)}")
+  }
+
   test("q217 Markov transitions: hand fixture counts, exact-ratio p_ppm, tie order") {
     import spark.implicits._
     // user 1: A,B,A,B → A→B ×2, B→A ×1; user 2 contributes A→A once;
