@@ -119,6 +119,18 @@ object Probe {
           println(f"[probe] q80 rep $i: persist ${(t1 - t0) / 1e9}%.2f sketch ${(t2 - t1) / 1e9}%.2f grid ${(t3 - t2) / 1e9}%.2f")
           pre.unpersist(blocking = true)
         }
+      case "rddparts" =>
+        (1 to reps).foreach { i =>
+          val li = Tables.load(spark, sfDir, "lineitem")
+            .select(col("l_returnflag"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          val t0 = System.nanoTime()
+          val np = li.rdd.getNumPartitions
+          val t1 = System.nanoTime()
+          val nf = li.inputFiles.length
+          val t2 = System.nanoTime()
+          println(f"[probe] rddparts rep $i: .rdd $np parts ${(t1 - t0) / 1e9}%.3f s; inputFiles $nf ${(t2 - t1) / 1e9}%.3f s")
+        }
       case other => println(s"[probe] unknown: $other")
     }
     spark.stop()

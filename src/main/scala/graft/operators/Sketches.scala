@@ -164,7 +164,13 @@ object Sketches {
     // returned plan; the harness sweep releases it per query.
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val pre0 = df.select(col(key), col(vLong))
-    val pre = (if (pre0.rdd.getNumPartitions < parts) pre0.repartition(parts)
+    // already-wide probe by FILE COUNT, not .rdd.getNumPartitions: the
+    // .rdd conversion materializes a second (RDD) physical plan per
+    // invocation (~70 ms measured) just to read a width; file count is
+    // metadata (~10 ms) and conservative in the right direction — few
+    // files ⇒ narrow scan ⇒ repartition (a wide multi-file cluster scan
+    // skips the extra exchange exactly as before)
+    val pre = (if (pre0.inputFiles.length < parts) pre0.repartition(parts)
                else pre0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sk = pre.groupBy(col(key)).agg(
