@@ -21,22 +21,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Bit semantics are identical to the declarative form (and the
   * recall-gate specs): sig(table t) = Σ_j [dot(vec, plane_tj) ≥ 0]·2^j
-  * with the same sequential left-fold dot accumulation. Output:
-  * array<long> of length L, index = table id (pair with `posexplode`).
+  * with the same sequential left-fold dot accumulation — including on
+  * NaN, where the sign test is `!(acc < 0)` to match Spark SQL's
+  * `>= 0` (Spark orders NaN above every double, so a NaN dot sets the
+  * bit in BOTH formulations). Output: array<long> of length L, index =
+  * table id (pair with `posexplode`).
+  *
+  * `planes` is a Seq-of-Seqs, NOT nested arrays: Catalyst
+  * canonicalization, semanticEquals, subexpression elimination and
+  * exchange reuse all compare expression trees via case-class
+  * equality, and Array equality is reference-based — nested arrays
+  * would make two semantically identical nodes never compare equal.
+  * The hot loop runs over a lazily-built primitive mirror.
   */
-case class LshSignatures(child: Expression, planes: Array[Array[Array[Double]]])
+case class LshSignatures(child: Expression, planes: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
+
+  @transient private lazy val planesArr: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "lsh_signatures"
 
   def compute(input: ArrayData): ArrayData = {
+    val pl = planesArr
     val d = input.numElements()
-    val out = new Array[Long](planes.length)
+    val out = new Array[Long](pl.length)
     var t = 0
-    while (t < planes.length) {
-      val table = planes(t)
+    while (t < pl.length) {
+      val table = pl(t)
       var sig = 0L
       var j = 0
       while (j < table.length) {
@@ -45,7 +59,7 @@ case class LshSignatures(child: Expression, planes: Array[Array[Array[Double]]])
         var acc = 0.0
         var i = 0
         while (i < n) { acc += input.getDouble(i) * p(i); i += 1 }
-        if (acc >= 0.0) sig |= 1L << j
+        if (!(acc < 0.0)) sig |= 1L << j
         j += 1
       }
       out(t) = sig

@@ -252,7 +252,7 @@ object AnnSearch {
     * declarative per-plane formulation. */
   private def sigTables(vec: org.apache.spark.sql.Column,
       planes: Seq[Seq[Array[Double]]]): org.apache.spark.sql.Column =
-    exprColumn(LshSignatures(columnExpr(vec), planes.map(_.toArray).toArray))
+    exprColumn(LshSignatures(columnExpr(vec), planes.map(_.map(_.toSeq))))
 
   /** Random-hyperplane LSH approximate top-k (the classic L-tables/m-bits
     * sign-random-projection scheme): vectors collide in table t when all

@@ -537,7 +537,11 @@ object Multimodal {
     val n = buf.getInt
     if (n < 0 || n > 4096 || buf.remaining < 4 * n) return None
     val lens = Seq.fill(n)(buf.getInt)
-    if (lens.exists(_ < 0) || lens.sum > buf.remaining) return None
+    // Long sum: n can be 4096 and each len up to Int.MaxValue, so an
+    // Int sum of valid-looking ints can wrap negative and slip past
+    // the bound check — then buf.get throws, breaking the documented
+    // never-throws contract on a corrupt container.
+    if (lens.exists(_ < 0) || lens.map(_.toLong).sum > buf.remaining) return None
     Some(lens.map { len =>
       val frame = new Array[Byte](len)
       buf.get(frame)

@@ -30,9 +30,10 @@ object Spatial {
     * coordinates lie within `radius` in L2 — dist_sq = (xa−xb)² +
     * (ya−yb)² ≤ radius², exact BIGINT arithmetic end-to-end (no float
     * in the predicate or the output, so a SQL oracle replays it
-    * bit-for-bit). Coordinates must be non-negative (grid cells use
-    * truncating integer division; negative coords would need a
-    * floor-div shift — out of contract, asserted cheap). */
+    * bit-for-bit). Coordinates may be ANY sign: cell keys use true
+    * floor division (see [[cellKey]]), so cells never merge across the
+    * axes — round 11 fix; truncating `div` silently dropped
+    * within-radius pairs near the origin for negative coords. */
   def radiusSelfJoin(points: DataFrame, id: String, x: String, y: String,
       radius: Long): DataFrame = {
     require(radius > 0, "radius must be positive")
@@ -73,16 +74,24 @@ object Spatial {
         dsq.cast("long").as("dist_sq"))
   }
 
+  /** Floor-division cell key: `(v − pmod(v, r)) div r` equals
+    * floor(v/r) for any sign of v (pmod is non-negative for positive
+    * r), where a plain `div` truncates toward zero and would merge the
+    * cells straddling each axis — silently dropping within-radius
+    * pairs for negative coordinates. Integer-exact end-to-end. */
+  private def cellKey(v: String, radius: Long) =
+    expr(s"($v - pmod($v, $radius)) div $radius")
+
   private def buildSide(p: DataFrame, radius: Long): DataFrame =
     p.select(
       col("__id").as("__bid"), col("__x").as("__bx"), col("__y").as("__by"),
-      expr(s"__x div $radius").as("__cx"),
-      expr(s"__y div $radius").as("__cy"))
+      cellKey("__x", radius).as("__cx"),
+      cellKey("__y", radius).as("__cy"))
 
   private def probeSide(p: DataFrame, radius: Long): DataFrame =
     p.withColumn("__dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("__id"), col("__x"), col("__y"),
-        (expr(s"__x div $radius") + col("__dx")).as("__cx"),
-        (expr(s"__y div $radius") + col("__dy")).as("__cy"))
+        (cellKey("__x", radius) + col("__dx")).as("__cx"),
+        (cellKey("__y", radius) + col("__dy")).as("__cy"))
 }

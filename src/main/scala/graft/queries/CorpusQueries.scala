@@ -2945,7 +2945,13 @@ object CorpusQueries {
         sum(abs(col("cg") * col("n_all") - col("call") * col("ng"))).as("__num"),
         first("n_all").as("__n_all"))
       .select(col("nation"), col("n"), col("l_distinct"),
-        expr("__num * 1000000 div (2 * n * __n_all)").cast("long").as("tvd_ppm"))
+        // decimal(38,0) intermediates: __num can reach 2·n_g·n_all, so
+        // the ×10^6 in Long silently wraps once n_g·n_all > ~4.6e12
+        // (≈ sf100) — DuckDB's hugeint doesn't, and the engines would
+        // diverge exactly at the scale this census is for
+        expr("cast(__num as decimal(38,0)) * 1000000 div " +
+          "(2 * cast(n as decimal(38,0)) * __n_all)")
+          .cast("long").as("tvd_ppm"))
       .withColumn("l_ok", col("l_distinct") >= 3)
       .withColumn("t_ok", col("tvd_ppm") <= 200000L)
       .orderBy("nation")

@@ -210,7 +210,7 @@ class Round10Spec extends AnyFunSuite {
       .withColumn("embedding", col("embedding").cast("array<double>"))
     val native = df.select(col("vec_id"),
         posexplode(exprColumn(functions.LshSignatures(
-          columnExpr(col("embedding")), planes.map(_.toArray).toArray))).as(Seq("t", "sig")))
+          columnExpr(col("embedding")), planes.map(_.map(_.toSeq))))).as(Seq("t", "sig")))
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     val declarative = planes.zipWithIndex.flatMap { case (ps, t) =>
       df.select(col("vec_id"),

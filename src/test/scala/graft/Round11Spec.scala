@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Spatial}
+
+/** Round-11 contract fixes: Spatial floor-div cell keys (negative
+  * coordinates now correct, not silently wrong), parseFrames corrupt
+  * containers (Int-overflowing frame-length tables), LshSignatures
+  * value equality (Catalyst canonicalization), and the decimal
+  * tvd_ppm arithmetic that survives where Long wraps. */
+class Round11Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("spatial radiusSelfJoin: negative coords straddling the origin == brute force") {
+    import spark.implicits._
+    // Clustered points in all four quadrants plus pairs that straddle
+    // each axis — exactly the geometry truncating div got wrong (cells
+    // -1 and 0 merged at the origin, so the 3x3 probe neighborhood
+    // missed neighbors one TRUE cell away).
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(400) { i =>
+      (i.toLong, rnd.nextInt(401) - 200L, rnd.nextInt(401) - 200L)
+    } ++ Seq((400L, -1L, -1L), (401L, 1L, 1L), (402L, -63L, 0L),
+      (403L, 63L, 0L), (404L, 0L, -63L), (405L, 0L, 63L))
+    val r = 64L
+    val got = Spatial.radiusSelfJoin(
+        pts.toDF("id", "x", "y"), "id", "x", "y", r)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    val brute = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib
+      d = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d <= r * r
+    } yield ((ia, ib), d)).toMap
+    assert(got == brute,
+      s"banded/brute diverge on signed coords: missing=${(brute -- got.keys).take(5)}, " +
+        s"extra=${(got -- brute.keys).take(5)}")
+    // the straddle pair itself must be present
+    assert(got.contains((400L, 401L)))
+  }
+
+  test("spatial radiusCrossJoin: signed coords, each cross pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = Seq.tabulate(120)(i =>
+      (i.toLong, rnd.nextInt(201) - 100L, rnd.nextInt(201) - 100L))
+    val right = Seq.tabulate(120)(i =>
+      (1000L + i, rnd.nextInt(201) - 100L, rnd.nextInt(201) - 100L))
+    val r = 32L
+    val rows = Spatial.radiusCrossJoin(
+        left.toDF("id", "x", "y"), right.toDF("id", "x", "y"),
+        "id", "x", "y", r)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2)))
+    assert(rows.length == rows.map(_._1).distinct.length, "duplicate pair emitted")
+    val brute = (for {
+      (ia, xa, ya) <- left; (ib, xb, yb) <- right
+      d = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d <= r * r
+    } yield ((math.min(ia, ib), math.max(ia, ib)), d)).toMap
+    assert(rows.toMap == brute)
+  }
+
+  test("parseFrames: Int-overflowing frame-length table is rejected, never throws") {
+    // 2048 frames each claiming ~2^21 bytes: each length is valid-
+    // looking, the Int sum wraps; the old check passed it through to
+    // buf.get which threw BufferUnderflowException.
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes("GFV0")
+    dos.writeInt(2048)
+    (0 until 2048).foreach(_ => dos.writeInt(1 << 21))
+    dos.write(new Array[Byte](64)) // a little trailing junk
+    dos.flush()
+    assert(Multimodal.parseFrames(bos.toByteArray).isEmpty)
+    // and the extreme case: lengths summing past Int.MaxValue exactly
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val dos2 = new java.io.DataOutputStream(bos2)
+    dos2.writeBytes("GFV0")
+    dos2.writeInt(2)
+    dos2.writeInt(Int.MaxValue); dos2.writeInt(Int.MaxValue)
+    dos2.flush()
+    assert(Multimodal.parseFrames(bos2.toByteArray).isEmpty)
+  }
+
+  test("LshSignatures: semantically identical nodes ARE equal (canonicalization works)") {
+    import org.apache.spark.sql.graftsql.columnExpr
+    // one shared child (column nodes carry per-call-site origins that
+    // never compare equal — the planes are what this spec isolates:
+    // two INDEPENDENT builds of the same seed must compare equal)
+    val child = columnExpr(col("v"))
+    val mk = () => functions.LshSignatures(child,
+      operators.AnnSearch.lshPlanes(4, 4, 8, 42L).map(_.map(_.toSeq)))
+    val (a, b) = (mk(), mk())
+    assert(a == b, "fresh plane builds must compare equal (Seq value equality)")
+    assert(a.semanticEquals(b), "Catalyst semanticEquals must hold")
+    assert(a.hashCode == b.hashCode)
+  }
+
+  test("tvd_ppm decimal arithmetic: exact where the Long form wraps") {
+    import spark.implicits._
+    // num * 1e6 overflows Long here (num ~ 2^60); decimal(38,0) keeps
+    // the exact quotient. Replays the q219 select line's arithmetic.
+    val num = (1L << 60) + 12345L
+    val n = 1L << 31
+    val nAll = 1L << 30
+    val df = Seq((num, n, nAll)).toDF("__num", "n", "__n_all")
+    val dec = df.select(
+      expr("cast(__num as decimal(38,0)) * 1000000 div " +
+        "(2 * cast(n as decimal(38,0)) * __n_all)").cast("long").as("ppm"))
+      .head.getLong(0)
+    val expected = ((BigInt(num) * 1000000) /
+      (BigInt(2) * BigInt(n) * BigInt(nAll))).toLong
+    assert(dec == expected)
+    // the old Long form fails outright at this magnitude (ANSI
+    // overflow error) — the census would crash exactly at the scale
+    // it exists for; with ANSI off it would silently wrap instead
+    intercept[Exception] {
+      df.select(expr("__num * 1000000 div (2 * n * __n_all)")
+        .cast("long").as("ppm")).head.getLong(0)
+    }
+  }
+}
