@@ -250,15 +250,27 @@ object Bench {
     // BASELINE.md suggested 8 may still sit above that mode's optimum
     val streamCounts = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "16,8,4")
       .split(',').map(_.trim.toInt).toSeq
+    // Each stream's query runs inside a Caching scope: the operator-
+    // internal persists it tracked are released the moment ITS query
+    // finishes — the concurrency-safe per-query sweep (thread-local, so
+    // it can never evict another stream's working set, unlike a
+    // clearCache). Without it, 220 queries × their whole-stream persists
+    // accumulate until the pass ends — the round-10 driver window
+    // measured 30.3 GB peak heap vs 18.1 at 8 streams, the exact
+    // pressure profile this bounds. SPARK_GRAFT_TP_SCOPED=0 pins the
+    // accumulate-then-sweep behavior for A/Bs.
+    val tpScoped = !sys.env.get("SPARK_GRAFT_TP_SCOPED").contains("0")
     def throughputPass(streams: Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
       val t0 = System.nanoTime()
       names.foreach { name =>
         pool.submit(new Runnable {
           def run(): Unit =
-            try SparkEntry.queries(name)(spark, runDir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => () }
+            try {
+              def go(): Unit = SparkEntry.queries(name)(spark, runDir)
+                .write.format("noop").mode("overwrite").save()
+              if (tpScoped) graft.Caching.scoped(go()) else go()
+            } catch { case _: Throwable => () }
         })
       }
       pool.shutdown()

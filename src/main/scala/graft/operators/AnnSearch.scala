@@ -178,8 +178,7 @@ object AnnSearch {
     // the index build reads the corpus (kmeansIters + 2) times — seed,
     // each Lloyd pass, final assignment. Pin the casted+normed working
     // set once instead of re-scanning and re-casting per pass.
-    val prepped = prep(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prepped = graft.Caching.tracked(prep(corpus))
     val spark = corpus.sparkSession
     import spark.implicits._
     var cents = seedCentroids(prepped.select("vec_id", "embedding"), numCentroids)
@@ -507,8 +506,8 @@ object AnnSearch {
   /** [[semDedupVerdicts]] with the cache lifetime in the type. */
   def semDedupVerdictsPinned(corpus: DataFrame, numClusters: Int,
       threshold: Double): PinnedPlan = {
-    val assigned = assign(corpus, seedCentroids(corpus, numClusters))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = graft.Caching.tracked(
+      assign(corpus, seedCentroids(corpus, numClusters)))
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),

@@ -54,11 +54,10 @@ object Boilerplate {
     // tokenize+slide expression runs one time per document — at
     // cluster scale this is the staged scratch table between the two
     // passes (recompute would be the chunkArray expression again)
-    val docsChunks = df.select(
+    val docsChunks = graft.Caching.tracked(df.select(
         col(idCol).cast("long").as("id"), col(sourceCol).as("src"),
         ChunkDedup.chunkArray(textCol, size).as("__chunks"))
-      .where(F.size(col("__chunks")) > 0) // posexplode drops chunkless docs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .where(F.size(col("__chunks")) > 0)) // posexplode drops chunkless docs
     // per-doc array_distinct makes each (doc, chunk) pair unique
     // LOCALLY, so the doc-frequency is a plain one-phase count — the
     // count_distinct(id) it replaces paid a two-phase dedup agg keyed

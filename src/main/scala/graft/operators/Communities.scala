@@ -46,13 +46,12 @@ object Communities {
     // branches each re-evaluate the subtree when the persist
     // materializes), persist it, and persist + eagerly settle each
     // round's labels before unpersisting the previous round's.
-    val bidir = edges.select(explode(array(
+    val bidir = graft.Caching.tracked(edges.select(explode(array(
         struct(col("vec_a").as("src"), col("vec_b").as("dst")),
         struct(col("vec_b").as("src"), col("vec_a").as("dst")))).as("__e"))
-      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("vec_id"), col("vec_id").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst")))
+    var labels = graft.Caching.tracked(
+      nodes.select(col("vec_id"), col("vec_id").as("lbl")))
     (0 until rounds).foreach { _ =>
       val votes = bidir
         .join(labels.withColumnRenamed("vec_id", "src"), Seq("src"))
@@ -68,9 +67,8 @@ object Communities {
       // convergence loop in dupGroups, need no driver decision). All
       // `rounds` label levels are resident together; each is one
       // (id, label) row per node, MEMORY_AND_DISK.
-      labels = labels.join(votes, Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels = graft.Caching.tracked(labels.join(votes, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("nlbl"), col("lbl")).as("lbl")))
     }
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"))

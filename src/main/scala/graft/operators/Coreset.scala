@@ -49,10 +49,9 @@ object Coreset {
     // the greedy trajectory scans this working set k+1 times by
     // construction — pin the casted+normed projection once (the ivfTopK
     // pinned-working-set rationale; Bench sweeps it after the query)
-    val c = corpus
+    val c = graft.Caching.tracked(corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(Vectors.dot(col("e"), col("e"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("nrm", sqrt(Vectors.dot(col("e"), col("e")))))
 
     // Greedy farthest-point trajectory; chosen is k×dim driver state.
     var chosen: Seq[(Long, Array[Double])] = c

@@ -44,8 +44,8 @@ object Hits {
     require(iters >= 1, s"iters=$iters must be >= 1")
     val spark = edges.sparkSession
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(shuffleN, col("src")).persist()
+    val e = graft.Caching.tracked(edges.select(col("src"), col("dst"))
+      .repartition(shuffleN, col("src")))
 
     val nSrc = e.select("src").distinct().count()
     val small = nSrc <= PageRank.BroadcastNodeLimit

@@ -25,9 +25,9 @@ object KCore {
     * final_deg — degree within the surviving set, NULL if removed). */
   def peel(nodes: DataFrame, edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    val bid = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .unionByName(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      .persist()
+    val bid = graft.Caching.tracked(
+      edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionByName(edges.select(col("vec_b").as("src"), col("vec_a").as("dst"))))
     var state = nodes.select(col("vec_id"),
       lit(null).cast("long").as("removed_round"))
     for (r <- 1 to rounds) {

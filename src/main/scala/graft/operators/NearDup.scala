@@ -367,14 +367,12 @@ object NearDup {
     // under both weak-rule arms). The pin is |distinct
     // shingles| rows — bounded by the stream the agg reads anyway,
     // MEMORY_AND_DISK so a 100 TB corpus spills instead of evicting.
-    val buckets = sh.groupBy("h")
+    val buckets = graft.Caching.tracked(sh.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .withColumn("w", expr(s"CAST($scale DIV size(ds) AS BIGINT)"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val perDoc = buckets
+      .withColumn("w", expr(s"CAST($scale DIV size(ds) AS BIGINT)")))
+    val perDoc = graft.Caching.tracked(buckets
       .select(col("w"), explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(sum("w").as("tw"))
-      .persist() // |docs| rows; read twice (tw_a, tw_b)
+      .groupBy("doc_id").agg(sum("w").as("tw"))) // |docs| rows; read twice (tw_a, tw_b)
     val multi = buckets.filter(size(col("ds")) > 1)
     val capped =
       if (dfCap == Int.MaxValue) multi
@@ -644,7 +642,7 @@ object NearDup {
       maxHamming: Int = 3, bits: Int = 32): DataFrame = {
     // one long per doc; persist so the self-join doesn't recompute the
     // token hash + 32 vote sums for each side
-    val fps = simhash(docs, idCol, textCol, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    val fps = graft.Caching.tracked(simhash(docs, idCol, textCol, bits))
     fps.as("x").join(fps.as("y"), col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -81,11 +81,10 @@ object PageRank {
     require(nNodes > 0, "PageRank.weighted: empty edge table")
     val teleport = (100L - damping) * (Scale / nNodes) / 100L
     val small = nNodes <= BroadcastNodeLimit
-    val ewAug = e.join(out, Seq("src"))
+    val ewAug = graft.Caching.tracked(e.join(out, Seq("src"))
       .unionByName(out.select(col("src"), col("src").as("dst"),
         lit(0L).as("w"), col("outw")))
-      .repartition(shuffleN, if (small) col("dst") else col("src"))
-      .persist()
+      .repartition(shuffleN, if (small) col("dst") else col("src")))
     // dst ∪ self-loop srcs = the FULL node set, so the initial uniform
     // rank vector derives from the augmented table too — round 1's
     // first access fills the cache, and the edge-derivation plan (often

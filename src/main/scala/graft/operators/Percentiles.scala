@@ -241,13 +241,12 @@ object Percentiles {
     // scan+agg+window subtree per consumer (measured: 7 raw scans, 10
     // windows in the static plan). It is |keys|·B rows by contract —
     // pinning it is control-plane cost, like the bounds broadcast.
-    val offsets = cells
+    val offsets = graft.Caching.tracked(cells
       .withColumn("__off",
         coalesce(sum("__bn").over(
           Window.partitionBy(key).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__kn", sum("__bn").over(Window.partitionBy(key)))
-      .persist()
+      .withColumn("__kn", sum("__bn").over(Window.partitionBy(key))))
     val isNeeded = fracs.map { case (_, p) =>
       val kpos = (col("__kn") - 1) * p
       val lo = floor(kpos) + 1
@@ -262,10 +261,9 @@ object Percentiles {
     // key); persisted because both the boundary agg and the row-level
     // histogram part read it — without the pin the raw scan + filter
     // join + window run twice
-    val ranked = bucketed
+    val ranked = graft.Caching.tracked(bucketed
       .join(broadcast(needed), Seq(key, "__b"))
-      .withColumn("__rn", col("__off") + row_number().over(wLocal))
-      .persist()
+      .withColumn("__rn", col("__off") + row_number().over(wLocal)))
     def pos(p: Double): Column = (col("__kn") - 1) * p
     val aggs = fracs.zipWithIndex.flatMap { case ((_, p), i) =>
       Seq(

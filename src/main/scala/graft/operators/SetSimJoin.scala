@@ -126,13 +126,12 @@ object SetSimJoin {
     // window (canary 0.57): 1.75 → 1.06 s. Caching contract as on
     // Percentiles.equiDepthGridded: the pin lives as long as the
     // returned plan; the harness sweep releases it.
-    val cand = capped
+    val cand = graft.Caching.tracked(capped
       .repartition(spread)
       .select(exprColumn(PairCombinations(columnExpr(col("ds")))).as(Seq("x", "y")))
       .filter(least(col("x.n_sh"), col("y.n_sh")) >=
         lit(threshold) * greatest(col("x.n_sh"), col("y.n_sh")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")))
 
     // 5. exact verification via the COUNT formulation, restricted to
     // candidate docs: re-bucket just their shingles and count common

@@ -170,9 +170,9 @@ object Sketches {
     // metadata (~10 ms) and conservative in the right direction — few
     // files ⇒ narrow scan ⇒ repartition (a wide multi-file cluster scan
     // skips the extra exchange exactly as before)
-    val pre = (if (pre0.inputFiles.length < parts) pre0.repartition(parts)
-               else pre0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = graft.Caching.tracked(
+      if (pre0.inputFiles.length < parts) pre0.repartition(parts)
+      else pre0)
     val sk = pre.groupBy(col(key)).agg(
       exprColumn(QDigestAgg(columnExpr(col(vLong)), bits, sigma)
         .toAggregateExpression()).as("__sk"),

@@ -455,9 +455,9 @@ object CorpusQueries {
     * pigeonhole argument per hash; no theta join. Output: (doc_a,
     * doc_b, a_hamming, d_hamming). */
   def imageNearDupFused(spark: SparkSession, dir: String): DataFrame = {
-    val ph = Multimodal.decodeImageHashes(imageBlobs(spark, dir)).toDF()
-      .select("doc_id", "ahash", "dhash")
-      .persist()
+    val ph = graft.Caching.tracked(
+      Multimodal.decodeImageHashes(imageBlobs(spark, dir)).toDF()
+        .select("doc_id", "ahash", "dhash"))
     val candD = NearDup.hammingPairs(ph, "doc_id", "dhash",
       maxHamming = 3, bits = 56).select("doc_a", "doc_b")
     val candA = NearDup.hammingPairs(ph, "doc_id", "ahash",
@@ -2676,11 +2676,11 @@ object CorpusQueries {
     val cells = spread(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("dim"), col("v").cast("double").as("v"))
-    val cnts = cells.groupBy("dim", "v").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(
-        Window.partitionBy("dim").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .persist()
+    val cnts = graft.Caching.tracked(
+      cells.groupBy("dim", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("dim").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     val n = cnts.groupBy("dim").agg(sum("c").as("n"))
     val cuts = cnts.join(broadcast(n), Seq("dim"))
       .groupBy("dim")
@@ -2789,14 +2789,13 @@ object CorpusQueries {
     // 1.16 → 0.62, under both weak-rule arms). Caching contract as on
     // Percentiles.equiDepthGridded: the pin lives as long as the
     // returned plan; the harness sweep releases it per query.
-    val off = li.groupBy("flag", "__b")
+    val off = graft.Caching.tracked(li.groupBy("flag", "__b")
       .agg(count(lit(1)).as("__bn"), sum("cents").as("__bs"))
       .withColumn("__off", coalesce(sum("__bn").over(wPrev), lit(0L)))
       .withColumn("__kn", sum("__bn").over(wAll))
       .withColumn("__ks", sum("__bs").over(wAll))
       .withColumn("__rlo", expr("(5 * __kn + 99) div 100"))
-      .withColumn("__rhi", expr("(95 * __kn + 99) div 100"))
-      .persist()
+      .withColumn("__rhi", expr("(95 * __kn + 99) div 100")))
     val fixed = off.groupBy("flag").agg(
       max("__kn").as("n"), max("__ks").as("__total"),
       max("__rlo").as("__rlo"), max("__rhi").as("__rhi"),

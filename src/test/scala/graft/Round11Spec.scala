@@ -98,6 +98,63 @@ class Round11Spec extends AnyFunSuite {
     assert(a.hashCode == b.hashCode)
   }
 
+  test("Caching.scoped: persisting operators callable twice, cache manager stays empty") {
+    spark.catalog.clearCache()
+    graft.operators.CurationOps.clear() // memo may reference evicted blocks
+    import spark.implicits._
+    val vals = Seq.tabulate(500)(i => ((i % 3).toLong, (i * 37 % 101).toLong))
+      .toDF("k", "v")
+    // the three operators the round-10 verdict named as session-lifetime
+    // cache leaks for library callers — each invoked TWICE inside scopes
+    var unscoped: Map[String, Array[org.apache.spark.sql.Row]] = Map.empty
+    (1 to 2).foreach { _ =>
+      val a = graft.Caching.scoped {
+        operators.Percentiles.equiDepthGridded(
+          vals, "k", "v", nBuckets = 4, gridWidth = 5.0).collect()
+      }
+      val b = graft.Caching.scoped {
+        operators.Sketches.qdigestChecked(vals, "k", "v",
+          fracs = Seq(("p50", 0.5)), bits = 7).collect()
+      }
+      val c = graft.Caching.scoped {
+        queries.CorpusQueries.imageNearDupFused(spark, sf).collect()
+      }
+      if (unscoped.isEmpty) unscoped = Map("a" -> a, "b" -> b, "c" -> c)
+      else { // scope release must not change results
+        assert(unscoped("a").toSet == a.toSet)
+        assert(unscoped("b").toSet == b.toSet)
+        assert(unscoped("c").toSet == c.toSet)
+      }
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "scope exit must release every operator-tracked cache entry")
+    }
+  }
+
+  test("Caching.scoped: exception-safe, nested scopes release only their own") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, i % 7)).toDF("id", "g")
+    intercept[RuntimeException] {
+      graft.Caching.scoped {
+        graft.Caching.tracked(df.groupBy("g").count()).collect()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a failing block must still release")
+    // nesting: outer tracked survives the inner scope's exit
+    graft.Caching.scoped {
+      val outer = graft.Caching.tracked(df.filter(col("g") === 1))
+      outer.count()
+      graft.Caching.scoped {
+        graft.Caching.tracked(df.filter(col("g") === 2)).count()
+      }
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "inner scope exit must not release the outer scope's pin")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("tvd_ppm decimal arithmetic: exact where the Long form wraps") {
     import spark.implicits._
     // num * 1e6 overflows Long here (num ~ 2^60); decimal(38,0) keeps
