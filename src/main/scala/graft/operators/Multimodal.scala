@@ -500,6 +500,55 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL JPEG encode at an explicit quality — the LOSSY leg of the
+    * image fixture family (round 11). Everything downstream is the
+    * production seam unchanged ([[decodeImageHashes]] already decodes
+    * any `ImageIO`-readable format): what this adds is a fixture whose
+    * decoded raster does NOT equal the source, so the perceptual-hash
+    * near-dup path is exercised under real codec noise. No SQL oracle
+    * can exist for a lossy decode (DuckDB cannot replay the DCT), so
+    * the JPEG leg is spec-gated — the q35/q44/q49 precedent: planted
+    * near-dup pairs must survive the encode→decode→hash→banding
+    * pipeline end-to-end (Round11Spec). */
+  private[graft] def encodeGrayJpeg(w: Int, h: Int,
+      px: (Int, Int) => Int, quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, px(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** [[synthPng]]'s lossy twin: the same planted-near-dup structure
+    * (doc_id % 10 == 1 shares doc_id−1's pattern seed with one
+    * perturbed 4×4 block), encoded as a REAL JPEG at quality 0.85. */
+  private[graft] def synthJpeg(docId: Long): Array[Byte] = {
+    val seed = if (docId % 10 == 1) docId - 1 else docId
+    val pert = docId % 10 == 1
+    encodeGrayJpeg(32, 32, (x, y) => synthPixel(seed, pert, x, y), 0.85f)
+  }
+
   /** Tiny multi-frame media container for the video fixtures: magic
     * "GFV0", big-endian int32 frame count, int32 byte length per frame,
     * then the frames — each a REAL PNG. The format is deliberately

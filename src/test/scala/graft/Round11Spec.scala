@@ -98,6 +98,48 @@ class Round11Spec extends AnyFunSuite {
     assert(a.hashCode == b.hashCode)
   }
 
+  test("JPEG leg: planted near-dups survive a REAL lossy encode->decode->hash->banding") {
+    import spark.implicits._
+    // the codec must actually be lossy, or this spec proves nothing
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthJpeg(42L)))
+    assert(dec.getWidth == 32 && dec.getHeight == 32)
+    val diffs = (for (y <- 0 until 32; x <- 0 until 32)
+      yield math.abs(dec.getRaster.getSample(x, y, 0) -
+        Multimodal.synthPixel(42L, pert = false, x, y))).sum
+    assert(diffs > 0, "JPEG round-trip must not be bit-exact (lossy codec)")
+
+    val n = 300
+    val blobs = spark.range(n).select(col("id").as("doc_id"))
+      .as[Long].map(id => (id, Multimodal.synthJpeg(id)))
+      .toDF("doc_id", "blob")
+    val hashes = Multimodal.decodeImageHashes(blobs).toDF()
+      .select("doc_id", "dhash").persist()
+    val rows = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == n && rows.values.forall(_ != -1L),
+      "every JPEG must decode to a real hash, no sentinels")
+
+    val maxH = 6
+    val found = operators.NearDup.hammingPairs(hashes, "doc_id", "dhash",
+        maxHamming = maxH, bits = 56)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hashes.unpersist()
+    // banding == brute force at the radius (recall-1 pigeonhole holds
+    // regardless of which codec produced the hashes)
+    val brute = (for {
+      (ia, ha) <- rows.toSeq; (ib, hb) <- rows.toSeq
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= maxH
+    } yield (ia, ib)).toSet
+    assert(found == brute)
+    // every planted pair (id-1, id) for id%10==1 survives the DCT noise
+    val planted = (1L until n).filter(_ % 10 == 1).map(id => (id - 1, id))
+    val missing = planted.filterNot(found)
+    assert(missing.isEmpty, s"planted JPEG near-dups lost to codec noise: $missing")
+    // and near-dups are a sparse structure, not hash collapse
+    assert(found.size < n * 3, s"suspicious pair blowup: ${found.size}")
+  }
+
   test("Caching.scoped: persisting operators callable twice, cache manager stays empty") {
     spark.catalog.clearCache()
     graft.operators.CurationOps.clear() // memo may reference evicted blocks
