@@ -90,11 +90,28 @@ object CorpusStreams {
     * regardless of stream volume. Idempotence: see [[VersionedState]]. */
   private[graft] def markovStep(batch: DataFrame, key: String,
       typeCol: String, tsCol: String, seqCol: String, stateDir: String,
-      id: Long): DataFrame = {
+      id: Long, keepBatches: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val ev = batch.select(col(key), col(typeCol), col(tsCol), col(seqCol))
     val lastDir = s"$stateDir/last"
-    val seeded = VersionedState.read(spark, lastDir, id - 1) match {
+    // RETENTION (round 11): with keepBatches = Some(K), a user's seed
+    // row is tagged with the batch id that last refreshed it (`__b`)
+    // and rows older than K batches are dropped — at seed time (the
+    // horizon is consistent: a user idle > K batches never seeds) AND
+    // at commit time (state stays physically bounded by users ACTIVE
+    // in the window, not users ever seen). Documented exactness trade:
+    // the one transition spanning such a gap is deliberately NOT
+    // counted — the session-gap semantic every production clickstream
+    // pipeline applies anyway. None (default) = exact, unbounded.
+    val prevLast0 = VersionedState.read(spark, lastDir, id - 1)
+    val prevLast = (prevLast0, keepBatches) match {
+      case (Some(p), Some(k)) =>
+        val tagged = if (p.columns.contains("__b")) p
+                     else p.withColumn("__b", lit(id - 1))
+        Some(tagged.where(col("__b") > id - k))
+      case _ => prevLast0
+    }
+    val seeded = prevLast match {
       case Some(prev) =>
         prev.select(ev.columns.map(col).toIndexedSeq: _*).unionByName(ev)
       case None => ev
@@ -108,7 +125,23 @@ object CorpusStreams {
         struct(col(tsCol), col(seqCol))).as("__m"))
       .select(col(key), col(s"__m.$tsCol").as(tsCol),
         col(s"__m.$seqCol").as(seqCol), col(s"__m.$typeCol").as(typeCol))
-    VersionedState.commit(last, lastDir, id)
+    val kept = keepBatches match {
+      case Some(k) =>
+        val fresh = ev.select(col(key)).distinct()
+          .withColumn("__fresh", lit(true))
+        val pb = prevLast.map(_.select(col(key), col("__b").as("__pb")))
+        val withB = pb match {
+          case Some(prev) => last.join(fresh, Seq(key), "left")
+            .join(prev, Seq(key), "left")
+            .withColumn("__b", when(col("__fresh").isNotNull, lit(id))
+              .otherwise(coalesce(col("__pb"), lit(id))))
+            .drop("__fresh", "__pb")
+          case None => last.withColumn("__b", lit(id))
+        }
+        withB.where(col("__b") > id - k)
+      case None => last
+    }
+    VersionedState.commit(kept, lastDir, id)
     graft.operators.Markov.fromCounts(merged)
   }
 
@@ -119,10 +152,12 @@ object CorpusStreams {
     * p_ppm derivation is the shared [[graft.operators.Markov.fromCounts]]
     * code, so streaming == batch parity is by construction. */
   def markovIngest(events: DataFrame, key: String, typeCol: String,
-      tsCol: String, seqCol: String, stateDir: String)(
+      tsCol: String, seqCol: String, stateDir: String,
+      keepBatches: Option[Int] = None)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     VersionedState.ingest(events) { (batch, id) =>
-      sink(markovStep(batch, key, typeCol, tsCol, seqCol, stateDir, id), id)
+      sink(markovStep(batch, key, typeCol, tsCol, seqCol, stateDir, id,
+        keepBatches), id)
     }
 
   /** Per-batch step of [[fingerprintNearDupIngest]]: pairs WITHIN the
@@ -177,12 +212,30 @@ object CorpusStreams {
     * across the stream. */
   private[graft] def spatialNearbyStep(batch: DataFrame, idCol: String,
       xCol: String, yCol: String, radius: Long, stateDir: String,
-      id: Long): DataFrame = {
+      id: Long, keepBatches: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
-    val pts = batch.select(col(idCol).cast("long").as("id"),
+    val pts0 = batch.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
     val ptsDir = s"$stateDir/pts"
-    val prev = VersionedState.read(spark, ptsDir, id - 1)
+    // RETENTION (round 11): with keepBatches = Some(K) each point
+    // carries the batch id it arrived in (`__b`); points older than K
+    // batches are dropped from the probe index and from the committed
+    // state — pairs are emitted only between points that arrive within
+    // K batches of each other (the moving-objects semantic: stale
+    // positions stop matching), and state is bounded by the window's
+    // arrival volume instead of everything ever seen. None (default) =
+    // exact, unbounded — the full-history dedup-index contract.
+    val prev0 = VersionedState.read(spark, ptsDir, id - 1)
+    val (pts, prev) = keepBatches match {
+      case Some(k) =>
+        val tagged = prev0.map { p =>
+          val withB = if (p.columns.contains("__b")) p
+                      else p.withColumn("__b", lit(id - 1))
+          withB.where(col("__b") > id - k)
+        }
+        (pts0.withColumn("__b", lit(id)), tagged)
+      case None => (pts0, prev0)
+    }
     val within = graft.operators.Spatial.radiusSelfJoin(pts, "id", "x", "y", radius)
     val cross = prev match {
       case Some(p) =>
@@ -200,10 +253,12 @@ object CorpusStreams {
     * pairs exactly once against everything seen so far; no history
     * self-join, state = the point index only. */
   def spatialNearbyIngest(points: DataFrame, idCol: String, xCol: String,
-      yCol: String, radius: Long, stateDir: String)(
+      yCol: String, radius: Long, stateDir: String,
+      keepBatches: Option[Int] = None)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     VersionedState.ingest(points) { (batch, id) =>
-      sink(spatialNearbyStep(batch, idCol, xCol, yCol, radius, stateDir, id), id)
+      sink(spatialNearbyStep(batch, idCol, xCol, yCol, radius, stateDir, id,
+        keepBatches), id)
     }
 
   /** Per-batch step of [[heavyHitterIngest]]: fold the batch through

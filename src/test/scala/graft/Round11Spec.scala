@@ -197,6 +197,59 @@ class Round11Spec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("markov ingest retention: idle-beyond-horizon users lose their seed, state bounded") {
+    import spark.implicits._
+    def mkBatch(rows: Seq[(String, String, Long, Long)]) =
+      rows.toDF("user_id", "event_type", "ts", "event_id")
+    val b1 = mkBatch(Seq(("u", "A", 1L, 1L), ("u", "B", 2L, 2L),
+      ("w", "A", 3L, 3L)))
+    val b2 = mkBatch(Seq(("w", "B", 10L, 4L))) // u idle
+    val b3 = mkBatch(Seq(("u", "C", 100L, 5L), ("w", "C", 101L, 6L)))
+
+    def runAll(keep: Option[Int]): Map[(String, String), Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("markov-ttl").toString
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.CorpusStreams.markovStep(
+          b, "user_id", "event_type", "ts", "event_id", dir, i.toLong, keep)
+          .count()
+      }
+      spark.read.parquet(
+          graft.streaming.VersionedState.path(s"$dir/cells", 2L))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    // unbounded: u's A->B and the gap-spanning B->C both counted
+    val exact = runAll(None)
+    assert(exact == Map(("A", "B") -> 2L, ("B", "C") -> 2L))
+    // keepBatches=2: u refreshed in batch 0, idle through batch 1 —
+    // at batch 2 the seed is outside the horizon, so u's B->C is
+    // deliberately NOT counted (session-gap semantic); w stayed active
+    // (refreshed every window), so w's B->C IS counted
+    val ttl = runAll(Some(2))
+    assert(ttl == Map(("A", "B") -> 2L, ("B", "C") -> 1L),
+      s"got $ttl")
+  }
+
+  test("spatial ingest retention: stale points leave the index, in-window pairs kept") {
+    import spark.implicits._
+    val b1 = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
+    val b2 = Seq((2L, 5L, 5L)).toDF("id", "x", "y")
+    val b3 = Seq((3L, 1L, 1L)).toDF("id", "x", "y")
+    def runAll(keep: Option[Int]): Set[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("spatial-ttl").toString
+      Seq(b1, b2, b3).zipWithIndex.flatMap { case (b, i) =>
+        graft.streaming.CorpusStreams.spatialNearbyStep(
+            b, "id", "x", "y", 10L, dir, i.toLong, keep)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }.toSet
+    }
+    // unbounded: all three points pair pairwise (radius 10 covers all)
+    assert(runAll(None) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // keepBatches=2: point 1 (batch 0) is stale by batch 2 — the
+    // (1,3) pair is NOT emitted; (1,2) and (2,3) are within the window
+    assert(runAll(Some(2)) == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("tvd_ppm decimal arithmetic: exact where the Long form wraps") {
     import spark.implicits._
     // num * 1e6 overflows Long here (num ~ 2^60); decimal(38,0) keeps
