@@ -242,6 +242,7 @@ object SparkEntry {
     "q217_markov_transitions" -> (CorpusQueries.markovTransitions(_, _)),
     "q218_ktruss"             -> (CorpusQueries.ktrussPeel(_, _)),
     "q219_privacy_census"     -> (CorpusQueries.privacyCensus(_, _)),
+    "q220_schema_drift"       -> (StarQueries.q220SchemaDrift(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3777,6 +3777,23 @@ object CorpusOracles {
                + (a.y - b.y) * (a.y - b.y) <= 64 * 64
          ORDER BY id_a, id_b""",
 
+    // X214: schema-drift ingest census — epoch membership replayed
+    // from the source table by the staging rule (o_orderkey parity =
+    // which files predate o_orderpriority); the engine side reads the
+    // actual two-epoch files with mergeSchema, so equality here pins
+    // "missing column reads as NULL exactly for pre-drift files"
+    "q220_schema_drift" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+                sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_pre_drift,
+                sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_post_drift,
+                count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                               THEN o_orderpriority END)::BIGINT
+                  AS n_priorities,
+                sum(o_orderkey)::BIGINT AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
     // X208: first-order Markov transition matrix — lag over the
     // per-user (ts, event_id) order, cell counts, exact-ratio p_ppm
     "q217_markov_transitions" ->

@@ -1094,6 +1094,34 @@ object StarQueries {
     notIn.unionAll(anti).orderBy("variant")
   }
 
+  /** Schema-drift ingest census (X214, round 11): read a two-epoch
+    * parquet corpus written across a schema change (epoch-1 files
+    * PREDATE `o_orderpriority`; see
+    * [[graft.sources.SchemaDrift.stageOrdersDrift]]) via Spark's
+    * explicit `mergeSchema` union-by-name, then census per status: how
+    * many rows predate the column (it reads as NULL exactly for
+    * epoch-1 files), how many carry it, how many distinct values, plus
+    * a key checksum pinning that no row was dropped or duplicated by
+    * the footer-union. The oracle replays epoch membership from the
+    * source table by the staging rule (o_orderkey parity) — the same
+    * semantics DuckDB's `union_by_name` applies to the files
+    * themselves. Staging is memoized per (app, dir): a fixed ingest
+    * cost paid in the warmup, the q120-drain precedent. */
+  def q220SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.SchemaDrift.stageOrdersDrift(spark, dir)
+    graft.sources.SchemaDrift.readMerged(spark, corpus)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("n_pre_drift"),
+        sum(when(col("o_orderpriority").isNotNull, 1L).otherwise(0L))
+          .as("n_post_drift"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),

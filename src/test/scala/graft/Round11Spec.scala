@@ -250,6 +250,36 @@ class Round11Spec extends AnyFunSuite {
     assert(runAll(Some(2)) == Set((1L, 2L), (2L, 3L)))
   }
 
+  test("schema drift: mergeSchema reads old files with nulls, new files whole, no row loss") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift-fixture").toString
+    // epoch 1: (id, a) — the pre-drift schema
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("overwrite").parquet(s"$dir/epoch=1")
+    // epoch 2: adds b, REORDERS columns — union is by name, not position
+    Seq((10L, 3L, "p"), (11L, 4L, "q")).toDF("b", "id", "a")
+      .write.mode("overwrite").parquet(s"$dir/epoch=2")
+    val merged = graft.sources.SchemaDrift.readMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "a", "b"))
+    val rows = merged.select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows == Set(
+      (1L, "x", None), (2L, "y", None),          // old files: b is NULL
+      (3L, "p", Some(10L)), (4L, "q", Some(11L)) // new files: by name
+    ))
+    // and the q220 staging rule: pre-drift rows are exactly the even keys
+    val corpus = graft.sources.SchemaDrift.stageOrdersDrift(spark, sf)
+    val m = graft.sources.SchemaDrift.readMerged(spark, corpus)
+    val bad = m.where(
+      (col("o_orderpriority").isNull && pmod(col("o_orderkey"), lit(2)) =!= 0) ||
+      (col("o_orderpriority").isNotNull && pmod(col("o_orderkey"), lit(2)) === 0))
+      .count()
+    assert(bad == 0, "drifted column must be NULL exactly for pre-drift files")
+    assert(m.count() ==
+      Tables.load(spark, sf, "orders").count(), "no row loss across the drift")
+  }
+
   test("tvd_ppm decimal arithmetic: exact where the Long form wraps") {
     import spark.implicits._
     // num * 1e6 overflows Long here (num ~ 2^60); decimal(38,0) keeps
