@@ -204,8 +204,10 @@ object ScaleSweep {
     val exReasons = Map(
       "q00_counts" -> ("the floor canary itself: ~11 no-work jobs by " +
         "construction, BENCHING.md"))
+    // ASCII only: the artifact line passes through the JVM's default
+    // console charset, which mangles non-ASCII punctuation
     val floorReason = "floor-bound at local SF: floor-adjusted excess " +
-      "<= 0.3 s in the committed bench artifact (BENCH_LOCAL_r11_*) — " +
+      "<= 0.3 s in the committed bench artifact (BENCH_LOCAL_r11_*); " +
       "wall-clock is per-job scheduling floor, a slope would read the " +
       "scheduler, not data growth"
     val excluded = SparkEntry.queries.keys.toSeq.sorted
