@@ -1106,7 +1106,11 @@ object StarQueries {
     * source table by the staging rule (o_orderkey parity) — the same
     * semantics DuckDB's `union_by_name` applies to the files
     * themselves. Staging is memoized per (app, dir): a fixed ingest
-    * cost paid in the warmup, the q120-drain precedent. */
+    * cost paid in the warmup, the q120-drain precedent. Column
+    * pruning survives the footer-union (verified plan: the merged
+    * FileScan reads exactly [o_orderkey, o_orderstatus,
+    * o_orderpriority]) — a drifted 100 TB corpus scans no wider than
+    * a homogeneous one. */
   def q220SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.sources.SchemaDrift.stageOrdersDrift(spark, dir)
     graft.sources.SchemaDrift.readMerged(spark, corpus)
