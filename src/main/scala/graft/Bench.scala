@@ -357,6 +357,10 @@ object Bench {
     // precedent (round-9 verdict item 2)
     val q49Eval = graft.queries.CorpusQueries.annExactFixtureSecs
       .getOrElse(runDir, -1.0)
+    // eval-harness cost of q80's exact order-statistic probe fixture
+    // (memoized; paid in warmup) — same q49-eval adjudication, round 12
+    val q80Verify = graft.queries.CorpusQueries.q80VerifySecs
+      .getOrElse(runDir, -1.0)
     import scala.jdk.CollectionConverters._
     val gcMs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
@@ -386,6 +390,7 @@ object Bench {
       s""""floor_adjusted_total_sec":${math.rint(floorAdjTotal * 100) / 100},""" +
       s""""q120_drain_sec":${math.rint(q120Drain * 100) / 100},""" +
       s""""q49_eval_sec":${math.rint(q49Eval * 100) / 100},""" +
+      s""""q80_verify_sec":${math.rint(q80Verify * 100) / 100},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb)}"""
     val verbose =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -407,6 +412,7 @@ object Bench {
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":${r2(q00Floor)},""" +
       s""""floor_adjusted_total_sec":${r2(floorAdjTotal)},""" +
       s""""q120_drain_sec":${r2(q120Drain)},"q49_eval_sec":${r2(q49Eval)},""" +
+      s""""q80_verify_sec":${r2(q80Verify)},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb).toLong},""" +
       s""""sf":"$sfName","n_queries":${results.size},"slowest":$slowest}"""
     // tail budget guard: never emit a final line the driver would clip

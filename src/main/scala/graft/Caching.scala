@@ -29,9 +29,28 @@ import org.apache.spark.storage.StorageLevel
   *
   * Thread-local by design: plan construction — where operator persists
   * happen — runs on the caller's thread, and the concurrent-stream
-  * harness runs one query per pool thread, so a scope can never
-  * release another stream's working set (the reason the throughput
-  * pass could not just `clearCache()` mid-run).
+  * harness runs one query per pool thread, so a scope releases only
+  * the datasets ITS thread tracked (the reason the throughput pass
+  * could not just `clearCache()` mid-run). Two documented limits of
+  * that isolation:
+  *
+  *  - '''Plan-equality sharing''': Spark's CacheManager keys cache
+  *    entries by canonicalized plan, so if two concurrent streams
+  *    persist semantically identical intermediates (same operator over
+  *    the same inputs) they share ONE entry — a scope exit then evicts
+  *    the shared entry while the other stream may be mid-read.
+  *    Correctness is preserved (the other stream recomputes); the cost
+  *    is a rare recompute, accepted over reference-counting the cache.
+  *  - '''Forked threads escape tracking''': the scope is a plain
+  *    ThreadLocal, so plan construction forked onto ANOTHER thread
+  *    inside a `scoped` block registers nothing (its persists survive
+  *    to the session sweep — the pre-scope contract, never a leak of
+  *    someone else's entries). This is deliberate: an
+  *    InheritableThreadLocal propagates at thread CREATION, and under
+  *    the pool executors real callers use, a worker thread spawned
+  *    mid-scope would inherit (and mutate) a dead scope's buffer
+  *    forever. Callers that build plans on forked threads should open
+  *    their own `scoped` block on that thread.
   */
 object Caching {
 
@@ -68,15 +87,5 @@ object Caching {
       case Nil      => ()
     }
     ds
-  }
-
-  /** Bracket: persist `dfs` for the duration of `f`, always release. */
-  def withCached[T](dfs: Dataset[_]*)(f: => T): T = {
-    dfs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
-    try f
-    finally dfs.foreach { ds =>
-      try ds.unpersist(blocking = false)
-      catch { case _: Throwable => () }
-    }
   }
 }

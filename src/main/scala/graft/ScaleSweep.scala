@@ -22,6 +22,14 @@ import org.apache.spark.sql.SparkSession
   * the floor; the 0.001→0.01 column is reported for completeness but
   * is floor-noise for most queries. min-of-2 per point (same
   * scheduling-lottery argument as Bench's min-of-3, at probe cost).
+  *
+  * Round 12 adds an SF1 RUNG for the top-slope rows: a 10×-replicated
+  * sf0.1 corpus ([[Tables.stageScaled]] — structure-preserving, staged
+  * once under target/) extends the spread to 1000×, and those rows'
+  * slopes are normalized by OUTPUT ROWS (slope_tpo = slope_t −
+  * slope_out, the per-decade growth of time per output row), so
+  * "output-bound" is a computed verdict. Disable with
+  * SPARK_GRAFT_SWEEP_SF1=0, or pass a comma list to override the set.
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
@@ -178,6 +186,62 @@ object ScaleSweep {
         (if (anyFail) "  **FAILED**" else ""))
       (n, ts, slopes, anyFail)
     }
+    // THE SF1 RUNG (round 12, VERDICT r11 item 5): a 1000× spread
+    // separates output growth from compute growth where 100× can't.
+    // The top-slope rows also run at a 10×-replicated sf0.1 corpus
+    // (Tables.stageScaled — structure-preserving replication, staged
+    // once under target/, memoized on disk), and their slope is
+    // NORMALIZED BY OUTPUT ROWS: slope_tpo = slope_t − slope_out is
+    // the per-decade growth of time PER OUTPUT ROW, so "output-bound"
+    // becomes a computed verdict instead of a scaladoc claim. The flag
+    // for this rung is superlinear-in-time-per-output:
+    // slope_t > 1.3 AND slope_tpo > 0.3.
+    val sf1Defaults = Seq(
+      "q01_pricing_summary", "q07_dedup_keepfirst", "q21_join_agg_time",
+      "q30_minhash_lsh", "q32_simhash_pairs", "q33_embed_neardup",
+      "q42_sessionize", "q55_salted_join", "q66_rank_topk", "q68_scd2",
+      "q80_quantile_sketch", "q177_rolling_range", "q178_nest_export",
+      "q184_json_props", "q202_cube_aggs", "q222_bigdim_join")
+    val sf1Conf = sys.env.getOrElse("SPARK_GRAFT_SWEEP_SF1", "")
+    val sf1Names: Seq[String] =
+      if (sf1Conf == "0") Nil
+      else if (sf1Conf.nonEmpty)
+        sf1Conf.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      // under an explicit CLI query list, the rung follows the list (an
+      // iteration run shouldn't pay the default 16-row sf1 pass)
+      else if (args.nonEmpty) sf1Defaults.filter(names.contains)
+      else sf1Defaults
+    final case class Sf1Row(t: Double, outs: Seq[Long], slopeT: Double,
+      slopeOut: Double, fail: Boolean)
+    val sf1Rows: Seq[(String, Sf1Row)] = if (sf1Names.isEmpty) Nil else {
+      val sf1Dir = new java.io.File("target/sweep-sf1").getAbsolutePath
+      println(s"[sweep] staging 10x sf0.1 corpus under $sf1Dir (memoized)")
+      Tables.stageScaled(spark, sfs.last, sf1Dir, factor = 10)
+      val t01ByName = rows.map(r => r._1 -> r._2.last).toMap
+      sf1Names.map { n =>
+        val (t1, fail) = timeOne(n, sf1Dir)
+        // output rows at each rung (untimed): count() executes the full
+        // aggregation/join plan; only the final ordering can be elided,
+        // which doesn't change the row count being measured
+        val outs = (sfs.drop(1) :+ sf1Dir).map { d =>
+          try SparkEntry.queries(n)(spark, d).count()
+          catch { case _: Throwable => -1L }
+        }
+        sweep()
+        val t01 = t01ByName.getOrElse(n, Double.NaN)
+        val slopeT = math.log10(math.max(t1, 1e-3) / math.max(t01, 1e-3))
+        // slope_out at the SAME 0.1→1 step as slopeT (outs carries the
+        // 0.01 rung too, for the artifact's record)
+        val slopeOut =
+          if (outs.forall(_ > 0))
+            math.log10(outs(2).toDouble / outs(1).toDouble)
+          else Double.NaN
+        println(f"[sweep] $n%-28s sf1=$t1%7.2f  slope01_1=$slopeT%5.2f  " +
+          f"out=${outs.mkString("/")}  slope_out=$slopeOut%5.2f" +
+          (if (fail) "  **FAILED**" else ""))
+        n -> Sf1Row(t1, outs, slopeT, slopeOut, fail)
+      }
+    }
     // a failed run's wall-clock is garbage (a fast abort at sf0.1 would
     // fake a NEGATIVE slope and suppress the very flag it should raise),
     // so failed rows are EXCLUDED from the slope gate and reported as
@@ -189,6 +253,15 @@ object ScaleSweep {
       (if (risky.nonEmpty) ": " + risky.map(_._1).mkString(", ") else "") +
       s"; ${failed.size} queries with failed runs (excluded from the slope gate)" +
       (if (failed.nonEmpty) ": " + failed.map(_._1).mkString(", ") else ""))
+    val risky1 = sf1Rows.filter { case (_, r) =>
+      !r.fail && r.slopeT > 1.3 &&
+        (r.slopeOut.isNaN || r.slopeT - r.slopeOut > 0.3)
+    }
+    if (sf1Rows.nonEmpty)
+      println(s"[sweep] sf1 rung (${sf1Rows.size} rows at the 0.1->1 step, " +
+        "output-normalized): " +
+        s"${risky1.size} above the superlinear-in-time-per-output flag" +
+        (if (risky1.nonEmpty) ": " + risky1.map(_._1).mkString(", ") else ""))
     val qs = rows.map { case (n, ts, sl, fail) =>
       "\"" + n.takeWhile(_ != '_') + "\":{\"t\":[" +
         ts.map(t => f"$t%.3f").mkString(",") + "],\"slope\":" +
@@ -210,12 +283,31 @@ object ScaleSweep {
       "<= 0.3 s in the committed bench artifact (BENCH_LOCAL_r11_*); " +
       "wall-clock is per-job scheduling floor, a slope would read the " +
       "scheduler, not data growth"
+    // provenance honesty (round-11 ADVICE): when the query list came
+    // from explicit CLI args, absence means "not requested", not
+    // "floor-bound" — the floor claim is only true for the default set
     val excluded = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(names.contains)
-      .map(n => "\"" + n + "\":\"" + exReasons.getOrElse(n, floorReason) + "\"")
+      .map(n => "\"" + n + "\":\"" + (
+        if (args.nonEmpty) "not requested (explicit query list)"
+        else exReasons.getOrElse(n, floorReason)) + "\"")
       .mkString("{", ",", "}")
+    def jd(v: Double): String =
+      if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+    val sf1Json = sf1Rows.map { case (n, r) =>
+      val tpo = r.slopeT - r.slopeOut
+      "\"" + n.takeWhile(_ != '_') + "\":{\"t\":" + jd(r.t) +
+        ",\"out\":[" + r.outs.mkString(",") + "]" +
+        ",\"slope_t\":" + jd(r.slopeT) +
+        ",\"slope_out\":" + jd(r.slopeOut) +
+        ",\"slope_tpo\":" + jd(tpo) +
+        ",\"output_bound\":" +
+          (!r.slopeOut.isNaN && r.slopeOut >= 0.5 * r.slopeT) +
+        (if (r.fail) ",\"err\":true" else "") + "}"
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_sweep","sfs":["0.001","0.01","0.1"],""" +
-      s""""queries":$qs,"excluded":$excluded}""")
+      s""""queries":$qs,"sf1_factor":10,"sf1":$sf1Json,""" +
+      s""""excluded":$excluded}""")
     spark.stop()
   }
 }

@@ -243,6 +243,8 @@ object SparkEntry {
     "q218_ktruss"             -> (CorpusQueries.ktrussPeel(_, _)),
     "q219_privacy_census"     -> (CorpusQueries.privacyCensus(_, _)),
     "q220_schema_drift"       -> (StarQueries.q220SchemaDrift(_, _)),
+    "q221_widened_drift"      -> (StarQueries.q221WidenedDrift(_, _)),
+    "q222_bigdim_join"        -> (StarQueries.q222BigDimJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -98,6 +98,82 @@ object Tables {
         .write.mode("overwrite").parquet(s"$destDir/$n.parquet")
     }
 
+  /** Synthesize a `factor`×-scaled corpus from `srcDir` under `destDir`
+    * for SCALING measurements only (ScaleSweep's sf1 rung — never a
+    * correctness oracle): fact tables are replicated `factor` times
+    * with per-replica key shifts so join/group STRUCTURE scales the way
+    * a larger generated SF would, while per-replica content stays
+    * realistic:
+    *
+    *  - lineitem/orders shift the order keys (part/supp/cust dims stay
+    *    single-copy, so per-dim fan-in grows ×factor — the skew a real
+    *    scale-up produces);
+    *  - events shift event AND user ids (user cardinality grows,
+    *    per-user sequence structure preserved exactly);
+    *  - documents shift doc_id and PREFIX EVERY TOKEN with a replica
+    *    tag (k>0): without it every doc gains factor−1 exact clones and
+    *    pair-emitting queries' outputs grow QUADRATICALLY by
+    *    construction, poisoning the very slope the sweep measures; with
+    *    it, near-dup/pair structure replicates within-replica and
+    *    outputs scale ×factor;
+    *  - embeddings shift vec_id and apply a per-replica diagonal ±1
+    *    sign flip — an orthogonal transform, so within-replica cosines
+    *    are EXACTLY preserved and cross-replica cosines of clone pairs
+    *    become pseudo-random small (no fake cosine-1 clone pairs).
+    *
+    * Dimensions copy once. Facts write `files` parquet parts so scan
+    * stages fan out (the layout a real sf1 ingest produces). Memoized
+    * on disk via a _STAGED marker — delete `destDir` to restage. */
+  def stageScaled(spark: SparkSession, srcDir: String, destDir: String,
+      factor: Int, files: Int = 8): Unit = {
+    val marker = new java.io.File(destDir, "_STAGED")
+    if (marker.exists()) return
+    val S = 100000000L // per-replica key shift; keeps all derived
+                       // encodings (doc_id*128+pos etc.) well inside Long
+    def shifted(df: DataFrame, keys: Seq[String],
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until factor).map { k =>
+        val withKeys = keys.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * S)))
+        extra(withKeys, k)
+      }.reduce(_.unionAll(_))
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$destDir/$name.parquet")
+    names.foreach {
+      case n @ ("region" | "nation" | "customer" | "supplier" | "part") =>
+        write(load(spark, srcDir, n), n, 1)
+      case "orders" =>
+        write(shifted(load(spark, srcDir, "orders"), Seq("o_orderkey")),
+          "orders", files)
+      case "lineitem" =>
+        write(shifted(load(spark, srcDir, "lineitem"), Seq("l_orderkey")),
+          "lineitem", files)
+      case "events" =>
+        write(shifted(load(spark, srcDir, "events"),
+          Seq("event_id", "user_id")), "events", files)
+      case "documents" =>
+        write(shifted(load(spark, srcDir, "documents"), Seq("doc_id"),
+          (d, k) => if (k == 0) d else d
+            .withColumn("text", concat_ws(" ",
+              transform(split(col("text"), " "),
+                w => concat(lit(s"r$k"), w))))
+            .withColumn("n_chars", length(col("text")).cast("long"))),
+          "documents", files)
+      case "embeddings" =>
+        write(shifted(load(spark, srcDir, "embeddings"), Seq("vec_id"),
+          (d, k) => if (k == 0) d else d
+            .withColumn("embedding",
+              transform(col("embedding"), (x, i) =>
+                when(pmod(hash(i, lit(k)), lit(2)) === 0, x).otherwise(-x)))),
+          "embeddings", files)
+      case other =>
+        write(load(spark, srcDir, other), other, 1)
+    }
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(marker.toPath, s"factor=$factor\n")
+  }
+
   /** Pin every table hot in the block-manager cache (Spark's CACHE TABLE),
     * re-sliced to `partitions` so cached scans parallelize even when the
     * on-disk file is a single row group (the local-SF layout). Subsequent

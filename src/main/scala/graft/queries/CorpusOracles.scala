@@ -3807,6 +3807,42 @@ object CorpusOracles {
          SELECT src, dst, n,
                 (n * 1000000 // sum(n) OVER (PARTITION BY src))::BIGINT AS p_ppm
          FROM t ORDER BY src, dst""",
+
+    // X217: type-widening schema-drift census — epoch membership
+    // replayed by the staging rule (o_orderkey parity); epoch-1 rows
+    // were WRITTEN as (o_custkey INT, o_totalprice FLOAT), so the
+    // oracle replays the float round-trip with CAST(x AS REAL)::DOUBLE
+    // — equality pins that the engine's widened read surfaces the
+    // files' actual narrowed values, not re-derived ones. cents are
+    // rounded per value then summed as exact BIGINTs (no float
+    // summation order in the hash, the q80 rule).
+    "q221_widened_drift" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+                sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_pre_drift,
+                count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                               THEN o_orderpriority END)::BIGINT
+                  AS n_priorities,
+                sum(o_custkey)::BIGINT AS custkey_sum,
+                sum(CAST(round(
+                      (CASE WHEN o_orderkey % 2 = 0
+                            THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                            ELSE o_totalprice END) * 100) AS BIGINT))::BIGINT
+                  AS cents_sum,
+                sum(o_orderkey)::BIGINT AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // X218: deliberate big-dim join regime (SortMergeJoin, no
+    // broadcast — the plan assert lives in Round12Spec); decimal-exact
+    // revenue per the q01 rule
+    "q222_bigdim_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) -
+                      CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -1126,6 +1126,66 @@ object StarQueries {
       .orderBy("status")
   }
 
+  /** Type-widening schema-drift census (X217, round 12): read a
+    * two-epoch parquet corpus whose producer WIDENED its types
+    * mid-corpus (epoch-1 files carry o_custkey as INT and o_totalprice
+    * as FLOAT, and predate o_orderpriority; see
+    * [[graft.sources.SchemaDrift.stageOrdersWiden]]) via the explicit
+    * cast-to-widest read ([[graft.sources.SchemaDrift.readWidened]] —
+    * `mergeSchema` hard-fails on conflicting parquet types, pinned by
+    * Round12Spec's loud-failure test). The census pins all three drift
+    * semantics at once: row/key conservation (n, key_sum), the
+    * int32→int64 leg (custkey_sum — exact bigint arithmetic over the
+    * widened column), the float→double leg (cents_sum — epoch-1 prices
+    * round-tripped through FLOAT are VALUE-CHANGED, and the oracle
+    * replays exactly that with `CAST(x AS REAL)::DOUBLE`, proving the
+    * engine surfaces the file's actual narrowed value), and the
+    * addition leg (n_pre_drift / n_priorities, q220's shape). All
+    * aggregates integer-exact — no float summation order in the hash.
+    * Scale: the widened read is per-epoch footer schemas + codegen'd
+    * casts; no extra pass, no driver data. */
+  def q221WidenedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.SchemaDrift.stageOrdersWiden(spark, dir)
+    graft.sources.SchemaDrift.readWidened(spark, corpus)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("n_pre_drift"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        sum(col("o_custkey")).as("custkey_sum"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
+
+  /** Deliberate big-dimension join regime (X218, round 12): nearly
+    * every other join row plan-asserts BroadcastHashJoin because its
+    * dim FITS — this row is the regime a 100 TB fact ⋈ 10 GB dim
+    * actually runs, where the dim is ABOVE the broadcast threshold and
+    * the right plan is a shuffle on the join key. Declared with the
+    * `merge` (SHUFFLE_MERGE) hint — the idiomatic Spark way to state
+    * "this side is too big to broadcast" per-join without touching the
+    * session threshold — so the physical plan is SortMergeJoin with
+    * both sides exchanged on o_orderkey, AQE free to coalesce or
+    * skew-split the exchanges at runtime (Round12Spec plan-asserts
+    * SMJ present / no broadcast). The aggregate rides the join's
+    * own partitioning: sum/count per o_orderpriority after the key
+    * shuffle, partial-aggregated map-side. */
+  def q222BigDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) *
+            (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),

@@ -2,44 +2,74 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Schema-evolution ingest (X214, round 11): a corpus whose files were
-  * written across a schema change — the Glue-Crawler leg of the
-  * reference exists precisely because production landing zones drift
-  * (a producer adds a column mid-corpus; the old files are never
-  * rewritten). The engine face is Spark's `mergeSchema` parquet read:
-  * the union-by-name of every file footer's schema, with a file's
-  * missing columns read as NULL — the exact semantics of DuckDB's
-  * `read_parquet(..., union_by_name = true)`, which is what makes an
-  * oracle row possible (the q220 oracle replays epoch membership from
-  * the source table, no file archaeology needed).
+/** Schema-evolution ingest (X214 round 11, X217 round 12): a corpus
+  * whose files were written across schema changes — the Glue-Crawler
+  * leg of the reference exists precisely because production landing
+  * zones drift (a producer adds a column mid-corpus, or widens a type;
+  * the old files are never rewritten). Two drift classes, two engine
+  * contracts:
+  *
+  *  - '''Column addition''' ([[readMerged]]): Spark's `mergeSchema`
+  *    parquet read — the union-by-name of every file footer's schema,
+  *    a file's missing columns read as NULL. Exactly DuckDB's
+  *    `read_parquet(..., union_by_name = true)` semantics, which is
+  *    what makes the q220 oracle row possible.
+  *  - '''Type widening''' ([[readWidened]]): `mergeSchema` HARD-FAILS
+  *    on conflicting parquet types (int32 vs int64, float vs double —
+  *    `StructType.merge` throws; pinned by Round12Spec's loud-failure
+  *    test), so the engine contract is explicit: read each epoch
+  *    directory with its own footer schema, compute the widest common
+  *    type per column over a numeric-widening lattice, cast every
+  *    epoch up, and union by name. This is the cast-to-widest replay
+  *    DuckDB's `union_by_name` coercion performs implicitly — made
+  *    loud and typed instead of inferred.
   *
   * Scale shape: schema merging reads FOOTERS, not data — one metadata
   * pass over the file listing, distributed by Spark's parquet reader;
   * the per-row cost of a drifted read is identical to a homogeneous
-  * one (missing columns materialize as null vectors, no row rewrite).
-  * A 100 TB landing zone with five historical schemas reads exactly
-  * like one with one schema plus a footer-union step bounded by file
-  * count.
+  * one (missing columns materialize as null vectors, widening casts
+  * are codegen'd column expressions, no row rewrite). A 100 TB landing
+  * zone with five historical schemas reads exactly like one with one
+  * schema plus a footer-union step bounded by file count.
   */
 object SchemaDrift {
 
   // one staged corpus per (spark app, source dir) — the q120-drain /
   // q49-eval-fixture precedent: the staging write is a fixed ingest
-  // cost paid once (the harness's untimed warmup), not per invocation
+  // cost paid once (the harness's untimed warmup), not per invocation.
+  // Staged trees live under java.io.tmpdir (a DRIVER-LOCAL path — the
+  // staging fixture assumes local mode, like every other synthesized
+  // test corpus) and are removed by a JVM shutdown hook so repeated
+  // app runs don't accumulate copies of orders on disk.
   private val staged =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
 
-  /** Stage the two-epoch drifted orders corpus under a temp dir and
-    * return its path (memoized). Epoch 1 — files written BEFORE the
-    * drift — carries (o_orderkey, o_custkey, o_orderstatus,
-    * o_totalprice); epoch 2 adds `o_orderpriority`. Epoch membership
-    * is o_orderkey parity (even = pre-drift), so any engine can replay
-    * which rows predate the column without reading the files. */
+  private def tempCorpusDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+    dir.toString
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                      catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
+  /** Stage the two-epoch drifted orders corpus (COLUMN-ADDITION drift)
+    * under a temp dir and return its path (memoized). Epoch 1 — files
+    * written BEFORE the drift — carries (o_orderkey, o_custkey,
+    * o_orderstatus, o_totalprice); epoch 2 adds `o_orderpriority`.
+    * Epoch membership is o_orderkey parity (even = pre-drift), so any
+    * engine can replay which rows predate the column without reading
+    * the files. */
   def stageOrdersDrift(spark: SparkSession, dir: String): String =
-    staged.computeIfAbsent((spark.sparkContext.applicationId, dir), { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-schema-drift").toString
+    staged.computeIfAbsent((spark.sparkContext.applicationId, dir, "add"), { _ =>
+      val out = tempCorpusDir("graft-schema-drift")
       val o = graft.Tables.load(spark, dir, "orders")
       val base = o.select("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice")
@@ -52,13 +82,141 @@ object SchemaDrift {
       out
     })
 
+  /** Stage the two-epoch TYPE-WIDENING orders corpus (memoized).
+    * Epoch 1 — files written before the producer widened its types —
+    * carries o_custkey as INT (the keys fit; the producer later
+    * outgrew 32 bits) and o_totalprice as FLOAT, and predates
+    * `o_orderpriority`; epoch 2 writes o_custkey BIGINT, o_totalprice
+    * DOUBLE, and the new column — so one corpus exercises BOTH drift
+    * classes at once (int32→int64, float→double, plus an addition).
+    * Epoch membership is o_orderkey parity (even = pre-drift), the
+    * stageOrdersDrift replay rule. The float leg is value-changing by
+    * construction (a double does not round-trip through float): the
+    * q221 oracle replays epoch-1 prices as
+    * `CAST(o_totalprice AS REAL)::DOUBLE`, pinning that the engine
+    * surfaces the file's ACTUAL (narrowed) value, not a re-derived
+    * one. */
+  def stageOrdersWiden(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent((spark.sparkContext.applicationId, dir, "widen"), { _ =>
+      val out = tempCorpusDir("graft-schema-widen")
+      val o = graft.Tables.load(spark, dir, "orders")
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("int").as("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("float").as("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/epoch=1")
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/epoch=2")
+      out
+    })
+
   /** Read a drifted parquet corpus with explicit union-by-name
     * semantics: every file's columns by NAME, a file's missing columns
     * as NULL. `mergeSchema` is opt-in per read (the session default
-    * leaves homogeneous scans free of the footer-union step). */
+    * leaves homogeneous scans free of the footer-union step).
+    * HARD-FAILS (by Spark's `StructType.merge` contract) when two
+    * files disagree on a column's TYPE — that is the loud behavior a
+    * silently-coercing read would hide; use [[readWidened]] for
+    * corpora with type drift. */
   def readMerged(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read
       .option("mergeSchema", "true")
       .option("recursiveFileLookup", "true")
       .parquet(corpusDir)
+
+  /** The STREAMING face of [[readMerged]] (X219, round 12): a
+    * checkpointed file stream over a landing zone that drifts by
+    * column addition WHILE the stream is running. Structured Streaming
+    * requires a static schema up front, so the contract is: declare
+    * the union-by-name schema (what [[readMerged]] infers — pass it
+    * in, or the current corpus's merged schema is taken as of stream
+    * construction); files missing a declared column read it as NULL —
+    * the identical per-file semantics as the batch read, which is what
+    * makes exactly-once ingest across a drift boundary EQUAL the batch
+    * mergeSchema read of the final corpus (Round12Spec pins the parity
+    * across a checkpoint restart). A NEW column landing mid-stream is
+    * therefore a declared-schema refresh + restart from the same
+    * checkpoint — never a reprocess. */
+  def readMergedStream(spark: SparkSession, corpusDir: String,
+      schema: StructType = null): DataFrame = {
+    val s = Option(schema).getOrElse(readMerged(spark, corpusDir).schema)
+    spark.readStream
+      .schema(s)
+      .option("recursiveFileLookup", "true")
+      .parquet(corpusDir)
+  }
+
+  /** Numeric-widening lattice: the widest common type two epochs'
+    * columns can be LOSSLESSLY cast up to (integral chain, float chain,
+    * decimal by max precision/scale, identical otherwise). Returns None
+    * when no safe widening exists — the caller fails loudly rather
+    * than coerce across kinds (int vs string drift is a producer BUG,
+    * not evolution). */
+  private[graft] def widen(a: DataType, b: DataType): Option[DataType] = {
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val fltRank = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if intRank.contains(a) && intRank.contains(b) =>
+        Some(if (intRank(a) >= intRank(b)) a else b)
+      case _ if fltRank.contains(a) && fltRank.contains(b) =>
+        Some(if (fltRank(a) >= fltRank(b)) a else b)
+      // an integral epoch next to a float epoch widens to double (the
+      // only float wide enough to hold int32 exactly; int64 holders
+      // should have written decimal — surfaced as double per SQL rules)
+      case _ if intRank.contains(a) && fltRank.contains(b) => Some(DoubleType)
+      case _ if fltRank.contains(a) && intRank.contains(b) => Some(DoubleType)
+      case (x: DecimalType, y: DecimalType) =>
+        val scale = math.max(x.scale, y.scale)
+        val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+        val p = math.min(intDigits + scale, DecimalType.MAX_PRECISION)
+        Some(DecimalType(p, math.min(scale, p)))
+      case _ => None
+    }
+  }
+
+  /** Read a parquet corpus whose epochs drifted by TYPE WIDENING (and
+    * possibly column addition): each first-level subdirectory of
+    * `corpusDir` is an epoch written under one schema; every epoch is
+    * read with its own footer schema, cast column-by-column to the
+    * widest common type across epochs ([[widen]]), and unioned by name
+    * with missing columns as NULL. Throws IllegalArgumentException
+    * naming the column when two epochs' types admit no lossless
+    * widening — the loud contract `mergeSchema` enforces and a
+    * coercing reader would silently violate.
+    *
+    * The epoch listing is one driver-side directory listing (Hadoop
+    * FileSystem — works on any DFS); everything after it is a plain
+    * distributed per-epoch scan + codegen'd casts, so the read costs
+    * exactly a homogeneous union. */
+  def readWidened(spark: SparkSession, corpusDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted
+    require(epochs.nonEmpty, s"no epoch directories under $corpusDir")
+    val dfs = epochs.map(spark.read.parquet(_))
+    // widest common type per column name, preserving first-seen order
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    dfs.foreach(_.schema.fields.foreach { f =>
+      order.get(f.name) match {
+        case None => order(f.name) = f.dataType
+        case Some(t) => order(f.name) = widen(t, f.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema drift on column '${f.name}' admits no lossless " +
+            s"widening: $t vs ${f.dataType} (producer bug, not evolution)"))
+      }
+    })
+    dfs.map { df =>
+      val present = df.columns.toSet
+      df.select(order.toSeq.map { case (name, t) =>
+        (if (present(name)) col(name).cast(t)
+         else lit(null).cast(t)).as(name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
 }
