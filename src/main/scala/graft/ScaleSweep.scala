@@ -118,7 +118,11 @@ object ScaleSweep {
       // round-11 new surface: the schema-drift merged read (staging is
       // memoized per (app, dir) — the warmup pays it, the timed reps
       // measure the footer-union read itself)
-      "q220_schema_drift")
+      "q220_schema_drift",
+      // round-12 new surface: the widened (per-epoch cast) read and the
+      // deliberate SortMergeJoin regime — the one join row whose
+      // exchanges carry both sides, exactly what must scale linearly
+      "q221_widened_drift", "q222_bigdim_join")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

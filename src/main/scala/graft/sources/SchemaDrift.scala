@@ -180,26 +180,36 @@ object SchemaDrift {
   }
 
   /** Read a parquet corpus whose epochs drifted by TYPE WIDENING (and
-    * possibly column addition): each first-level subdirectory of
-    * `corpusDir` is an epoch written under one schema; every epoch is
-    * read with its own footer schema, cast column-by-column to the
-    * widest common type across epochs ([[widen]]), and unioned by name
-    * with missing columns as NULL. Throws IllegalArgumentException
-    * naming the column when two epochs' types admit no lossless
-    * widening — the loud contract `mergeSchema` enforces and a
-    * coercing reader would silently violate.
+    * possibly column addition or RENAME): each first-level subdirectory
+    * of `corpusDir` is an epoch written under one schema; every epoch
+    * is read with its own footer schema, renamed to canonical names via
+    * `renames` (old producer name → canonical — a rename is otherwise
+    * indistinguishable from a drop+add, so the mapping must be
+    * declared; union-by-name would silently fork the column into two
+    * half-NULL ones), cast column-by-column to the widest common type
+    * across epochs ([[widen]]), and unioned by name with missing
+    * columns as NULL. Throws IllegalArgumentException naming the
+    * column when two epochs' types admit no lossless widening — the
+    * loud contract `mergeSchema` enforces and a coercing reader would
+    * silently violate.
     *
     * The epoch listing is one driver-side directory listing (Hadoop
     * FileSystem — works on any DFS); everything after it is a plain
     * distributed per-epoch scan + codegen'd casts, so the read costs
     * exactly a homogeneous union. */
-  def readWidened(spark: SparkSession, corpusDir: String): DataFrame = {
+  def readWidened(spark: SparkSession, corpusDir: String,
+      renames: Map[String, String] = Map.empty): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs = fs.listStatus(path).filter(_.isDirectory)
       .map(_.getPath.toString).sorted
     require(epochs.nonEmpty, s"no epoch directories under $corpusDir")
-    val dfs = epochs.map(spark.read.parquet(_))
+    val dfs = epochs.map { e =>
+      val df = spark.read.parquet(e)
+      renames.foldLeft(df) { case (d, (from, to)) =>
+        if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+      }
+    }
     // widest common type per column name, preserving first-seen order
     val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     dfs.foreach(_.schema.fields.foreach { f =>

@@ -85,6 +85,34 @@ class Round12Spec extends AnyFunSuite {
     assert(diffCount > 0, "float round-trip changed no value — the widening leg is vacuous")
   }
 
+  test("readWidened rename map: a renamed column unifies instead of forking into two half-NULL ones") {
+    val out = java.nio.file.Files.createTempDirectory("graft-rename").toString
+    val o = Tables.load(spark, sf, "orders").limit(100)
+    // epoch 1: the producer's old name (and old INT type — rename and
+    // widening compose); epoch 2: the canonical name
+    o.select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("cust_id"))
+      .where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$out/epoch=1")
+    o.select(col("o_orderkey"), col("o_custkey"))
+      .where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$out/epoch=2")
+    val got = SchemaDrift.readWidened(spark, out,
+      renames = Map("cust_id" -> "o_custkey"))
+    assert(got.columns.toSeq == Seq("o_orderkey", "o_custkey"))
+    assert(got.schema("o_custkey").dataType == LongType)
+    // every row carries a custkey — no half-NULL fork
+    assert(got.where(col("o_custkey").isNull).count() == 0)
+    val want = o.select("o_orderkey", "o_custkey")
+      .collect().map(_.toString).sorted
+    assert(got.collect().map(_.toString).sorted.sameElements(want))
+    // and WITHOUT the mapping the fork is visible (the reason the
+    // mapping must be declared): two columns, each half NULL
+    val forked = SchemaDrift.readWidened(spark, out)
+    assert(forked.columns.toSet == Set("o_orderkey", "cust_id", "o_custkey"))
+    assert(forked.where(col("cust_id").isNull).count() > 0)
+  }
+
   test("readWidened refuses a corpus with non-widenable drift, naming the column") {
     val out = java.nio.file.Files.createTempDirectory("graft-badwiden").toString
     val o = Tables.load(spark, sf, "orders").limit(10)
