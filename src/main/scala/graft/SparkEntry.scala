@@ -245,6 +245,7 @@ object SparkEntry {
     "q220_schema_drift"       -> (StarQueries.q220SchemaDrift(_, _)),
     "q221_widened_drift"      -> (StarQueries.q221WidenedDrift(_, _)),
     "q222_bigdim_join"        -> (StarQueries.q222BigDimJoin(_, _)),
+    "q223_drift_prune"        -> (StarQueries.q223DriftPrune(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

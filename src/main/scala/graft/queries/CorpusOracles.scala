@@ -3843,6 +3843,16 @@ object CorpusOracles {
                   AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+
+    // X220: epoch-pruned drift read — the engine reads ONLY the
+    // epoch=2 partition (plan-asserted); the oracle replays its
+    // membership by the staging parity rule (odd orderkey)
+    "q223_drift_prune" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+                count(DISTINCT o_orderpriority)::BIGINT AS n_priorities,
+                sum(o_orderkey)::BIGINT AS key_sum
+         FROM orders WHERE o_orderkey % 2 = 1
+         GROUP BY 1 ORDER BY 1""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

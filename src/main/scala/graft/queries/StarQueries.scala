@@ -1186,6 +1186,28 @@ object StarQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Epoch-pruned drift read (X220, round 12 — the planning-time face
+    * of the schema-drift family): the q220 corpus read as the
+    * partitioned table its `epoch=N` layout declares
+    * ([[graft.sources.SchemaDrift.readPartitioned]]), with the census
+    * restricted to the POST-drift epoch by a partition predicate —
+    * pre-drift files are pruned at planning time (`PartitionFilters`
+    * in the scan, plan-asserted in Round12Spec), so the post-drift
+    * slice costs the slice, not the corpus. The oracle replays epoch
+    * membership by the staging parity rule (odd o_orderkey =
+    * post-drift), never reading the files. */
+  def q223DriftPrune(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.SchemaDrift.stageOrdersDrift(spark, dir)
+    graft.sources.SchemaDrift.readPartitioned(spark, corpus)
+      .where(col("epoch") === 2)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),

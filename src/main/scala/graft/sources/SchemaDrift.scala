@@ -127,6 +127,24 @@ object SchemaDrift {
       .option("recursiveFileLookup", "true")
       .parquet(corpusDir)
 
+  /** Read a drifted corpus AS the partitioned table its directory
+    * layout already declares (X220, round 12): the `epoch=N` staging
+    * dirs are hive-style partitions, so WITHOUT `recursiveFileLookup`
+    * (which disables partition inference — the deliberate contrast
+    * with [[readMerged]]'s flat-files face) Spark surfaces `epoch` as
+    * a partition COLUMN, and a predicate on it prunes whole epochs at
+    * PLANNING time — `PartitionFilters` in the scan, pre-drift files
+    * never listed into tasks. At 100 TB this is the difference between
+    * "read the post-drift slice" costing the slice and costing the
+    * corpus; `mergeSchema` composes with partitioning (the footer
+    * union runs over the SURVIVING files only). Round12Spec
+    * plan-asserts the pruning; q223's oracle replays epoch membership
+    * by the staging parity rule. */
+  def readPartitioned(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(corpusDir)
+
   /** The STREAMING face of [[readMerged]] (X219, round 12): a
     * checkpointed file stream over a landing zone that drifts by
     * column addition WHILE the stream is running. Structured Streaming
