@@ -197,54 +197,77 @@ object SchemaDrift {
     }
   }
 
-  /** Read a parquet corpus whose epochs drifted by TYPE WIDENING (and
-    * possibly column addition or RENAME): each first-level subdirectory
-    * of `corpusDir` is an epoch written under one schema; every epoch
-    * is read with its own footer schema, renamed to canonical names via
-    * `renames` (old producer name → canonical — a rename is otherwise
-    * indistinguishable from a drop+add, so the mapping must be
-    * declared; union-by-name would silently fork the column into two
-    * half-NULL ones), cast column-by-column to the widest common type
-    * across epochs ([[widen]]), and unioned by name with missing
-    * columns as NULL. Throws IllegalArgumentException naming the
-    * column when two epochs' types admit no lossless widening — the
-    * loud contract `mergeSchema` enforces and a coercing reader would
-    * silently violate.
-    *
-    * The epoch listing is one driver-side directory listing (Hadoop
-    * FileSystem — works on any DFS); everything after it is a plain
-    * distributed per-epoch scan + codegen'd casts, so the read costs
-    * exactly a homogeneous union. */
-  def readWidened(spark: SparkSession, corpusDir: String,
-      renames: Map[String, String] = Map.empty): DataFrame = {
+  /** The widest-common-type schema of a drifted corpus: one footer
+    * pass per epoch directory (metadata only — no data read), every
+    * column widened across epochs via [[widen]], first-seen column
+    * order. Throws IllegalArgumentException naming the column when two
+    * epochs' types admit no lossless widening — the loud contract
+    * `mergeSchema` enforces and a coercing reader would silently
+    * violate. `renames` maps old producer names → canonical before
+    * widening (a rename is otherwise indistinguishable from drop+add). */
+  def widenedSchema(spark: SparkSession, corpusDir: String,
+      renames: Map[String, String] = Map.empty): StructType = {
     val path = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs = fs.listStatus(path).filter(_.isDirectory)
       .map(_.getPath.toString).sorted
     require(epochs.nonEmpty, s"no epoch directories under $corpusDir")
-    val dfs = epochs.map { e =>
-      val df = spark.read.parquet(e)
-      renames.foldLeft(df) { case (d, (from, to)) =>
-        if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    epochs.foreach { e =>
+      spark.read.parquet(e).schema.fields.foreach { f0 =>
+        val name = renames.getOrElse(f0.name, f0.name)
+        order.get(name) match {
+          case None => order(name) = f0.dataType
+          case Some(t) => order(name) = widen(t, f0.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema drift on column '$name' admits no lossless " +
+              s"widening: $t vs ${f0.dataType} (producer bug, not evolution)"))
+        }
       }
     }
-    // widest common type per column name, preserving first-seen order
-    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    dfs.foreach(_.schema.fields.foreach { f =>
-      order.get(f.name) match {
-        case None => order(f.name) = f.dataType
-        case Some(t) => order(f.name) = widen(t, f.dataType).getOrElse(
-          throw new IllegalArgumentException(
-            s"schema drift on column '${f.name}' admits no lossless " +
-            s"widening: $t vs ${f.dataType} (producer bug, not evolution)"))
-      }
-    })
-    dfs.map { df =>
-      val present = df.columns.toSet
-      df.select(order.toSeq.map { case (name, t) =>
-        (if (present(name)) col(name).cast(t)
-         else lit(null).cast(t)).as(name)
-      }: _*)
-    }.reduce(_.unionByName(_))
+    StructType(order.toSeq.map { case (n, t) => StructField(n, t) })
+  }
+
+  /** Read a parquet corpus whose epochs drifted by TYPE WIDENING (and
+    * possibly column addition or RENAME): derive the widest-common
+    * schema from one footer pass per epoch ([[widenedSchema]] — which
+    * refuses non-widenable drift loudly), then read.
+    *
+    * Without renames this is ONE declared-schema scan of the whole
+    * corpus: Spark 4's parquet reader upcasts per file under a wider
+    * requested schema (int32→long, int32/float→double — probed and
+    * spec-pinned in Round12Spec), and files missing a declared column
+    * read it as NULL — so the widened read costs exactly a homogeneous
+    * scan (single listing, single FileScan, no N-epoch union), the
+    * same shape [[readMerged]] has for addition-only drift. With
+    * renames, a file's column NAME differs from the declared schema,
+    * which a requested schema cannot express — those corpora fall back
+    * to per-epoch scans renamed + cast + unioned by name (still
+    * footer-bounded planning, one scan per epoch). */
+  def readWidened(spark: SparkSession, corpusDir: String,
+      renames: Map[String, String] = Map.empty): DataFrame = {
+    val widest = widenedSchema(spark, corpusDir, renames)
+    if (renames.isEmpty)
+      spark.read.schema(widest)
+        .option("recursiveFileLookup", "true")
+        .parquet(corpusDir)
+    else {
+      val path = new org.apache.hadoop.fs.Path(corpusDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val epochs = fs.listStatus(path).filter(_.isDirectory)
+        .map(_.getPath.toString).sorted
+      val types = widest.fields.map(f => f.name -> f.dataType).toMap
+      epochs.map { e =>
+        val df0 = spark.read.parquet(e)
+        val df = renames.foldLeft(df0) { case (d, (from, to)) =>
+          if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+        }
+        val present = df.columns.toSet
+        df.select(widest.fieldNames.toSeq.map { name =>
+          (if (present(name)) col(name).cast(types(name))
+           else lit(null).cast(types(name))).as(name)
+        }: _*)
+      }.reduce(_.unionByName(_))
+    }
   }
 }

@@ -182,6 +182,53 @@ class Round12Spec extends AnyFunSuite {
     assert(gotRows.sorted.sameElements(batch.sorted))
   }
 
+  test("streaming widening face: checkpointed ingest across a TYPE-widening boundary == batch readWidened") {
+    // the widening counterpart of the addition-drift stream test: the
+    // producer's old files carry (o_custkey INT, o_totalprice FLOAT);
+    // the stream declares the WIDEST schema up front (what
+    // widenedSchema derives), so Spark's per-file upcast reads the
+    // narrow epoch directly — then the widened epoch lands and the
+    // stream resumes from the same checkpoint
+    val corpus = java.nio.file.Files.createTempDirectory("graft-widenstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-widenstream-ckpt").toString
+    val o = Tables.load(spark, sf, "orders")
+    o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice").cast("float").as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$corpus/epoch=1")
+    val fullSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    val gotRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Unit = {
+      val q = SchemaDrift.readMergedStream(spark, corpus, fullSchema)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          gotRows ++= df.collect().map(_.toString)
+          (): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val afterEpoch1 = gotRows.size
+    assert(afterEpoch1 > 0)
+    o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$corpus/epoch=2")
+    drain()
+    val batch = SchemaDrift.readWidened(spark, corpus)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .collect().map(_.toString)
+    assert(gotRows.size == batch.length,
+      s"exactly-once violated: ${gotRows.size} vs ${batch.length} (epoch-1 $afterEpoch1)")
+    assert(gotRows.sorted.sameElements(batch.sorted))
+  }
+
   test("q221 widened-drift census: exact replay of both widening legs") {
     val got = SparkEntry.queries("q221_widened_drift")(spark, sf).collect()
     assert(got.nonEmpty)
