@@ -229,6 +229,14 @@ class Round12Spec extends AnyFunSuite {
     assert(gotRows.sorted.sameElements(batch.sorted))
   }
 
+  test("q221 plan shape: the widened read is ONE declared-schema scan, no per-epoch union") {
+    val df = SparkEntry.queries("q221_widened_drift")(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Union"), s"per-epoch union survived:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"expected exactly one parquet scan:\n$plan")
+  }
+
   test("q221 widened-drift census: exact replay of both widening legs") {
     val got = SparkEntry.queries("q221_widened_drift")(spark, sf).collect()
     assert(got.nonEmpty)
