@@ -119,10 +119,12 @@ object ScaleSweep {
       // memoized per (app, dir) — the warmup pays it, the timed reps
       // measure the footer-union read itself)
       "q220_schema_drift",
-      // round-12 new surface: the widened (per-epoch cast) read and the
-      // deliberate SortMergeJoin regime — the one join row whose
-      // exchanges carry both sides, exactly what must scale linearly
-      "q221_widened_drift", "q222_bigdim_join")
+      // round-12 new surface: the widened (single declared-schema scan)
+      // read, the deliberate SortMergeJoin regime — the one join row
+      // whose exchanges carry both sides, exactly what must scale
+      // linearly — and the epoch-pruned read (slope reads the PRUNED
+      // slice's growth; pruning itself is planning-time metadata)
+      "q221_widened_drift", "q222_bigdim_join", "q223_drift_prune")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -284,7 +286,7 @@ object ScaleSweep {
     // ASCII only: the artifact line passes through the JVM's default
     // console charset, which mangles non-ASCII punctuation
     val floorReason = "floor-bound at local SF: floor-adjusted excess " +
-      "<= 0.3 s in the committed bench artifact (BENCH_LOCAL_r11_*); " +
+      "<= 0.3 s in the committed bench artifact (BENCH_LOCAL_r12_*); " +
       "wall-clock is per-job scheduling floor, a slope would read the " +
       "scheduler, not data growth"
     // provenance honesty (round-11 ADVICE): when the query list came
