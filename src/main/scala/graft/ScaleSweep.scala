@@ -226,6 +226,10 @@ object ScaleSweep {
       val t01ByName = rows.map(r => r._1 -> r._2.last).toMap
       sf1Names.map { n =>
         val (t1, fail) = timeOne(n, sf1Dir)
+        // a rung query outside the main sweep (explicit
+        // SPARK_GRAFT_SWEEP_SF1 list) has no sf0.1 point — TIME it
+        // rather than let a NaN slope silently suppress the flag this
+        // rung exists to raise
         // output rows at each rung (untimed): count() executes the full
         // aggregation/join plan; only the final ordering can be elided,
         // which doesn't change the row count being measured
@@ -234,7 +238,7 @@ object ScaleSweep {
           catch { case _: Throwable => -1L }
         }
         sweep()
-        val t01 = t01ByName.getOrElse(n, Double.NaN)
+        val t01 = t01ByName.getOrElse(n, timeOne(n, sfs.last)._1)
         val slopeT = math.log10(math.max(t1, 1e-3) / math.max(t01, 1e-3))
         // slope_out at the SAME 0.1→1 step as slopeT (outs carries the
         // 0.01 rung too, for the artifact's record)
@@ -307,8 +311,15 @@ object ScaleSweep {
         ",\"slope_t\":" + jd(r.slopeT) +
         ",\"slope_out\":" + jd(r.slopeOut) +
         ",\"slope_tpo\":" + jd(tpo) +
+        // output_bound means "the TIME growth is explained by OUTPUT
+        // growth": requires real time growth (floor-bound rows with
+        // growing output are floor-bound, not output-bound) and a
+        // time-per-output slope inside floor noise — by construction
+        // mutually exclusive with the superlinear-in-time-per-output
+        // flag (which requires tpo > 0.3)
         ",\"output_bound\":" +
-          (!r.slopeOut.isNaN && r.slopeOut >= 0.5 * r.slopeT) +
+          (!r.slopeOut.isNaN && r.slopeT >= 0.3 &&
+            r.slopeT - r.slopeOut <= 0.3) +
         (if (r.fail) ",\"err\":true" else "") + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_sweep","sfs":["0.001","0.01","0.1"],""" +

@@ -127,7 +127,11 @@ object Tables {
   def stageScaled(spark: SparkSession, srcDir: String, destDir: String,
       factor: Int, files: Int = 8): Unit = {
     val marker = new java.io.File(destDir, "_STAGED")
-    if (marker.exists()) return
+    // memo hit only when the recorded factor matches — a marker from a
+    // different factor must restage, not silently serve the old corpus
+    if (marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath).trim == s"factor=$factor")
+      return
     val S = 100000000L // per-replica key shift; keeps all derived
                        // encodings (doc_id*128+pos etc.) well inside Long
     def shifted(df: DataFrame, keys: Seq[String],

@@ -189,8 +189,17 @@ object Sketches {
     // twice: here the bucketed projection, read by the offsets agg and
     // the ranked join.)
     val gridWidth = math.max(1.0, math.pow(2.0, (bits - 12).toDouble))
+    // spread a narrow (few-file) scan before building the persisted
+    // projection — same file-count probe as qdigestEstimates; without
+    // it a single-file table computes and CACHES the bucketed stream
+    // at 1-partition width and both consumers inherit it (the exact
+    // round-10 regression the repartition was added to prevent)
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pre0 = df.select(col(key), col(vLong))
+    val pre = if (pre0.inputFiles.length < parts) pre0.repartition(parts)
+              else pre0
     val bucketed = graft.Caching.tracked(
-      df.select(col(key), col(vLong).cast("double").as("__v"))
+      pre.select(col(key), col(vLong).cast("double").as("__v"))
         .withColumn("__b", floor(col("__v") / lit(gridWidth)).cast("long")))
     val offsets = bucketed.groupBy(col(key), col("__b"))
       .agg(count(lit(1)).as("__bn"))

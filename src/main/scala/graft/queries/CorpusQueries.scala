@@ -188,14 +188,14 @@ object CorpusQueries {
   private def annExactTop5(spark: SparkSession, dir: String): DataFrame =
     annExactFixture.computeIfAbsent((spark.sparkContext.applicationId, dir), _ => {
       val t0 = System.nanoTime()
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet.toSet
       val (queries, corpus) = annSplit(spark, dir)
       val bf = AnnSearch.bruteForceTopK(queries, corpus, k = 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bf.count() // settle: fixture fully resident before memoizing
+      // pin exactly this dataset's cache entry — see q80Probes for why
+      // the before/after persistentRDDs delta was a concurrency hazard
       graft.operators.CurationOps.registerPinnedRdds(
-        sc.getPersistentRDDs.keySet.toSet -- before)
+        org.apache.spark.sql.graftsql.cachedRddIds(bf))
       (bf, (System.nanoTime() - t0) / 1e9)
     })._1
 
@@ -989,19 +989,19 @@ object CorpusQueries {
   private def q80Probes(spark: SparkSession, dir: String): DataFrame =
     q80ProbeFixture.computeIfAbsent((spark.sparkContext.applicationId, dir), _ => {
       val t0 = System.nanoTime()
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet.toSet
       val probes = graft.Caching.scoped {
         val p = Sketches.qdigestProbes(q80Input(spark, dir),
             "l_returnflag", "cents", q80Fracs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count() // settle: fixture fully resident before memoizing
         p
-      } // scope exit releases the tracked bucketed intermediate (the
-        // persistentRdds map drops it synchronously, so the pin delta
-        // below captures only the fixture's own RDDs)
+      } // scope exit releases the tracked bucketed intermediate
+      // pin EXACTLY this dataset's cache entry (a getPersistentRDDs
+      // before/after delta would race with concurrent streams
+      // persisting their own intermediates and pin foreign RDDs
+      // against the sweep for the whole session)
       graft.operators.CurationOps.registerPinnedRdds(
-        sc.getPersistentRDDs.keySet.toSet -- before)
+        org.apache.spark.sql.graftsql.cachedRddIds(probes))
       (probes, (System.nanoTime() - t0) / 1e9)
     })._1
 

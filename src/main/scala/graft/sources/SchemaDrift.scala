@@ -132,18 +132,26 @@ object SchemaDrift {
     * dirs are hive-style partitions, so WITHOUT `recursiveFileLookup`
     * (which disables partition inference — the deliberate contrast
     * with [[readMerged]]'s flat-files face) Spark surfaces `epoch` as
-    * a partition COLUMN, and a predicate on it prunes whole epochs at
-    * PLANNING time — `PartitionFilters` in the scan, pre-drift files
-    * never listed into tasks. At 100 TB this is the difference between
-    * "read the post-drift slice" costing the slice and costing the
-    * corpus; `mergeSchema` composes with partitioning (the footer
-    * union runs over the SURVIVING files only). Round12Spec
-    * plan-asserts the pruning; q223's oracle replays epoch membership
-    * by the staging parity rule. */
-  def readPartitioned(spark: SparkSession, corpusDir: String): DataFrame =
-    spark.read
-      .option("mergeSchema", "true")
-      .parquet(corpusDir)
+    * a partition COLUMN, and a predicate on it prunes whole epochs of
+    * DATA work — `PartitionFilters` in the scan, pre-drift files never
+    * read into tasks. At 100 TB this is the difference between "read
+    * the post-drift slice" costing the slice and costing the corpus in
+    * I/O. Precision about what still costs the corpus: with
+    * `mergeSchema` and no declared schema, SCHEMA INFERENCE (the
+    * footer union) happens at read construction, before any predicate
+    * exists — one footer per file across the whole corpus. Pass
+    * `schema` (e.g. [[readMerged]]'s result cached at table
+    * registration, which is where a catalog keeps it) to skip
+    * inference entirely and bound planning too. Round12Spec
+    * plan-asserts the pruning via the executed scan's numFiles metric;
+    * q223's oracle replays epoch membership by the staging parity
+    * rule. */
+  def readPartitioned(spark: SparkSession, corpusDir: String,
+      schema: StructType = null): DataFrame = {
+    val r = if (schema != null) spark.read.schema(schema)
+            else spark.read.option("mergeSchema", "true")
+    r.parquet(corpusDir)
+  }
 
   /** The STREAMING face of [[readMerged]] (X219, round 12): a
     * checkpointed file stream over a landing zone that drifts by
@@ -189,12 +197,31 @@ object SchemaDrift {
       case _ if intRank.contains(a) && fltRank.contains(b) => Some(DoubleType)
       case _ if fltRank.contains(a) && intRank.contains(b) => Some(DoubleType)
       case (x: DecimalType, y: DecimalType) =>
+        // widest = max integer digits + max scale; when that exceeds
+        // parquet's precision cap there IS no lossless target — refuse
+        // (returning a clamped type would silently overflow epoch
+        // values, the exact coercion this function exists to reject)
         val scale = math.max(x.scale, y.scale)
         val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
-        val p = math.min(intDigits + scale, DecimalType.MAX_PRECISION)
-        Some(DecimalType(p, math.min(scale, p)))
+        if (intDigits + scale > DecimalType.MAX_PRECISION) None
+        else Some(DecimalType(intDigits + scale, scale))
       case _ => None
     }
+  }
+
+  /** Can a file written as `from` be read under a DECLARED `to` schema
+    * by Spark's parquet reader itself? Only the upcasts WidenProbeSpec
+    * pins (integral chain, float→double, integral→double) qualify;
+    * everything else (decimal re-scaling in particular) must go through
+    * an explicit per-epoch cast, not a requested-schema read. */
+  private def readerUpcastable(from: DataType, to: DataType): Boolean = {
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (from == to) ||
+      (intRank.contains(from) && intRank.contains(to) &&
+        intRank(from) <= intRank(to)) ||
+      (from == FloatType && to == DoubleType) ||
+      (intRank.contains(from) && to == DoubleType)
   }
 
   /** The widest-common-type schema of a drifted corpus: one footer
@@ -206,26 +233,35 @@ object SchemaDrift {
     * violate. `renames` maps old producer names → canonical before
     * widening (a rename is otherwise indistinguishable from drop+add). */
   def widenedSchema(spark: SparkSession, corpusDir: String,
-      renames: Map[String, String] = Map.empty): StructType = {
+      renames: Map[String, String] = Map.empty): StructType =
+    epochSchemas(spark, corpusDir, renames)._3
+
+  /** One footer pass per epoch: (epoch dirs, per-epoch renamed
+    * schemas, widest-common schema). The single listing + footer read
+    * every widened-read path shares. */
+  private def epochSchemas(spark: SparkSession, corpusDir: String,
+      renames: Map[String, String]): (Seq[String], Seq[StructType], StructType) = {
     val path = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs = fs.listStatus(path).filter(_.isDirectory)
-      .map(_.getPath.toString).sorted
+      .map(_.getPath.toString).sorted.toSeq
     require(epochs.nonEmpty, s"no epoch directories under $corpusDir")
-    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    epochs.foreach { e =>
-      spark.read.parquet(e).schema.fields.foreach { f0 =>
-        val name = renames.getOrElse(f0.name, f0.name)
-        order.get(name) match {
-          case None => order(name) = f0.dataType
-          case Some(t) => order(name) = widen(t, f0.dataType).getOrElse(
-            throw new IllegalArgumentException(
-              s"schema drift on column '$name' admits no lossless " +
-              s"widening: $t vs ${f0.dataType} (producer bug, not evolution)"))
-        }
-      }
+    val schemas = epochs.map { e =>
+      StructType(spark.read.parquet(e).schema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
     }
-    StructType(order.toSeq.map { case (n, t) => StructField(n, t) })
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    schemas.foreach(_.fields.foreach { f =>
+      order.get(f.name) match {
+        case None => order(f.name) = f.dataType
+        case Some(t) => order(f.name) = widen(t, f.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema drift on column '${f.name}' admits no lossless " +
+            s"widening: $t vs ${f.dataType} (producer bug, not evolution)"))
+      }
+    })
+    (epochs, schemas,
+      StructType(order.toSeq.map { case (n, t) => StructField(n, t) }))
   }
 
   /** Read a parquet corpus whose epochs drifted by TYPE WIDENING (and
@@ -233,39 +269,41 @@ object SchemaDrift {
     * schema from one footer pass per epoch ([[widenedSchema]] — which
     * refuses non-widenable drift loudly), then read.
     *
-    * Without renames this is ONE declared-schema scan of the whole
-    * corpus: Spark 4's parquet reader upcasts per file under a wider
-    * requested schema (int32→long, int32/float→double — probed and
-    * spec-pinned in Round12Spec), and files missing a declared column
-    * read it as NULL — so the widened read costs exactly a homogeneous
-    * scan (single listing, single FileScan, no N-epoch union), the
-    * same shape [[readMerged]] has for addition-only drift. With
-    * renames, a file's column NAME differs from the declared schema,
-    * which a requested schema cannot express — those corpora fall back
-    * to per-epoch scans renamed + cast + unioned by name (still
-    * footer-bounded planning, one scan per epoch). */
+    * When no renames are declared AND every epoch's column reaches its
+    * widened target by an upcast the parquet reader itself performs
+    * (integral chain, float→double, integral→double — probed and
+    * spec-pinned in WidenProbeSpec), this is ONE declared-schema scan
+    * of the whole corpus: files missing a declared column read it as
+    * NULL, so the widened read costs exactly a homogeneous scan
+    * (single listing, single FileScan, no N-epoch union), the same
+    * shape [[readMerged]] has for addition-only drift. Otherwise — a
+    * rename (a requested schema cannot re-name a file's column) or a
+    * widening the reader doesn't perform (decimal re-scaling) — the
+    * corpus falls back to per-epoch scans renamed + CAST + unioned by
+    * name (still footer-bounded planning, one scan per epoch). */
   def readWidened(spark: SparkSession, corpusDir: String,
       renames: Map[String, String] = Map.empty): DataFrame = {
-    val widest = widenedSchema(spark, corpusDir, renames)
-    if (renames.isEmpty)
+    val (epochs, schemas, widest) = epochSchemas(spark, corpusDir, renames)
+    val targets = widest.fields.map(f => f.name -> f.dataType).toMap
+    val singleScan = renames.isEmpty && schemas.forall(_.fields.forall(f =>
+      readerUpcastable(f.dataType, targets(f.name))))
+    if (singleScan)
       spark.read.schema(widest)
         .option("recursiveFileLookup", "true")
         .parquet(corpusDir)
     else {
-      val path = new org.apache.hadoop.fs.Path(corpusDir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val epochs = fs.listStatus(path).filter(_.isDirectory)
-        .map(_.getPath.toString).sorted
-      val types = widest.fields.map(f => f.name -> f.dataType).toMap
       epochs.map { e =>
+        // the parquet reader matches columns BY NAME, so renamed
+        // columns must be read under the FILE's names first and
+        // renamed in the plan, then cast up explicitly
         val df0 = spark.read.parquet(e)
         val df = renames.foldLeft(df0) { case (d, (from, to)) =>
           if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
         }
         val present = df.columns.toSet
         df.select(widest.fieldNames.toSeq.map { name =>
-          (if (present(name)) col(name).cast(types(name))
-           else lit(null).cast(types(name))).as(name)
+          (if (present(name)) col(name).cast(targets(name))
+           else lit(null).cast(targets(name))).as(name)
         }: _*)
       }.reduce(_.unionByName(_))
     }

@@ -38,6 +38,25 @@ package object graftsql {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** The block-manager RDD ids backing a PERSISTED Dataset's cache
+    * entry — the precise answer to "which RDD ids does THIS dataset
+    * pin?", for fixture builders that must exempt exactly their own
+    * entries from harness cache sweeps. A `getPersistentRDDs`
+    * before/after delta races with concurrent streams persisting their
+    * own intermediates (foreign ids land in the window and get pinned
+    * for the session); the CacheManager lookup is exact. Empty when
+    * the dataset isn't cached. The cachedColumnBuffers accessor forces
+    * the lazy cache builder, so call this only after the entry is
+    * materialized (e.g. post-`count()`). */
+  def cachedRddIds(ds: Dataset[_]): Set[Int] = {
+    val session = ds.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    session.sharedState.cacheManager
+      .lookupCachedData(session, ds.queryExecution.logical)
+      .map(_.cachedRepresentation.cacheBuilder.cachedColumnBuffers.id)
+      .toSet
+  }
+
   /** Install the top-k-per-key rewrite + strategy on a live session (the
     * public `experimental` hooks; rule runs in the user-provided batch,
     * after Spark's own InferWindowGroupLimit — the rewrite strips the

@@ -38,6 +38,36 @@ class Round12Spec extends AnyFunSuite {
     // cross-kind drift is a producer bug, not evolution: refuse
     assert(SchemaDrift.widen(IntegerType, StringType).isEmpty)
     assert(SchemaDrift.widen(StringType, DoubleType).isEmpty)
+    // decimal whose widest form exceeds the precision cap has NO
+    // lossless target — refuse, never clamp (a clamped type would
+    // silently overflow epoch values)
+    assert(SchemaDrift.widen(DecimalType(38, 0), DecimalType(20, 10)).isEmpty)
+  }
+
+  test("decimal widening reads through the explicit-cast union path, values exact") {
+    // the parquet reader's own upcasts don't cover decimal re-scaling
+    // (WidenProbeSpec pins only int/float), so a decimal-drifted corpus
+    // must take the per-epoch cast path — and still come out exact
+    val out = java.nio.file.Files.createTempDirectory("graft-decwiden").toString
+    val o = Tables.load(spark, sf, "orders").limit(200)
+    o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+      .write.mode("overwrite").parquet(s"$out/epoch=1")
+    o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(14, 4)).as("price"))
+      .write.mode("overwrite").parquet(s"$out/epoch=2")
+    val got = SchemaDrift.readWidened(spark, out)
+    assert(got.schema("price").dataType == DecimalType(14, 4))
+    val plan = finalPlan(got)
+    assert(plan.contains("Union"), s"expected the per-epoch union path:\n$plan")
+    val want = o.select(col("o_orderkey"),
+      when(pmod(col("o_orderkey"), lit(2)) === 0,
+        col("o_totalprice").cast(DecimalType(12, 2)).cast(DecimalType(14, 4)))
+        .otherwise(col("o_totalprice").cast(DecimalType(14, 4))).as("price"))
+      .collect().map(_.toString).sorted
+    assert(got.collect().map(_.toString).sorted.sameElements(want))
   }
 
   test("mergeSchema HARD-FAILS on the type-widened corpus (the loud contract)") {
