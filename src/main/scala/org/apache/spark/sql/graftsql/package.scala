@@ -52,7 +52,7 @@ package object graftsql {
     val session = ds.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     session.sharedState.cacheManager
-      .lookupCachedData(session, ds.queryExecution.logical)
+      .lookupCachedData(ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
       .map(_.cachedRepresentation.cacheBuilder.cachedColumnBuffers.id)
       .toSet
   }

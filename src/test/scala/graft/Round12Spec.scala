@@ -341,6 +341,21 @@ class Round12Spec extends AnyFunSuite {
     assert(!SchemaDrift.readMerged(spark, corpus).columns.contains("epoch"))
   }
 
+  test("cachedRddIds: resolves exactly the persisted dataset's cache entry") {
+    val df = Tables.load(spark, sf, "nation").select("n_nationkey", "n_name")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      df.count()
+      val ids = org.apache.spark.sql.graftsql.cachedRddIds(df)
+      assert(ids.size == 1, s"expected exactly one cached RDD id, got $ids")
+      assert(ids.subsetOf(spark.sparkContext.getPersistentRDDs.keySet.toSet))
+      // an uncached plan resolves to nothing (no false pins)
+      val other = Tables.load(spark, sf, "region").select("r_name")
+      assert(org.apache.spark.sql.graftsql.cachedRddIds(other).isEmpty)
+    } finally df.unpersist(blocking = true)
+    assert(org.apache.spark.sql.graftsql.cachedRddIds(df).isEmpty)
+  }
+
   test("q80 split: estimates ⋈ probe fixture == the inline qdigestChecked output") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"),
