@@ -207,7 +207,15 @@ object ScaleSweep {
       "q30_minhash_lsh", "q32_simhash_pairs", "q33_embed_neardup",
       "q42_sessionize", "q55_salted_join", "q66_rank_topk", "q68_scd2",
       "q80_quantile_sketch", "q177_rolling_range", "q178_nest_export",
-      "q184_json_props", "q202_cube_aggs", "q222_bigdim_join")
+      "q184_json_props", "q202_cube_aggs", "q222_bigdim_join",
+      // round-13 (VERDICT r12 item 2): the iterative-graph family —
+      // rounds×joins behavior is exactly what 100× scale stresses
+      // (per-round exchange growth, lineage-cut cost, fixed job floors
+      // amortizing over growing edge volume), so each fixed-point /
+      // peeling operator gets its own sf1 row with an output-normalized
+      // verdict instead of a scaladoc claim
+      "q94_token_pagerank", "q145_token_hits", "q162_kcore",
+      "q218_ktruss", "q130_kcenter_coreset", "q131_knn_communities")
     val sf1Conf = sys.env.getOrElse("SPARK_GRAFT_SWEEP_SF1", "")
     val sf1Names: Seq[String] =
       if (sf1Conf == "0") Nil
@@ -223,9 +231,15 @@ object ScaleSweep {
       val sf1Dir = new java.io.File("target/sweep-sf1").getAbsolutePath
       println(s"[sweep] staging 10x sf0.1 corpus under $sf1Dir (memoized)")
       Tables.stageScaled(spark, sfs.last, sf1Dir, factor = 10)
-      val t01ByName = rows.map(r => r._1 -> r._2.last).toMap
+      // denominator timings come only from CLEAN main-sweep rows: a
+      // failed sf0.1 run's wall-clock is a fast abort, and using it as
+      // the slope denominator would inflate slope_t — the same
+      // masquerade the main sweep excludes failed rows for. Rows
+      // without a clean point are re-timed below, with the re-time's
+      // own fail flag propagated into the rung row.
+      val t01ByName = rows.filter(!_._4).map(r => r._1 -> r._2.last).toMap
       sf1Names.map { n =>
-        val (t1, fail) = timeOne(n, sf1Dir)
+        val (t1, fail0) = timeOne(n, sf1Dir)
         // a rung query outside the main sweep (explicit
         // SPARK_GRAFT_SWEEP_SF1 list) has no sf0.1 point — TIME it
         // rather than let a NaN slope silently suppress the flag this
@@ -238,7 +252,11 @@ object ScaleSweep {
           catch { case _: Throwable => -1L }
         }
         sweep()
-        val t01 = t01ByName.getOrElse(n, timeOne(n, sfs.last)._1)
+        val (t01, t01Fail) = t01ByName.get(n) match {
+          case Some(t) => (t, false)
+          case None    => timeOne(n, sfs.last)
+        }
+        val fail = fail0 || t01Fail
         val slopeT = math.log10(math.max(t1, 1e-3) / math.max(t01, 1e-3))
         // slope_out at the SAME 0.1→1 step as slopeT (outs carries the
         // 0.01 rung too, for the artifact's record)

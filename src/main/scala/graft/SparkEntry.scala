@@ -246,6 +246,9 @@ object SparkEntry {
     "q221_widened_drift"      -> (StarQueries.q221WidenedDrift(_, _)),
     "q222_bigdim_join"        -> (StarQueries.q222BigDimJoin(_, _)),
     "q223_drift_prune"        -> (StarQueries.q223DriftPrune(_, _)),
+    "q224_nested_drift"       -> (StarQueries.q224NestedDrift(_, _)),
+    "q225_drop_drift"         -> (StarQueries.q225DropDrift(_, _)),
+    "q226_skewed_bigdim"      -> (StarQueries.q226SkewedBigDim(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -127,10 +127,26 @@ object Tables {
   def stageScaled(spark: SparkSession, srcDir: String, destDir: String,
       factor: Int, files: Int = 8): Unit = {
     val marker = new java.io.File(destDir, "_STAGED")
-    // memo hit only when the recorded factor matches — a marker from a
-    // different factor must restage, not silently serve the old corpus
+    // memo hit only when the FULL staging recipe matches: factor, source
+    // dir, the files param, AND a cheap content fingerprint of the
+    // source parquet (per-table max mtime + total size) — a regenerated
+    // sf0.1 corpus, or a changed layout, must restage rather than
+    // silently serve a stale 10× corpus whose slopes would be measured
+    // against fresh sf0.1 timings
+    def srcFingerprint(): String = {
+      val sig = names.map { n =>
+        val d = new java.io.File(srcDir, s"$n.parquet")
+        val fs = if (d.isDirectory) d.listFiles().toSeq else Seq(d)
+        val (mt, sz) = fs.filter(_.isFile)
+          .foldLeft((0L, 0L)) { case ((m, s), f) =>
+            (math.max(m, f.lastModified()), s + f.length()) }
+        s"$n:$mt:$sz"
+      }.mkString(",")
+      s"factor=$factor;src=$srcDir;files=$files;sig=$sig"
+    }
+    val recipe = srcFingerprint()
     if (marker.exists() &&
-        java.nio.file.Files.readString(marker.toPath).trim == s"factor=$factor")
+        java.nio.file.Files.readString(marker.toPath).trim == recipe)
       return
     val S = 100000000L // per-replica key shift; keeps all derived
                        // encodings (doc_id*128+pos etc.) well inside Long
@@ -175,7 +191,7 @@ object Tables {
         write(load(spark, srcDir, other), other, 1)
     }
     marker.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(marker.toPath, s"factor=$factor\n")
+    java.nio.file.Files.writeString(marker.toPath, recipe + "\n")
   }
 
   /** Pin every table hot in the block-manager cache (Spark's CACHE TABLE),

@@ -3853,6 +3853,59 @@ object CorpusOracles {
                 sum(o_orderkey)::BIGINT AS key_sum
          FROM orders WHERE o_orderkey % 2 = 1
          GROUP BY 1 ORDER BY 1""",
+
+    // X221: nested-struct drift census — the engine reads the staged
+    // two-epoch corpus whose struct gained a field mid-corpus; the
+    // oracle replays epoch membership from the FLAT source table by the
+    // staging parity rule, so equality pins "a missing NESTED field
+    // reads as NULL exactly for pre-drift files". cents are rounded per
+    // value then summed as exact BIGINTs (the q221 rule).
+    "q224_nested_drift" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+                sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_pre_drift,
+                count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                               THEN o_orderpriority END)::BIGINT
+                  AS n_priorities,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                  AS cents_sum,
+                sum(o_orderkey)::BIGINT AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // X222: column-DROP drift census — the inverse of q220: the NULLs
+    // sit on POST-drift files (odd keys), and the distinct-priority
+    // count ranges over the PRE-drop half only
+    "q225_drop_drift" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+                sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_post_drop,
+                sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_pre_drop,
+                count(DISTINCT CASE WHEN o_orderkey % 2 = 0
+                               THEN o_orderpriority END)::BIGINT
+                  AS n_priorities,
+                sum(o_orderkey)::BIGINT AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // X223: deterministically skewed big-dim SMJ — the skew rule
+    // (orderkeys not divisible by 4 collapse to hot key 0, whose dim
+    // row is the declared '0-HOT' entry) is replayed verbatim; the
+    // result is independent of AQE's skew slicing, which is exactly
+    // what makes the plan-level skew assert safe to gate
+    "q226_skewed_bigdim" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey
+                                ELSE 0 END AS k,
+                           l_extendedprice, l_discount FROM lineitem),
+            d AS (SELECT o_orderkey AS k, o_orderpriority AS prio
+                   FROM orders WHERE o_orderkey % 4 = 0
+                  UNION ALL SELECT 0 AS k, '0-HOT' AS prio)
+         SELECT prio, count(*)::BIGINT AS n_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) -
+                      CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM f JOIN d USING (k)
+         GROUP BY 1 ORDER BY 1""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

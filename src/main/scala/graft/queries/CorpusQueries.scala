@@ -138,9 +138,13 @@ object CorpusQueries {
 
   /** Embedding near-dup pairs at cosine ≥ 0.4 (the synthetic embeddings
     * are near-orthogonal — max pairwise cosine ≈ 0.51 — so 0.4 yields a
-    * non-trivial result set; production would use ~0.9). */
+    * non-trivial result set; production would use ~0.9). Routed through
+    * [[AnnSearch.cosineNearDupPairsAuto]] (round 13): at θ=0.4 the
+    * route picks the exact block-grid join by the threshold rule alone
+    * (no count job) — the regime choice is code, not scaladoc, and
+    * Round13Spec plan-asserts both routes. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    AnnSearch.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"), 0.4)
+    AnnSearch.cosineNearDupPairsAuto(Tables.load(spark, dir, "embeddings"), 0.4)
       .orderBy("vec_a", "vec_b")
 
   /** The shared ANN evaluation split: queries = vec_id < 10, corpus =

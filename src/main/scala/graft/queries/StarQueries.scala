@@ -1208,6 +1208,108 @@ object StarQueries {
       .orderBy("status")
   }
 
+  /** Nested-struct schema-drift census (X221, round 13): the
+    * reference's raw layer is deeply nested (`track.album.artists[]`),
+    * and real landing zones drift INSIDE structs — epoch-1 files carry
+    * `meta = struct(status, price)`, epoch-2's meta gains
+    * `o_orderpriority` (see
+    * [[graft.sources.SchemaDrift.stageOrdersNested]]). Spark's
+    * `mergeSchema` merges StructTypes recursively, so the union-by-name
+    * contract extends one level down: pre-drift files read the nested
+    * field as NULL, post-drift files carry it — pinned per status by
+    * the same census shape as q220, plus an exact cents sum through the
+    * nested numeric access (nested-schema pruning keeps the scan
+    * reading only the accessed leaf columns; Round13Spec plan-asserts
+    * the pruned ReadSchema). The oracle replays epoch membership from
+    * the flat source table by the staging parity rule. */
+  def q224NestedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.SchemaDrift.stageOrdersNested(spark, dir)
+    graft.sources.SchemaDrift.readMerged(spark, corpus)
+      .groupBy(col("meta.o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("meta.o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("n_pre_drift"),
+        countDistinct(col("meta.o_orderpriority")).as("n_priorities"),
+        sum(round(col("meta.o_totalprice") * 100).cast("long"))
+          .as("cents_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
+
+  /** Column-DROP drift census (X222, round 13): the inverse face of
+    * q220 — the producer REMOVED `o_orderpriority` mid-corpus
+    * ([[graft.sources.SchemaDrift.stageOrdersDrop]]), so union-by-name
+    * reads it as NULL on POST-drift files. The census pins exactly that
+    * inversion: `n_post_drop` counts NULL-priority rows (odd keys —
+    * where q220's add-NULLs sat on EVEN keys), `n_priorities` counts
+    * the distinct values the PRE-drop half still carries, and the key
+    * checksum pins row conservation. Distinguishing drop-NULLs from
+    * add-NULLs matters because a census that can't tells the wrong
+    * story about which half of a 100 TB corpus predates the change. */
+  def q225DropDrift(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.SchemaDrift.stageOrdersDrop(spark, dir)
+    graft.sources.SchemaDrift.readMerged(spark, corpus)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("n_post_drop"),
+        sum(when(col("o_orderpriority").isNotNull, 1L).otherwise(0L))
+          .as("n_pre_drop"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
+
+  /** Deterministically SKEWED big-dim join (X223, round 13 — the AQE
+    * proof leg of the q222 SMJ regime): at 100 TB the shuffled fact
+    * side IS skewed, and the claim "AQE is free to skew-split the
+    * exchanges" needs a metrics assert, not a scaladoc. The fact maps
+    * ~three quarters of lineitem onto ONE hot join key (orderkeys not
+    * divisible by 4 collapse to key 0 — the X35 salt-fixture
+    * convention: skew planted by a deterministic rule any engine can
+    * replay); the dim covers the same key domain as plain rows (the
+    * kept orders plus one declared row for the hot key — deliberately
+    * NOT an aggregate, because `OptimizeSkewedJoin` only rewrites an
+    * SMJ whose children are bare Sort-over-Exchange; an agg riding the
+    * dim's exchange would sit between them and mask the skew from the
+    * rule — the same reason a production hot-key join keeps its dim
+    * lookup table materialized), and the join is declared `merge`
+    * exactly like q222. Round13Spec lowers the AQE skew thresholds to
+    * local scale and asserts the executed plan shows the skew-split
+    * SMJ (`skew=true`) with this oracle row unchanged — the result is
+    * independent of how AQE slices the hot partition.
+    *
+    * `fanOut` (spec-only; the oracle face leaves it 0) recreates the
+    * cluster layout AQE's splitter needs to SEE: skew splits happen at
+    * MAPPER boundaries, and the local single-row-group parquet scans as
+    * ONE task — one mapper leaves the hot partition nothing to split
+    * at, while a 100 TB fact arrives as thousands of row-group parts.
+    * A round-robin fan-out of the fact before the join key exists is
+    * the smallest faithful stand-in for that layout. */
+  def q226SkewedBigDim(spark: SparkSession, dir: String,
+      fanOut: Int = 0): DataFrame = {
+    val hot = (k: org.apache.spark.sql.Column) =>
+      when(pmod(k, lit(4)) === 0, k).otherwise(lit(0L))
+    val li0 = Tables.load(spark, dir, "lineitem")
+    val li = (if (fanOut > 0) li0.repartition(fanOut) else li0)
+      .select(hot(col("l_orderkey")).as("k"),
+        col("l_extendedprice"), col("l_discount"))
+    val d = Tables.load(spark, dir, "orders")
+      .where(pmod(col("o_orderkey"), lit(4)) === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+      .unionAll(spark.range(1)
+        .select(lit(0L).as("k"), lit("0-HOT").as("prio")))
+    li.join(d.hint("merge"), "k")
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) *
+            (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("prio")
+  }
+
   def q55SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey").as("suppkey"),

@@ -82,6 +82,56 @@ object SchemaDrift {
       out
     })
 
+  /** Stage the two-epoch NESTED-ADDITION drift corpus (X221, round 13,
+    * memoized): the reference's raw layer is deeply nested
+    * (`track.album.artists[]`, SURVEY §1.1), and real landing zones
+    * drift INSIDE structs — a producer adds a field to a nested record,
+    * old files keep the narrow struct. Epoch 1 writes
+    * `meta = struct(o_orderstatus, o_totalprice)`; epoch 2's meta adds
+    * `o_orderpriority` INSIDE the struct. Epoch membership is
+    * o_orderkey parity (even = pre-drift), the stageOrdersDrift replay
+    * rule, so the oracle replays nested-NULL semantics from the flat
+    * source table without reading the files. */
+  def stageOrdersNested(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent((spark.sparkContext.applicationId, dir, "nested"), { _ =>
+      val out = tempCorpusDir("graft-schema-nested")
+      val o = graft.Tables.load(spark, dir, "orders")
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus"), col("o_totalprice")).as("meta"))
+        .write.mode("overwrite").parquet(s"$out/epoch=1")
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority")).as("meta"))
+        .write.mode("overwrite").parquet(s"$out/epoch=2")
+      out
+    })
+
+  /** Stage the two-epoch COLUMN-DROP drift corpus (X222, round 13,
+    * memoized): the inverse face of [[stageOrdersDrift]] — the producer
+    * REMOVED a column mid-corpus (epoch-1 files carry
+    * `o_orderpriority`; epoch-2 files, written after the drop, don't).
+    * Union-by-name reads the dropped column as NULL on POST-drift
+    * files — the exact inversion of addition-drift's NULL census, which
+    * is why drop gets its own oracle row (a census that can't
+    * distinguish drop-NULLs from add-NULLs mis-reports which half of
+    * the corpus predates the change). Epoch membership is o_orderkey
+    * parity (even = pre-drop, still carrying the column). */
+  def stageOrdersDrop(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent((spark.sparkContext.applicationId, dir, "drop"), { _ =>
+      val out = tempCorpusDir("graft-schema-drop")
+      val o = graft.Tables.load(spark, dir, "orders")
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/epoch=1")
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/epoch=2")
+      out
+    })
+
   /** Stage the two-epoch TYPE-WIDENING orders corpus (memoized).
     * Epoch 1 — files written before the producer widened its types —
     * carries o_custkey as INT (the keys fit; the producer later
@@ -205,24 +255,86 @@ object SchemaDrift {
         val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
         if (intDigits + scale > DecimalType.MAX_PRECISION) None
         else Some(DecimalType(intDigits + scale, scale))
+      // NESTED drift (round 13): real landing zones drift INSIDE
+      // structs — union-by-name at the nested level (a field one epoch
+      // lacks joins the widest struct; old files read it as NULL),
+      // shared fields widen recursively, and a nested cross-kind
+      // conflict refuses exactly like a top-level one (None propagates
+      // up, so the loud epochSchemas failure names the top-level
+      // column). Field order is the left epoch's, new fields appended.
+      case (x: StructType, y: StructType) =>
+        val yByName = y.fields.map(f => f.name -> f).toMap
+        val merged = x.fields.map { f =>
+          yByName.get(f.name) match {
+            case None => Some(f.copy(nullable = true))
+            case Some(g) => widen(f.dataType, g.dataType)
+              .map(t => StructField(f.name, t, nullable = true))
+          }
+        }
+        val xNames = x.fieldNames.toSet
+        val added = y.fields.filterNot(f => xNames(f.name))
+          .map(f => Some(f.copy(nullable = true)))
+        val all = merged ++ added
+        if (all.exists(_.isEmpty)) None
+        else Some(StructType(all.map(_.get)))
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        widen(ea, eb).map(e => ArrayType(e, na || nb))
       case _ => None
     }
   }
 
   /** Can a file written as `from` be read under a DECLARED `to` schema
     * by Spark's parquet reader itself? Only the upcasts WidenProbeSpec
-    * pins (integral chain, float→double, integral→double) qualify;
-    * everything else (decimal re-scaling in particular) must go through
-    * an explicit per-epoch cast, not a requested-schema read. */
+    * pins (integral chain, float→double, sub-long-integral→double)
+    * qualify; everything else (decimal re-scaling, and int64→double —
+    * a LOSSY promotion the vectorized reader refuses with
+    * SchemaColumnConvertNotSupportedException) must go through an
+    * explicit per-epoch cast, not a requested-schema read. */
   private def readerUpcastable(from: DataType, to: DataType): Boolean = {
     val intRank = Map[DataType, Int](
       ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
-    (from == to) ||
-      (intRank.contains(from) && intRank.contains(to) &&
-        intRank(from) <= intRank(to)) ||
-      (from == FloatType && to == DoubleType) ||
-      (intRank.contains(from) && to == DoubleType)
+    (from, to) match {
+      // nested: the reader clips the requested schema per file — a
+      // declared struct field missing from the file reads as NULL, and
+      // per-field upcasts apply recursively (probed in Round13Spec's
+      // nested WidenProbe row)
+      case (f: StructType, t: StructType) =>
+        val tByName = t.fields.map(x => x.name -> x.dataType).toMap
+        f.fields.forall(ff => tByName.get(ff.name)
+          .exists(tt => readerUpcastable(ff.dataType, tt)))
+      case (ArrayType(ef, _), ArrayType(et, _)) => readerUpcastable(ef, et)
+      case _ =>
+        (from == to) ||
+          (intRank.contains(from) && intRank.contains(to) &&
+            intRank(from) <= intRank(to)) ||
+          (from == FloatType && to == DoubleType) ||
+          (intRank.contains(from) && intRank(from) <= intRank(IntegerType) &&
+            to == DoubleType)
+    }
   }
+
+  /** Rebuild `c` (typed `from`) as type `to` for the per-epoch union
+    * path: a plain `cast` cannot change a struct's SHAPE (Spark refuses
+    * cross-field-count struct casts), so structs are reassembled
+    * field-by-field — present fields recurse, fields the epoch lacks
+    * materialize as typed NULLs — and arrays transform element-wise.
+    * Scalars keep the plain codegen'd cast. */
+  private def alignColumn(c: org.apache.spark.sql.Column,
+      from: DataType, to: DataType): org.apache.spark.sql.Column =
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val fByName = f.fields.map(x => x.name -> x.dataType).toMap
+        struct(t.fields.toSeq.map { tf =>
+          (fByName.get(tf.name) match {
+            case Some(ft) => alignColumn(c.getField(tf.name), ft, tf.dataType)
+            case None     => lit(null).cast(tf.dataType)
+          }).as(tf.name)
+        }: _*)
+      case (ArrayType(ef, _), ArrayType(et, _)) =>
+        transform(c, x => alignColumn(x, ef, et))
+      case (_, t) => c.cast(t)
+    }
 
   /** The widest-common-type schema of a drifted corpus: one footer
     * pass per epoch directory (metadata only — no data read), every
@@ -300,10 +412,12 @@ object SchemaDrift {
         val df = renames.foldLeft(df0) { case (d, (from, to)) =>
           if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
         }
-        val present = df.columns.toSet
+        val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
         df.select(widest.fieldNames.toSeq.map { name =>
-          (if (present(name)) col(name).cast(targets(name))
-           else lit(null).cast(targets(name))).as(name)
+          (byName.get(name) match {
+            case Some(ft) => alignColumn(col(name), ft, targets(name))
+            case None     => lit(null).cast(targets(name))
+          }).as(name)
         }: _*)
       }.reduce(_.unionByName(_))
     }

@@ -316,6 +316,7 @@ class Round12Spec extends AnyFunSuite {
     // AQE wraps stages so the scan exec isn't reachable by a plain
     // collect — disable it for this metrics probe only (partition
     // pruning is a planning-time property, unaffected)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val scans = try {
       val probe = SchemaDrift.readPartitioned(spark, corpus)
@@ -325,7 +326,7 @@ class Round12Spec extends AnyFunSuite {
       probe.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     assert(scans.nonEmpty, "no FileSourceScan found")
     assert(scans.map(_.metrics("numFiles").value).sum == epoch2,
       s"scan read ${scans.map(_.metrics("numFiles").value).sum} files, " +
