@@ -48,4 +48,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // Xmx is a cap, not a reservation
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
-)
+) ++ {
+  // Xms == Xmx (Spark's executor-JVM convention) was MEASURED AND
+  // REJECTED as the default (round 13, BENCH_LOCAL_r13_allocAB_{growheap,
+  // xms}): with the full 96 g committed up front, G1 sizes its regions
+  // against the whole heap and the same code paid 8.2 s GC at a 70 GB
+  // peak vs 6.1 s at a demand-grown 38 GB peak — on a bench fleet whose
+  // intermediates die young, the small adaptive heap wins. Opt in with
+  // SPARK_GRAFT_XMS=1 for serving-shaped deployments that prefer a
+  // fixed footprint over GC totals.
+  if (sys.env.get("SPARK_GRAFT_XMS").contains("1"))
+    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}")
+  else Seq.empty
+}

@@ -124,7 +124,13 @@ object ScaleSweep {
       // whose exchanges carry both sides, exactly what must scale
       // linearly — and the epoch-pruned read (slope reads the PRUNED
       // slice's growth; pruning itself is planning-time metadata)
-      "q221_widened_drift", "q222_bigdim_join", "q223_drift_prune")
+      "q221_widened_drift", "q222_bigdim_join", "q223_drift_prune",
+      // round-13 new surface: the nested and drop drift faces (merged
+      // reads like q220 — the slope reads the footer-union + scan
+      // growth) and the skewed hot-key join (3/4 of the fact on one
+      // key at every SF — the slope proves the hot key's growth stays
+      // linear through the broadcast join + partial agg)
+      "q224_nested_drift", "q225_drop_drift", "q226_skewed_bigdim")
     val names = if (args.nonEmpty) args.toSeq else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -215,7 +221,11 @@ object ScaleSweep {
       // peeling operator gets its own sf1 row with an output-normalized
       // verdict instead of a scaladoc claim
       "q94_token_pagerank", "q145_token_hits", "q162_kcore",
-      "q218_ktruss", "q130_kcenter_coreset", "q131_knn_communities")
+      "q218_ktruss", "q130_kcenter_coreset", "q131_knn_communities",
+      // round-13: the skewed hot-key join at 1000× spread — the planted
+      // hot key carries 3/4 of the fact at every SF, so a linear slope
+      // here is the hot-key story holding at scale
+      "q226_skewed_bigdim")
     val sf1Conf = sys.env.getOrElse("SPARK_GRAFT_SWEEP_SF1", "")
     val sf1Names: Seq[String] =
       if (sf1Conf == "0") Nil

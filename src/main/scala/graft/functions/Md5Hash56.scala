@@ -61,4 +61,26 @@ object Md5Hash56 {
       ((d(3) & 0xffL) << 24) | ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) |
       (d(6) & 0xffL)
   }
+
+  // one reused digest-output buffer per thread: MessageDigest.digest()
+  // allocates a fresh 16-byte array per call, which the slice-hashing
+  // hot paths (WinnowFingerprints: one hash per k-gram per document)
+  // pay millions of times per partition
+  private val outBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  /** Hash a SLICE of `bytes` without materializing the slice — the
+    * zero-allocation form for callers that hash many substrings of one
+    * buffer (value-identical to `hash(bytes.slice(off, off+len))`). */
+  def hash(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = outBuf.get()
+    md.digest(d, 0, 16)
+    ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) | ((d(2) & 0xffL) << 32) |
+      ((d(3) & 0xffL) << 24) | ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) |
+      (d(6) & 0xffL)
+  }
 }

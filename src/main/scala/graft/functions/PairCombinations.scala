@@ -49,9 +49,26 @@ case class PairCombinations(child: Expression)
       else new Iterator[InternalRow] {
         private var i = 0
         private var j = 1
+        // ONE mutable output row, reused across emissions (round 13
+        // allocation-rate work): GenerateExec immediately wraps each
+        // emitted row in its own REUSED JoinedRow and unsafe-projects
+        // it, so any consumer that buffers must already copy — the
+        // generator allocating a fresh row (plus two boxed elements)
+        // per pair was pure GC pressure on a quadratic emitter. The
+        // long fast path writes primitives without boxing (ids are
+        // long in every caller).
+        private val isLong = elementType == org.apache.spark.sql.types.LongType
+        private val row = new org.apache.spark.sql.catalyst.expressions
+          .SpecificInternalRow(Seq(elementType, elementType))
         override def hasNext: Boolean = i < n - 1
         override def next(): InternalRow = {
-          val row = InternalRow(arr.get(i, elementType), arr.get(j, elementType))
+          if (isLong) {
+            row.setLong(0, arr.getLong(i))
+            row.setLong(1, arr.getLong(j))
+          } else {
+            row.update(0, arr.get(i, elementType))
+            row.update(1, arr.get(j, elementType))
+          }
           j += 1
           if (j >= n) { i += 1; j = i + 1 }
           row

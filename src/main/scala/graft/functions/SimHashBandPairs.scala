@@ -72,27 +72,41 @@ case class SimHashBandPairs(
     new Iterator[InternalRow] {
       private var ci = 0
       private var cj = 1
-      private var nextRow: InternalRow = _
-      private def advance(): Unit = {
-        nextRow = null
-        while (nextRow == null && ci < n - 1) {
+      private var pending = false // row holds an unconsumed emission
+      // ONE mutable output row, reused across emissions (round 13, the
+      // PairCombinations rule): GenerateExec re-wraps every emission in
+      // its own reused JoinedRow before the unsafe projection, so a
+      // fresh 3-long boxed row per survivor was pure allocation —
+      // setLong writes primitives, zero allocation per pair. The scan
+      // that WRITES the reused row is deferred to hasNext (never a
+      // lookahead inside next()), so the handed-out row is only
+      // overwritten after the consumer has moved on.
+      private val row = new org.apache.spark.sql.catalyst.expressions
+        .SpecificInternalRow(Seq(LongType, LongType, LongType))
+      private def scan(): Unit = {
+        while (!pending && ci < n - 1) {
           val xor = hs(ci) ^ hs(cj)
           val ham = java.lang.Long.bitCount(xor)
           if (ham <= maxHamming) {
             // first agreeing block — emit only from that bucket
             var f = 0
             while (f < nMasks && (xor & maskArr(f)) != 0L) f += 1
-            if (f == blkIdx)
-              nextRow = InternalRow(ids(ci), ids(cj), ham.toLong)
+            if (f == blkIdx) {
+              row.setLong(0, ids(ci))
+              row.setLong(1, ids(cj))
+              row.setLong(2, ham.toLong)
+              pending = true
+            }
           }
           cj += 1
           if (cj >= n) { ci += 1; cj = ci + 1 }
         }
       }
-      advance()
-      override def hasNext: Boolean = nextRow != null
+      override def hasNext: Boolean = { if (!pending) scan(); pending }
       override def next(): InternalRow = {
-        val r = nextRow; advance(); r
+        if (!pending) scan()
+        pending = false
+        row
       }
     }
   }

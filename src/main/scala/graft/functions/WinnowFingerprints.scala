@@ -42,20 +42,47 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
-    val nGrams = math.max(toks.length - k, 0) + 1
+    // Gram hashing over BYTE SLICES of the one input buffer (round 13
+    // allocation-rate work): the previous form split to token Strings
+    // and built each gram through StringBuilder→String→UTF8String→
+    // byte[] — five allocations per gram, millions per partition. A
+    // split segment's byte range in the ORIGINAL buffer is exactly the
+    // gram text (segments are separated by exactly one ' ' each, and
+    // multibyte UTF-8 units never contain 0x20), so gram i..j hashes as
+    // hash(bytes, start(i), end(j) − start(i)) with zero allocation.
+    // Token boundaries replicate Java split(' ') exactly: split on
+    // EVERY space (empty segments kept), then trailing empty segments
+    // dropped.
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var nSeg = 1
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' '.toByte) nSeg += 1; p += 1 }
+    val starts = new Array[Int](nSeg)
+    val ends = new Array[Int](nSeg)
+    var segStart = 0
+    var idx = 0
+    p = 0
+    while (p <= bytes.length) {
+      if (p == bytes.length || bytes(p) == ' '.toByte) {
+        starts(idx) = segStart; ends(idx) = p; idx += 1; segStart = p + 1
+      }
+      p += 1
+    }
+    var nTok = nSeg
+    while (nTok > 0 && starts(nTok - 1) == ends(nTok - 1)) nTok -= 1
+    val nGrams = math.max(nTok - k, 0) + 1
     val hs = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      val end = math.min(i + k, toks.length)
-      val sb = new java.lang.StringBuilder
-      var j = i
-      while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      hs(i) = Md5Hash56.hash(UTF8String.fromString(sb.toString))
+      // gram i = segments[i .. min(i+k, nTok)−1]; empty-text edge:
+      // nTok == 0 hashes the empty slice, the split("")==[""] behavior
+      hs(i) =
+        if (nTok == 0) Md5Hash56.hash(bytes, 0, 0)
+        else {
+          val from = starts(i)
+          val to = ends(math.min(i + k, nTok) - 1)
+          Md5Hash56.hash(bytes, from, to - from)
+        }
       i += 1
     }
     val nWin = math.max(nGrams - w, 0) + 1

