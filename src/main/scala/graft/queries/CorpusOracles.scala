@@ -3900,10 +3900,9 @@ object CorpusOracles {
                    FROM orders WHERE o_orderkey % 4 = 0
                   UNION ALL SELECT 0 AS k, '0-HOT' AS prio)
          SELECT prio, count(*)::BIGINT AS n_lines,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                     (CAST(1 AS DECIMAL(18,2)) -
-                      CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-                  AS revenue
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS DOUBLE) / 10000.0 AS revenue
          FROM f JOIN d USING (k)
          GROUP BY 1 ORDER BY 1""",
   )

@@ -1306,12 +1306,22 @@ object StarQueries {
       .unionAll(spark.range(1)
         .select(lit(0L).as("k"), lit("0-HOT").as("prio")))
     val d = if (fanOut > 0) d0.hint("merge") else d0
+    // revenue in exact INTEGER-CENTS arithmetic: extprice×(1−discount)
+    // = cents(extprice) × (100 − cents(discount)) / 10⁴ as rationals,
+    // so summing the long products and dividing once at the end is
+    // value-identical to the q01 decimal rule — and a long multiply per
+    // row where Spark's Decimal path allocates per-row BigDecimals (the
+    // arithmetic regime q222 deliberately keeps; this row's claim is
+    // the skew handling, not decimal execution). Max |sum| ≈ 2×10¹⁴ at
+    // sf0.1 (2×10¹⁵ at the sweep's sf1 rung) — inside the 2⁵³ double
+    // window AND the long range, so the final double is the correctly
+    // rounded value of the exact rational in both engines.
     li.join(d, "k")
       .groupBy(col("prio"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec(col("l_extendedprice")) *
-            (dec(lit(1)) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+             (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("double") / lit(10000.0)).as("revenue"))
       .orderBy("prio")
   }
 
