@@ -113,6 +113,62 @@ class Round13Spec extends AnyFunSuite {
     assert(got.collect().map(_.toString).sorted.sameElements(want))
   }
 
+  test("readWidened over nested TYPE WIDENING: struct field int->long widens through the recursion, single scan, values exact") {
+    // the recursion path Round13Spec's addition test doesn't reach:
+    // epochs disagree on a NESTED field's type (meta.v int vs long) —
+    // widen() recurses to LongType, readerUpcastable recurses (the
+    // reader upcasts nested int32 per file, pinned by the probe row),
+    // so the corpus still reads as ONE declared-schema scan
+    val out = java.nio.file.Files.createTempDirectory("graft-nestwiden").toString
+    val o = Tables.load(spark, sf, "orders").limit(200)
+    o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").cast("int").as("v")).as("meta"))
+      .write.mode("overwrite").parquet(s"$out/epoch=1")
+    o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").as("v"),
+          col("o_orderstatus").as("s")).as("meta"))
+      .write.mode("overwrite").parquet(s"$out/epoch=2")
+    val got = SchemaDrift.readWidened(spark, out)
+    val mt = got.schema("meta").dataType.asInstanceOf[StructType]
+    assert(mt("v").dataType == LongType, mt.toString)
+    assert(mt.fieldNames.toSeq == Seq("v", "s"))
+    val plan = finalPlan(got)
+    assert(!plan.contains("Union"),
+      s"nested widening should ride the single declared-schema scan:\n$plan")
+    val want = o.select(col("o_orderkey"),
+      struct(col("o_custkey").as("v"),
+        when(pmod(col("o_orderkey"), lit(2)) === 1, col("o_orderstatus"))
+          .as("s")).as("meta"))
+      .collect().map(_.toString).sorted
+    assert(got.collect().map(_.toString).sorted.sameElements(want))
+    // and a nested DECIMAL re-scale (a widening the reader can't do)
+    // falls back to the per-epoch alignColumn union, still exact
+    val out2 = java.nio.file.Files.createTempDirectory("graft-nestdec").toString
+    o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"),
+        struct(col("o_totalprice").cast(DecimalType(12, 2)).as("p")).as("meta"))
+      .write.mode("overwrite").parquet(s"$out2/epoch=1")
+    o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"),
+        struct(col("o_totalprice").cast(DecimalType(14, 4)).as("p")).as("meta"))
+      .write.mode("overwrite").parquet(s"$out2/epoch=2")
+    val got2 = SchemaDrift.readWidened(spark, out2)
+    assert(got2.schema("meta").dataType.asInstanceOf[StructType]("p")
+      .dataType == DecimalType(14, 4))
+    val plan2 = finalPlan(got2)
+    assert(plan2.contains("Union"),
+      s"nested decimal re-scale must take the aligned union path:\n$plan2")
+    val want2 = o.select(col("o_orderkey"),
+      struct(when(pmod(col("o_orderkey"), lit(2)) === 0,
+          col("o_totalprice").cast(DecimalType(12, 2)).cast(DecimalType(14, 4)))
+        .otherwise(col("o_totalprice").cast(DecimalType(14, 4))).as("p"))
+        .as("meta"))
+      .collect().map(_.toString).sorted
+    assert(got2.collect().map(_.toString).sorted.sameElements(want2))
+  }
+
   test("q224 nested-drift census == flat replay; nested-schema pruning reaches the scan") {
     val got = SparkEntry.queries("q224_nested_drift")(spark, sf).collect()
     assert(got.nonEmpty)
