@@ -222,6 +222,12 @@ object ScaleSweep {
       // verdict instead of a scaladoc claim
       "q94_token_pagerank", "q145_token_hits", "q162_kcore",
       "q218_ktruss", "q130_kcenter_coreset", "q131_knn_communities",
+      // round-14 (VERDICT r13 item 6): the recall-gated ANN rows —
+      // recall is DENSITY-dependent (bucket occupancy and probe
+      // coverage change with corpus size), so the 0.01→0.1 verdict
+      // doesn't transfer to 10×; each row re-runs its built-in
+      // recall@5 gate at sf1 and the verdict lands in the artifact
+      "q35_ann_ivf_topk", "q49_ann_lsh_topk", "q169_ann_multiprobe",
       // round-13: the skewed hot-key join at 1000× spread — the planted
       // hot key carries 3/4 of the fact at every SF, so a linear slope
       // here is the hot-key story holding at scale
@@ -236,7 +242,8 @@ object ScaleSweep {
       else if (args.nonEmpty) sf1Defaults.filter(names.contains)
       else sf1Defaults
     final case class Sf1Row(t: Double, outs: Seq[Long], slopeT: Double,
-      slopeOut: Double, fail: Boolean)
+      slopeOut: Double, fail: Boolean,
+      recall: Option[(Long, Double, Boolean)] = None)
     val sf1Rows: Seq[(String, Sf1Row)] = if (sf1Names.isEmpty) Nil else {
       val sf1Dir = new java.io.File("target/sweep-sf1").getAbsolutePath
       println(s"[sweep] staging 10x sf0.1 corpus under $sf1Dir (memoized)")
@@ -274,10 +281,27 @@ object ScaleSweep {
           if (outs.forall(_ > 0))
             math.log10(outs(2).toDouble / outs(1).toDouble)
           else Double.NaN
+        // recall-gated rows (q35/q49/q169) carry their own verdict
+        // column: re-read it at the sf1 rung — recall is
+        // density-dependent, so the 0.01→0.1 verdict doesn't transfer
+        val recall: Option[(Long, Double, Boolean)] =
+          try {
+            val res = SparkEntry.queries(n)(spark, sf1Dir)
+            if (!res.columns.contains("recall_ok")) None
+            else {
+              val r = res.collect().head
+              sweep()
+              Some((r.getAs[Long]("n_queries"),
+                r.getAs[Double]("mean_recall"),
+                r.getAs[Boolean]("recall_ok")))
+            }
+          } catch { case _: Throwable => None }
         println(f"[sweep] $n%-28s sf1=$t1%7.2f  slope01_1=$slopeT%5.2f  " +
           f"out=${outs.mkString("/")}  slope_out=$slopeOut%5.2f" +
+          recall.fold("") { case (nq, mr, ok) =>
+            f"  recall@$nq%d=$mr%.3f ${if (ok) "OK" else "**RECALL FAIL**"}" } +
           (if (fail) "  **FAILED**" else ""))
-        n -> Sf1Row(t1, outs, slopeT, slopeOut, fail)
+        n -> Sf1Row(t1, outs, slopeT, slopeOut, fail, recall)
       }
     }
     // a failed run's wall-clock is garbage (a fast abort at sf0.1 would
@@ -295,11 +319,15 @@ object ScaleSweep {
       !r.fail && r.slopeT > 1.3 &&
         (r.slopeOut.isNaN || r.slopeT - r.slopeOut > 0.3)
     }
+    val recallFail = sf1Rows.filter(_._2.recall.exists(!_._3))
     if (sf1Rows.nonEmpty)
       println(s"[sweep] sf1 rung (${sf1Rows.size} rows at the 0.1->1 step, " +
         "output-normalized): " +
         s"${risky1.size} above the superlinear-in-time-per-output flag" +
-        (if (risky1.nonEmpty) ": " + risky1.map(_._1).mkString(", ") else ""))
+        (if (risky1.nonEmpty) ": " + risky1.map(_._1).mkString(", ") else "") +
+        s"; ${recallFail.size} recall-gated rows failing their gate at sf1" +
+        (if (recallFail.nonEmpty) ": " + recallFail.map(_._1).mkString(", ")
+         else ""))
     val qs = rows.map { case (n, ts, sl, fail) =>
       "\"" + n.takeWhile(_ != '_') + "\":{\"t\":[" +
         ts.map(t => f"$t%.3f").mkString(",") + "],\"slope\":" +
@@ -348,6 +376,9 @@ object ScaleSweep {
         ",\"output_bound\":" +
           (!r.slopeOut.isNaN && r.slopeT >= 0.3 &&
             r.slopeT - r.slopeOut <= 0.3) +
+        r.recall.fold("") { case (nq, mr, ok) =>
+          ",\"n_queries\":" + nq + ",\"mean_recall\":" + jd(mr) +
+            ",\"recall_ok\":" + ok } +
         (if (r.fail) ",\"err\":true" else "") + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_sweep","sfs":["0.001","0.01","0.1"],""" +

@@ -249,6 +249,7 @@ object SparkEntry {
     "q224_nested_drift"       -> (StarQueries.q224NestedDrift(_, _)),
     "q225_drop_drift"         -> (StarQueries.q225DropDrift(_, _)),
     "q226_skewed_bigdim"      -> (StarQueries.q226SkewedBigDim(_, _)),
+    "q227_csv_drift"          -> (StarQueries.q227CsvDrift(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

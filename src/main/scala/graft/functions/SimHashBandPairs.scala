@@ -105,6 +105,8 @@ case class SimHashBandPairs(
       override def hasNext: Boolean = { if (!pending) scan(); pending }
       override def next(): InternalRow = {
         if (!pending) scan()
+        if (!pending) throw new NoSuchElementException(
+          "SimHashBandPairs: next() on exhausted pair iterator")
         pending = false
         row
       }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftsql.internalDf
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Grouped running totals WITHOUT a per-group single-task window — the
+  * admission-cut primitive of a token-budget / quota pass ("admit
+  * documents in deterministic order until each source's running token
+  * total reaches N").
+  *
+  * `Window.partitionBy(group).orderBy(order)` with an unbounded
+  * running SUM sorts and folds each group's ENTIRE stream through ONE
+  * task — at 100 TB with a heavy-tailed source mix (one crawl domain =
+  * a large corpus fraction, the realistic case) that is the classic
+  * scale cliff, the prefix-SUM twin of the partitionless `row_number()`
+  * that [[RowIds.contiguousIds]] exists to refuse. The scalable
+  * formulation is the same two-phase device applied to a sum instead
+  * of a count:
+  *
+  *  1. '''Range-partition + local sort''' on (group ++ order) —
+  *     Spark's `orderBy`, so a dominant group SPANS partitions instead
+  *     of collapsing onto one; groups are contiguous runs within and
+  *     across partitions.
+  *  2. '''Per-(partition, group) partial sums''' — one pass over the
+  *     sorted partitions (`runJob`, the `zipWithIndex` count-job
+  *     shape); because groups are contiguous, a partition holds at
+  *     most (its distinct groups) entries, so the driver sees
+  *     O(partitions + groups) rows, never data.
+  *  3. '''Broadcast prefix offsets''' — for each (partition, group),
+  *     the sum of the same group's partials in earlier partitions.
+  *  4. '''Local emission''' — each partition streams its rows once,
+  *     accumulating from its broadcast offset; the running total is
+  *     appended via a reused `JoinedRow` (no external-Row round-trip,
+  *     the [[RowIds]] rule).
+  *
+  * Cost: the sort exchange + two passes over the sorted output
+  * (partials, emit) — the second pass reuses the sort's shuffle files.
+  * Determinism requires (group ++ order) to be a TOTAL order (include
+  * a unique id as the last key). NULL `value`s count as 0.
+  */
+object PrefixSum {
+
+  /** `df` plus `cumName` = running total of `valueCol` (must be LONG)
+    * within each `groupCols` key, ordered by `order` inside the group.
+    * Row set and all input columns pass through unchanged. */
+  def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], valueCol: String,
+      cumName: String = "cum"): DataFrame = {
+    val sorted = df.orderBy((groupCols.map(col) ++ order): _*)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val gTypes: Array[DataType] = gIdx.map(schema(_).dataType)
+    val vIdx = schema.fieldIndex(valueCol)
+    require(schema(vIdx).dataType == LongType,
+      s"groupedRunningSum: $valueCol must be LONG, got ${schema(vIdx).dataType}")
+
+    // copied (driver-safe) group key of the current row — UTF8Strings
+    // are cloned off the reused UnsafeRow buffer
+    def copyKey(r: InternalRow): List[Any] =
+      gIdx.indices.iterator.map { i =>
+        if (r.isNullAt(gIdx(i))) null
+        else r.get(gIdx(i), gTypes(i)) match {
+          case s: UTF8String => s.copy()
+          case other => other
+        }
+      }.toList
+    // allocation-free group-change check against the current copied key
+    def keyMatches(r: InternalRow, k: List[Any]): Boolean = {
+      var i = 0; var ks = k
+      while (i < gIdx.length) {
+        val v = if (r.isNullAt(gIdx(i))) null else r.get(gIdx(i), gTypes(i))
+        val kv = ks.head
+        if (v == null) { if (kv != null) return false }
+        else if (kv == null || !v.equals(kv)) return false
+        i += 1; ks = ks.tail
+      }
+      true
+    }
+    def valueAt(r: InternalRow): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+
+    val rdd = sorted.queryExecution.toRdd
+    val sc = df.sparkSession.sparkContext
+    // phase 1: per-partition partial sums, one entry per contiguous group run
+    val partials: Array[Seq[(List[Any], Long)]] = sc.runJob(rdd,
+      (it: Iterator[InternalRow]) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(List[Any], Long)]
+        var cur: List[Any] = null
+        var started = false
+        var sum = 0L
+        it.foreach { r =>
+          if (!started || !keyMatches(r, cur)) {
+            if (started) out += ((cur, sum))
+            cur = copyKey(r); sum = 0L; started = true
+          }
+          sum += valueAt(r)
+        }
+        if (started) out += ((cur, sum))
+        out.toSeq
+      })
+    // phase 2 (driver, O(partitions + groups)): prefix offsets per
+    // (partition, group) — the sum of the same group's earlier partials
+    val running = scala.collection.mutable.HashMap.empty[List[Any], Long]
+    val offsets: Array[Map[List[Any], Long]] = partials.map { ps =>
+      ps.map { case (k, s) =>
+        val off = running.getOrElse(k, 0L)
+        running(k) = off + s
+        k -> off
+      }.toMap
+    }
+    val bc = sc.broadcast(offsets)
+    // phase 3: local emission — offset + local running sum per partition
+    val withCum = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bc.value(pid)
+      val joined = new JoinedRow
+      val cumRow = new GenericInternalRow(1)
+      var cur: List[Any] = null
+      var started = false
+      var acc = 0L
+      it.map { r =>
+        if (!started || !keyMatches(r, cur)) {
+          cur = copyKey(r); acc = off.getOrElse(cur, 0L); started = true
+        }
+        acc += valueAt(r)
+        cumRow.setLong(0, acc)
+        joined(r, cumRow): InternalRow
+      }
+    }
+    val outSchema: StructType = schema.add(cumName, LongType, nullable = false)
+    internalDf(df.sparkSession, withCum, outSchema)
+  }
+}

@@ -22,12 +22,33 @@ import org.apache.spark.sql.functions._
   * task. The alternative partitionless cummin window would drag every
   * row through one task; this shape ships ~log-sized partials, the same
   * partial/final split as an aggregate. The result is a pure function
-  * of the row SET, so partitioning cannot change it (spec-asserted). */
+  * of the row SET, so partitioning cannot change it (spec-asserted).
+  *
+  * The expected O(log n) survivor count is NOT assumed (round 14): a
+  * near-anti-chain input (quality ≈ monotone in cost) makes every row
+  * a local survivor, and feeding O(n) rows to one merge task is the
+  * cliff this operator exists to avoid. The merge is therefore
+  * BOUNDED: local survivors are counted (they are persisted anyway for
+  * the merge), and while the count exceeds `mergeBound` the operator
+  * TREE-MERGES — repartition the survivors `fanIn`-ways narrower and
+  * re-run the local frontier, each level a full barrier that can only
+  * shrink the set — until the bound holds or partitions stop shrinking
+  * (a true anti-chain's frontier IS the input; no algorithm feeds it
+  * through less than its own size, but every merge task along the way
+  * stayed bounded by partition width, never O(n) memory in one task). */
 object Skyline {
 
   /** Frontier rows of `df` under (maximize `xCol`, minimize `yCol`),
     * original columns preserved. */
-  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
+      mergeBound: Long = 1L << 20, fanIn: Int = 8): DataFrame =
+    paretoFrontierStats(df, xCol, yCol, mergeBound, fanIn)._1
+
+  /** [[paretoFrontier]] plus the number of tree-merge levels the
+    * survivor bound engaged (0 = direct merge) — spec-visible so the
+    * fallback is pinned by a test, not a scaladoc claim. */
+  private[graft] def paretoFrontierStats(df: DataFrame, xCol: String,
+      yCol: String, mergeBound: Long, fanIn: Int): (DataFrame, Int) = {
     val spark = df.sparkSession
     val schema = df.schema
     val xi = schema.fieldIndex(xCol)
@@ -60,8 +81,26 @@ object Skyline {
     }
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(schema)
-    val locals = df.mapPartitions(localFrontier _)
-    // final merge over the (small) union of local frontiers
-    locals.repartition(1).mapPartitions(localFrontier _)
+    // persisted because the survivor count (the bound check) and the
+    // merge both read it; survivors are expected-log-sized, and on the
+    // adversarial inputs where they aren't, counting is exactly the
+    // point
+    var cur = df.mapPartitions(localFrontier _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var n = cur.count()
+    var levels = 0
+    while (n > mergeBound && cur.rdd.getNumPartitions > 1) {
+      val narrower = math.max(1, cur.rdd.getNumPartitions / math.max(2, fanIn))
+      val next = cur.repartition(narrower).mapPartitions(localFrontier _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n = next.count()
+      cur.unpersist()
+      cur = next
+      levels += 1
+    }
+    // final merge over the (bounded) union of surviving local frontiers;
+    // a single-partition survivor set already IS its own local frontier
+    if (cur.rdd.getNumPartitions <= 1) (cur, levels)
+    else (cur.repartition(1).mapPartitions(localFrontier _), levels)
   }
 }

@@ -3905,6 +3905,30 @@ object CorpusOracles {
                      AS DOUBLE) / 10000.0 AS revenue
          FROM f JOIN d USING (k)
          GROUP BY 1 ORDER BY 1""",
+
+    // X224: CSV-face schema drift — the engine reads the staged
+    // two-epoch CSV corpus (epoch-1: no o_orderpriority, whole-dollar
+    // integral prices a crawler infers as an integer column; epoch-2:
+    // decimal prices + the new column) with per-epoch inferred schemas
+    // widened to double and unioned by name; the oracle replays epoch
+    // membership AND the integral-price round-trip from the flat
+    // source table by the parity rule, so equality pins both the
+    // addition-NULL and inference-widening semantics
+    "q227_csv_drift" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+                sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_pre_drift,
+                count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                               THEN o_orderpriority END)::BIGINT
+                  AS n_priorities,
+                sum(CAST(round(
+                      (CASE WHEN o_orderkey % 2 = 0
+                            THEN CAST(CAST(round(o_totalprice) AS BIGINT)
+                                      AS DOUBLE)
+                            ELSE o_totalprice END) * 100) AS BIGINT))::BIGINT
+                  AS cents_sum,
+                sum(o_orderkey)::BIGINT AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

@@ -759,7 +759,6 @@ object CorpusQueries {
     * reaches the budget — the deterministic "cap every domain at N
     * tokens" pass of a data-mixing pipeline. */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // 512 binds at every test SF (a source holds ~1.4k tokens at sf0.01),
     // so the cut is exercised, not vacuous
     val budget = 512L
@@ -767,9 +766,11 @@ object CorpusQueries {
       .select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).as("n_tok"),
         TextFunctions.md5Hash56(col("doc_id").cast("string")).as("h"))
-    val w = Window.partitionBy("source").orderBy("h", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum", sum("n_tok").over(w))
+    // two-phase grouped prefix sum, NOT Window.partitionBy("source"):
+    // a per-source unbounded window folds the dominant source's whole
+    // stream through one task (graft.operators.PrefixSum scaladoc)
+    graft.operators.PrefixSum.groupedRunningSum(
+        d, Seq("source"), Seq(col("h"), col("doc_id")), "n_tok", "cum")
       // a doc is admitted iff the budget was not already exhausted before it
       .where(col("cum") - col("n_tok") < budget)
       .groupBy("source")
@@ -787,7 +788,6 @@ object CorpusQueries {
     * q104 model's word-type lookup — the corpus pays one word explode +
     * one Heaps-sublinear lut join on top of q69's plan. */
   def bpeBudget(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = 2048L
     val lut = bpe(spark, dir).words
       .select(array_join(col("syms"), "").as("hword"),
@@ -800,9 +800,8 @@ object CorpusQueries {
       .join(lut, "hword")
       .groupBy("doc_id", "source").agg(sum("n_sub").as("n_tok"))
       .withColumn("h", TextFunctions.md5Hash56(col("doc_id").cast("string")))
-    val w = Window.partitionBy("source").orderBy("h", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDoc.withColumn("cum", sum("n_tok").over(w))
+    graft.operators.PrefixSum.groupedRunningSum(
+        perDoc, Seq("source"), Seq(col("h"), col("doc_id")), "n_tok", "cum")
       .where(col("cum") - col("n_tok") < budget)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs_kept"),
@@ -1043,10 +1042,10 @@ object CorpusQueries {
     *   dedup keep-first (q24/q7) → eval-set decontamination (q57) →
     *   per-source token budget (q69),
     * reduced to a per-source admission summary. Every stage is
-    * scan+hash-agg shaped; the only window is the per-source running
-    * total over the already-curated (small) stream. */
+    * scan+hash-agg shaped; the budget cut rides the two-phase grouped
+    * prefix sum ([[graft.operators.PrefixSum]]), so no stage funnels a
+    * source's stream through one task. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = spread(Tables.load(spark, dir, "documents"))
     val corpus = d.filter(!isEvalDoc)
     val evalSet = d.filter(isEvalDoc)
@@ -1060,9 +1059,8 @@ object CorpusQueries {
     val t = clean.select(col("doc_id"), col("source"),
       TextFunctions.tokenCount(col("text")).as("n_tok"),
       TextFunctions.md5Hash56(col("doc_id").cast("string")).as("h"))
-    val w = Window.partitionBy("source").orderBy("h", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.withColumn("cum", sum("n_tok").over(w))
+    graft.operators.PrefixSum.groupedRunningSum(
+        t, Seq("source"), Seq(col("h"), col("doc_id")), "n_tok", "cum")
       .where(col("cum") - col("n_tok") < 512L)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs_kept"), sum("n_tok").as("tok_kept"))

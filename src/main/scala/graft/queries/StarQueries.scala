@@ -1337,4 +1337,34 @@ object StarQueries {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .orderBy("s_name")
   }
+
+  /** CSV schema-drift census (X224, round 14): the Glue-crawler leg of
+    * the reference drifts in CSV, not parquet (README.md:5-7 — the
+    * crawlers infer schemas over the transformed CSVs), so the drift
+    * family gets its CSV face: a two-epoch CSV corpus whose producer
+    * added a column AND whose price column widens integer→double
+    * VISIBLE ONLY THROUGH INFERENCE (epoch-1 wrote whole-dollar
+    * integrals; see [[graft.sources.SchemaDrift.stageOrdersCsvDrift]]),
+    * read per-epoch with crawler-inferred schemas, cast to the widest
+    * lattice type and unioned by name
+    * ([[graft.sources.SchemaDrift.readCsvMerged]]). The census pins all
+    * three semantics at once: row/key conservation (n, key_sum), the
+    * addition leg (n_pre_drift / n_priorities — NULLs sit exactly on
+    * pre-drift files), and the inference-widening leg (cents_sum —
+    * epoch-1 prices are the files' ACTUAL whole-dollar values, replayed
+    * by the oracle as round(price)::BIGINT::DOUBLE). All aggregates
+    * integer-exact. */
+  def q227CsvDrift(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.SchemaDrift.stageOrdersCsvDrift(spark, dir)
+    graft.sources.SchemaDrift.readCsvMerged(spark, corpus)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("n_pre_drift"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
 }

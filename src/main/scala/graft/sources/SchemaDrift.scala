@@ -325,12 +325,17 @@ object SchemaDrift {
       case (f, t) if f == t => c
       case (f: StructType, t: StructType) =>
         val fByName = f.fields.map(x => x.name -> x.dataType).toMap
-        struct(t.fields.toSeq.map { tf =>
-          (fByName.get(tf.name) match {
-            case Some(ft) => alignColumn(c.getField(tf.name), ft, tf.dataType)
-            case None     => lit(null).cast(tf.dataType)
-          }).as(tf.name)
-        }: _*)
+        // struct-level NULL must survive the reassembly: struct(...) is
+        // non-null whenever evaluated, so a NULL struct value would
+        // silently become a struct of all-NULL fields — diverging from
+        // both the single-scan path and plain cast semantics
+        when(c.isNull, lit(null).cast(t)).otherwise(
+          struct(t.fields.toSeq.map { tf =>
+            (fByName.get(tf.name) match {
+              case Some(ft) => alignColumn(c.getField(tf.name), ft, tf.dataType)
+              case None     => lit(null).cast(tf.dataType)
+            }).as(tf.name)
+          }: _*))
       case (ArrayType(ef, _), ArrayType(et, _)) =>
         transform(c, x => alignColumn(x, ef, et))
       case (_, t) => c.cast(t)
@@ -347,6 +352,95 @@ object SchemaDrift {
   def widenedSchema(spark: SparkSession, corpusDir: String,
       renames: Map[String, String] = Map.empty): StructType =
     epochSchemas(spark, corpusDir, renames)._3
+
+  /** Stage the two-epoch CSV drift corpus (X224, round 14, memoized):
+    * the reference's transformed layer is CSV and the Glue crawler
+    * INFERS schemas over it (README.md:5-7; spotify-analysis.sql:14-20
+    * declares the CSV format) — so the CSV face of drift is
+    * inference-driven, not footer-driven. Epoch 1 (even o_orderkey =
+    * pre-drift, the family's replay rule) carries (o_orderkey,
+    * o_orderstatus, o_totalprice) with prices written as WHOLE-DOLLAR
+    * integrals (`round(price)::long`) — the form a crawler infers as
+    * an integer column; epoch 2 writes true decimal prices (inferred
+    * DOUBLE) and adds `o_orderpriority`. One corpus exercises both CSV
+    * drift classes at once: column addition AND type widening visible
+    * only through inference. The integral leg is value-changing by
+    * construction (like q221's float leg): the oracle replays epoch-1
+    * prices as `round(o_totalprice)::BIGINT::DOUBLE`, pinning that the
+    * engine surfaces the file's actual written value. */
+  def stageOrdersCsvDrift(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent((spark.sparkContext.applicationId, dir, "csv"), { _ =>
+      val out = tempCorpusDir("graft-schema-csv")
+      val o = graft.Tables.load(spark, dir, "orders")
+      def writeCsv(df: DataFrame, path: String): Unit =
+        df.write.mode("overwrite").option("header", "true")
+          .option("nullValue", "NULL").csv(path)
+      writeCsv(o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice")).cast("long").as("o_totalprice")),
+        s"$out/epoch=1")
+      writeCsv(o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority")),
+        s"$out/epoch=2")
+      out
+    })
+
+  /** The per-epoch CRAWLER-INFERRED schemas of a CSV drift corpus plus
+    * their widest-common type per column — the Glue-crawler equivalent
+    * of [[epochSchemas]]'s footer pass: CSV has no footers, so each
+    * epoch's schema comes from header + value inference (one inference
+    * pass per epoch, bounded by the epoch's data — exactly what a
+    * crawler run costs), and the same [[widen]] lattice the parquet
+    * family uses decides the union type (refusing non-widenable drift
+    * loudly). */
+  def csvEpochSchemas(spark: SparkSession, corpusDir: String)
+      : (Seq[String], Seq[StructType], StructType) = {
+    val path = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.toSeq
+    require(epochs.nonEmpty, s"no epoch directories under $corpusDir")
+    val schemas = epochs.map(e =>
+      Sinks.csvOptions(spark.read).option("inferSchema", "true")
+        .csv(e).schema)
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    schemas.foreach(_.fields.foreach { f =>
+      order.get(f.name) match {
+        case None => order(f.name) = f.dataType
+        case Some(t) => order(f.name) = widen(t, f.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"CSV schema drift on column '${f.name}' admits no lossless " +
+            s"widening: $t vs ${f.dataType} (producer bug, not evolution)"))
+      }
+    })
+    (epochs, schemas,
+      StructType(order.toSeq.map { case (n, t) => StructField(n, t) }))
+  }
+
+  /** Read a drifted CSV corpus under union-by-name + widest-type
+    * semantics: each epoch is read with ITS OWN inferred schema (a CSV
+    * reader given a foreign declared schema maps columns by POSITION —
+    * silently mis-assigning values when an epoch lacks a middle
+    * column — so per-epoch schemas are the only safe read), then cast
+    * up to the widest-common type and unioned by name, missing columns
+    * as NULL. Scale shape: one inference pass + one scan per epoch,
+    * epoch count is a corpus constant; the per-row cost is the same
+    * codegen'd cast chain as [[readWidened]]'s fallback path. */
+  def readCsvMerged(spark: SparkSession, corpusDir: String): DataFrame = {
+    val (epochs, schemas, widest) = csvEpochSchemas(spark, corpusDir)
+    val targets = widest.fields.map(f => f.name -> f.dataType).toMap
+    epochs.zip(schemas).map { case (e, s) =>
+      val df = Sinks.csvOptions(spark.read).schema(s).csv(e)
+      val byName = s.fields.map(f => f.name -> f.dataType).toMap
+      df.select(widest.fieldNames.toSeq.map { name =>
+        (byName.get(name) match {
+          case Some(ft) => alignColumn(col(name), ft, targets(name))
+          case None     => lit(null).cast(targets(name))
+        }).as(name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
 
   /** One footer pass per epoch: (epoch dirs, per-epoch renamed
     * schemas, widest-common schema). The single listing + footer read

@@ -182,9 +182,26 @@ object Sinks {
       .drop("__z")
       .write.mode(mode).parquet(outDir)
 
+  /** Post-read NULL_IF normalization: the reference declares a
+    * TWO-token null set, NULL_IF=('NULL','null')
+    * (spotify-analysis.sql:18), but Spark's CSV reader takes ONE
+    * `nullValue` token. 'NULL' is handled at parse time
+    * ([[csvOptions]]); the lowercase token is normalized here on
+    * STRING columns — in non-string columns the token already fails
+    * the typed parse and reads as NULL under PERMISSIVE mode, so the
+    * two paths together reproduce the reference's semantics for
+    * foreign (reference-produced) CSVs, not just self-written ones. */
+  private def normalizeNullTokens(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.toSeq.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        when(df(f.name) === "null", lit(null).cast("string"))
+          .otherwise(df(f.name)).as(f.name)
+      else df(f.name)
+    }: _*)
+
   /** CSV reader with the reference's null/quote semantics (S8/D5). */
   def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    csvOptions(spark.read).schema(schema).csv(dir)
+    normalizeNullTokens(csvOptions(spark.read).schema(schema).csv(dir))
 
   /** Glue-Crawler equivalent (S11): infer schema from the header CSVs and
     * register a catalog table over them (reference: README.md:5-7, the 3
@@ -194,7 +211,8 @@ object Sinks {
   def crawlCsv(spark: SparkSession, dir: String, table: String,
       location: Option[String] = None): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table") // crawler re-run = replace
-    val w = csvOptions(spark.read).option("inferSchema", "true").csv(dir)
+    val w = normalizeNullTokens(
+        csvOptions(spark.read).option("inferSchema", "true").csv(dir))
       .write.mode("overwrite")
     location.fold(w)(w.option("path", _)).saveAsTable(table)
   }
