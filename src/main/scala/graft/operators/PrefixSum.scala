@@ -47,11 +47,19 @@ object PrefixSum {
 
   /** `df` plus `cumName` = running total of `valueCol` (must be LONG)
     * within each `groupCols` key, ordered by `order` inside the group.
-    * Row set and all input columns pass through unchanged. */
+    * Row set and all input columns pass through unchanged.
+    *
+    * The input is pinned ([[graft.Caching.tracked]]) before the sort:
+    * a range exchange runs a SAMPLING job over its child before the
+    * shuffle itself, so an unpinned upstream chain (q82's five curation
+    * stages, q191's BPE-lut join) would execute twice. The pinned slice
+    * is the narrow (group, order, value) projection the callers pass,
+    * not the corpus. */
   def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
       order: Seq[Column], valueCol: String,
       cumName: String = "cum"): DataFrame = {
-    val sorted = df.orderBy((groupCols.map(col) ++ order): _*)
+    val pinned = graft.Caching.tracked(df)
+    val sorted = pinned.orderBy((groupCols.map(col) ++ order): _*)
     val schema = sorted.schema
     val gIdx = groupCols.map(schema.fieldIndex).toArray
     val gTypes: Array[DataType] = gIdx.map(schema(_).dataType)
