@@ -228,6 +228,12 @@ object ScaleSweep {
       // doesn't transfer to 10×; each row re-runs its built-in
       // recall@5 gate at sf1 and the verdict lands in the artifact
       "q35_ann_ivf_topk", "q49_ann_lsh_topk", "q169_ann_multiprobe",
+      // round-14: the prefix-sum admission rows (q69 = the bare device,
+      // q82 = the device at the end of the curation chain) — the
+      // two-phase rewrite's claim is exactly a scale claim, so it gets
+      // a 1000×-spread row instead of a scaladoc argument (q191 rides
+      // the same device over q82's BPE-joined stream; rung kept lean)
+      "q69_token_budget", "q82_curate",
       // round-13: the skewed hot-key join at 1000× spread — the planted
       // hot key carries 3/4 of the fact at every SF, so a linear slope
       // here is the hot-key story holding at scale
