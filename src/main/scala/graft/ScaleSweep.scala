@@ -249,7 +249,7 @@ object ScaleSweep {
       else sf1Defaults
     final case class Sf1Row(t: Double, outs: Seq[Long], slopeT: Double,
       slopeOut: Double, fail: Boolean,
-      recall: Option[(Long, Double, Boolean)] = None)
+      recall: Option[(Long, Long, Boolean)] = None)
     val sf1Rows: Seq[(String, Sf1Row)] = if (sf1Names.isEmpty) Nil else {
       val sf1Dir = new java.io.File("target/sweep-sf1").getAbsolutePath
       println(s"[sweep] staging 10x sf0.1 corpus under $sf1Dir (memoized)")
@@ -288,26 +288,38 @@ object ScaleSweep {
             math.log10(outs(2).toDouble / outs(1).toDouble)
           else Double.NaN
         // recall-gated rows (q35/q49/q169) carry their own verdict
-        // column: re-read it at the sf1 rung — recall is
-        // density-dependent, so the 0.01→0.1 verdict doesn't transfer
-        val recall: Option[(Long, Double, Boolean)] =
-          try {
+        // columns (n_queries, k, recall_ok — the gate deliberately does
+        // NOT expose the float mean, CorpusQueries.recallGate): re-read
+        // the verdict at the sf1 rung — recall is density-dependent
+        // (bucket occupancy, probe coverage), so the 0.01→0.1 verdict
+        // doesn't transfer. A capture failure here must be LOUD: a
+        // swallowed exception would report "0 recall rows failing"
+        // while checking nothing.
+        val (recall, recallErr): (Option[(Long, Long, Boolean)], Boolean) =
+          scala.util.Try {
             val res = SparkEntry.queries(n)(spark, sf1Dir)
             if (!res.columns.contains("recall_ok")) None
             else {
               val r = res.collect().head
               sweep()
-              Some((r.getAs[Long]("n_queries"),
-                r.getAs[Double]("mean_recall"),
+              Some((r.getAs[Long]("n_queries"), r.getAs[Long]("k"),
                 r.getAs[Boolean]("recall_ok")))
             }
-          } catch { case _: Throwable => None }
+          } match {
+            case scala.util.Success(v) => (v, false)
+            case scala.util.Failure(e) =>
+              println(s"[sweep] RECALL CAPTURE FAILED $n: " +
+                s"${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).take(200))
+              (None, true)
+          }
+        val failAll = fail || recallErr
         println(f"[sweep] $n%-28s sf1=$t1%7.2f  slope01_1=$slopeT%5.2f  " +
           f"out=${outs.mkString("/")}  slope_out=$slopeOut%5.2f" +
-          recall.fold("") { case (nq, mr, ok) =>
-            f"  recall@$nq%d=$mr%.3f ${if (ok) "OK" else "**RECALL FAIL**"}" } +
-          (if (fail) "  **FAILED**" else ""))
-        n -> Sf1Row(t1, outs, slopeT, slopeOut, fail, recall)
+          recall.fold("") { case (nq, k, ok) =>
+            s"  recall@$k over $nq queries: ${if (ok) "OK" else "**RECALL FAIL**"}" } +
+          (if (failAll) "  **FAILED**" else ""))
+        n -> Sf1Row(t1, outs, slopeT, slopeOut, failAll, recall)
       }
     }
     // a failed run's wall-clock is garbage (a fast abort at sf0.1 would
@@ -382,8 +394,8 @@ object ScaleSweep {
         ",\"output_bound\":" +
           (!r.slopeOut.isNaN && r.slopeT >= 0.3 &&
             r.slopeT - r.slopeOut <= 0.3) +
-        r.recall.fold("") { case (nq, mr, ok) =>
-          ",\"n_queries\":" + nq + ",\"mean_recall\":" + jd(mr) +
+        r.recall.fold("") { case (nq, k, ok) =>
+          ",\"n_queries\":" + nq + ",\"recall_k\":" + k +
             ",\"recall_ok\":" + ok } +
         (if (r.fail) ",\"err\":true" else "") + "}"
     }.mkString("{", ",", "}")
