@@ -141,4 +141,19 @@ object PrefixSum {
     val outSchema: StructType = schema.add(cumName, LongType, nullable = false)
     internalDf(df.sparkSession, withCum, outSchema)
   }
+
+  /** Dense 1-based per-group rank under `order` — `row_number().over(
+    * Window.partitionBy(group))` WITHOUT the per-group single-task
+    * window: the prefix-COUNT face of the same device, i.e.
+    * [[groupedRunningSum]] over a ones column. Same determinism
+    * contract (the order must be total within the group). */
+  def groupedRank(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], rankName: String = "rank"): DataFrame = {
+    require(!df.columns.contains("__psum_one"),
+      "groupedRank: input already carries the internal __psum_one column")
+    groupedRunningSum(df.withColumn("__psum_one",
+        org.apache.spark.sql.functions.lit(1L)),
+        groupCols, order, "__psum_one", rankName)
+      .drop("__psum_one")
+  }
 }

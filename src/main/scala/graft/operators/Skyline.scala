@@ -81,18 +81,18 @@ object Skyline {
     }
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(schema)
-    // persisted because the survivor count (the bound check) and the
-    // merge both read it; survivors are expected-log-sized, and on the
-    // adversarial inputs where they aren't, counting is exactly the
-    // point
-    var cur = df.mapPartitions(localFrontier _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (scope-TRACKED, the Caching contract: the returned plan
+    // reads the survivor set, so callers/harnesses own the release)
+    // because the survivor count (the bound check) and the merge both
+    // read it; survivors are expected-log-sized, and on the adversarial
+    // inputs where they aren't, counting is exactly the point
+    var cur = graft.Caching.tracked(df.mapPartitions(localFrontier _))
     var n = cur.count()
     var levels = 0
     while (n > mergeBound && cur.rdd.getNumPartitions > 1) {
       val narrower = math.max(1, cur.rdd.getNumPartitions / math.max(2, fanIn))
-      val next = cur.repartition(narrower).mapPartitions(localFrontier _)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = graft.Caching.tracked(
+        cur.repartition(narrower).mapPartitions(localFrontier _))
       n = next.count()
       cur.unpersist()
       cur = next

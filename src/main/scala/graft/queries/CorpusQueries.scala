@@ -2377,13 +2377,15 @@ object CorpusQueries {
     * ordinal rides [[graft.operators.RowIds.contiguousIds]] (range
     * partition + offsets), never a partitionless window. */
   def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), col("source"),
         TextFunctions.qualityScore(col("text")).as("q"))
-    val ranked = s.withColumn("rnk", row_number()
-        .over(Window.partitionBy("source").orderBy(desc("q"), col("doc_id")))
-        .cast("long"))
+    // per-source rank via the two-phase prefix COUNT (round 14): the
+    // unbounded row_number window was the same single-task-per-source
+    // cliff as q69's running sum — the global ordinal below already
+    // refused it, the per-source rank now does too
+    val ranked = graft.operators.PrefixSum.groupedRank(
+        s, Seq("source"), Seq(desc("q"), col("doc_id")), "rnk")
       .select("doc_id", "source", "rnk")
     RowIds.contiguousIds(ranked,
         Seq(col("rnk"), col("source"), col("doc_id")), "position")
@@ -2767,15 +2769,16 @@ object CorpusQueries {
     * discipline; contrast X112's groupwise split, which trades balance
     * for leakage-safety). One keyed window + one rollup agg. */
   def kFold(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = TextFunctions.md5Hash56(col("doc_id").cast("string"))
-    val d = spread(Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"), col("source"),
-        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
-          + lit(1)).as("n_tok"), h.as("__h"))
-      .withColumn("fold",
-        (row_number().over(Window.partitionBy("source")
-          .orderBy("__h", "doc_id")) - lit(1)) % lit(5))
+    // fold = (per-source prefix-count rank − 1) mod 5, via the
+    // two-phase device (round 14) — no per-stratum single-task window
+    val d = graft.operators.PrefixSum.groupedRank(
+        spread(Tables.load(spark, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+              + lit(1)).as("n_tok"), h.as("__h")),
+        Seq("source"), Seq(col("__h"), col("doc_id")), "__rn")
+      .withColumn("fold", (col("__rn") - lit(1)) % lit(5))
     d.groupBy("source", "fold")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").cast("long").as("n_tokens"),
@@ -3113,27 +3116,27 @@ object CorpusQueries {
     * the three cumulative counts come from one pass — not three scans.
     * The per-source rank window holds one row per doc, never tokens. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = TextFunctions.md5Hash56(col("doc_id").cast("string"))
     val base = Tables.load(spark, dir, "documents")
-    // rank window carries (doc_id, source, hash) ONLY — round 6 pushed
-    // the full text column through the per-source sort exchange, which
-    // was most of the query's exchange bytes; the per-source total
-    // rides the same partitioning as a second window (no new
-    // exchange), and text joins back by doc_id (AQE broadcasts the
-    // rank table when it is small; at cluster SF it is a co-partition
-    // join — either way the text stream is exchanged at most once)
-    val lvlRanks = base
-      .select(col("doc_id").as("__did"), col("source").as("__src"), h.as("__h"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__src").orderBy("__h", "__did")).cast("long"))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__src")))
+    val n = base.groupBy("source").agg(count(lit(1)).as("__n"))
+    // the rank stream carries (doc_id, source, hash) ONLY — round 6
+    // pushed the full text column through the per-source sort exchange,
+    // which was most of the query's exchange bytes; text joins back by
+    // doc_id. Round 14: the rank itself rides the two-phase prefix
+    // COUNT (no per-source single-task window), and the per-source
+    // total — previously a second window on the same key — is the
+    // already-computed per-source agg, broadcast (|sources| rows).
+    val lvlRanks = graft.operators.PrefixSum.groupedRank(
+        base.select(col("doc_id").as("__did"), col("source").as("__src"),
+          h.as("__h")),
+        Seq("__src"), Seq(col("__h"), col("__did")), "__rn")
+      .join(broadcast(n.select(col("source").as("__src"), col("__n"))),
+        Seq("__src"))
       .withColumn("__lvl",
         when(col("__rn") <= expr("(__n + 3) div 4"), lit(1))
           .when(col("__rn") <= expr("(__n + 1) div 2"), lit(2))
           .otherwise(lit(3)))
       .select(col("__did"), col("__lvl"))
-    val n = base.groupBy("source").agg(count(lit(1)).as("__n"))
     val lvl = spread(base).select(col("doc_id"), col("source"), col("text"))
       .join(lvlRanks, col("doc_id") === col("__did"))
     // hoist the token array BEFORE the lambda (q94 discipline): split()
