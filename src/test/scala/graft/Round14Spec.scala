@@ -73,6 +73,16 @@ class Round14Spec extends AnyFunSuite {
     val want = df.withColumn("run", sum("v").over(w))
     assert(got.collect().map(_.toString).sorted.toSeq ==
       want.collect().map(_.toString).sorted.toSeq)
+    // the prefix-COUNT face: groupedRank == row_number over the same
+    // window, and the internal ones column does not leak
+    val gotR = PrefixSum.groupedRank(
+      df, Seq("source", "grp"), Seq(col("doc_id")), "rn")
+    assert(gotR.columns.toSeq == df.columns.toSeq :+ "rn")
+    val wantR = df.withColumn("rn",
+      row_number().over(Window.partitionBy("source", "grp")
+        .orderBy("doc_id")).cast("long"))
+    assert(gotR.collect().map(_.toString).sorted.toSeq ==
+      wantR.collect().map(_.toString).sorted.toSeq)
   }
 
   test("PrefixSum: NULL values count as 0 (the documented contract)") {
