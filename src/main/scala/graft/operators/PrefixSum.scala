@@ -66,6 +66,22 @@ object PrefixSum {
     val vIdx = schema.fieldIndex(valueCol)
     require(schema(vIdx).dataType == LongType,
       s"groupedRunningSum: $valueCol must be LONG, got ${schema(vIdx).dataType}")
+    // group keys ride value equality in the task loop AND as driver map
+    // keys — binary/nested types equal by reference there, which would
+    // silently fork groups; refuse them loudly
+    groupCols.zip(gTypes).foreach { case (c, dt) =>
+      import org.apache.spark.sql.types._
+      val valueEqual = dt match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+             LongType | FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(valueEqual,
+        s"groupedRunningSum: unsupported group key type $dt for '$c' " +
+        "(atomic non-binary keys only)")
+    }
 
     // copied (driver-safe) group key of the current row — UTF8Strings
     // are cloned off the reused UnsafeRow buffer

@@ -85,6 +85,16 @@ class Round14Spec extends AnyFunSuite {
       wantR.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("PrefixSum: binary group keys are refused loudly (reference equality would fork groups)") {
+    import spark.implicits._
+    val df = Seq((Array[Byte](1), 1L, 2L), (Array[Byte](1), 2L, 3L))
+      .toDF("k", "doc_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.groupedRunningSum(df, Seq("k"), Seq(col("doc_id")), "v")
+    }
+    assert(e.getMessage.contains("unsupported group key type"))
+  }
+
   test("PrefixSum: NULL values count as 0 (the documented contract)") {
     import spark.implicits._
     val df = Seq(("a", 1L, Some(5L)), ("a", 2L, None), ("a", 3L, Some(7L)))
