@@ -361,6 +361,13 @@ object Bench {
     // (memoized; paid in warmup) — same q49-eval adjudication, round 12
     val q80Verify = graft.queries.CorpusQueries.q80VerifySecs
       .getOrElse(runDir, -1.0)
+    // ingest-side cost of staging the bucketed dedup index tables
+    // (q75 fingerprint + q107/q120 shingle index, memoized; paid in
+    // warmup) — a real deployment pays this once per index snapshot,
+    // amortized over every batch probed against it (round 15)
+    val dedupIdx = graft.operators.DedupIndex.stageSecs
+      .collect { case (k, v) if k.endsWith(":" + runDir) => v }.sum match {
+        case 0.0 => -1.0; case s => s }
     import scala.jdk.CollectionConverters._
     val gcMs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
@@ -391,6 +398,7 @@ object Bench {
       s""""q120_drain_sec":${math.rint(q120Drain * 100) / 100},""" +
       s""""q49_eval_sec":${math.rint(q49Eval * 100) / 100},""" +
       s""""q80_verify_sec":${math.rint(q80Verify * 100) / 100},""" +
+      s""""dedup_index_sec":${math.rint(dedupIdx * 100) / 100},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb)}"""
     val verbose =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -412,7 +420,7 @@ object Bench {
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":${r2(q00Floor)},""" +
       s""""floor_adjusted_total_sec":${r2(floorAdjTotal)},""" +
       s""""q120_drain_sec":${r2(q120Drain)},"q49_eval_sec":${r2(q49Eval)},""" +
-      s""""q80_verify_sec":${r2(q80Verify)},""" +
+      s""""q80_verify_sec":${r2(q80Verify)},"dedup_index_sec":${r2(dedupIdx)},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb).toLong},""" +
       s""""sf":"$sfName","n_queries":${results.size},"slowest":$slowest}"""
     // tail budget guard: never emit a final line the driver would clip

@@ -250,6 +250,7 @@ object SparkEntry {
     "q225_drop_drift"         -> (StarQueries.q225DropDrift(_, _)),
     "q226_skewed_bigdim"      -> (StarQueries.q226SkewedBigDim(_, _)),
     "q227_csv_drift"          -> (StarQueries.q227CsvDrift(_, _)),
+    "q228_csv_rename_drift"   -> (StarQueries.q228CsvRenameDrift(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

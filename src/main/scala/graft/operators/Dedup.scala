@@ -70,6 +70,25 @@ object Dedup {
       .join(hist, Seq("fingerprint"), "left_anti")
   }
 
+  /** [[incrementalNew]] against a PRE-STAGED bucketed fingerprint table
+    * ([[DedupIndex]] — X57's production ingest face). Two deliberate
+    * differences from the ad-hoc path: the index's rows are trusted
+    * distinct ([[fingerprints]] writes the table, so no re-distinct
+    * scan of 100 TB-of-history fingerprints per batch), and the anti
+    * join is merge-hinted — a broadcast anti would put a
+    * BroadcastExchange over the index side, which at real history
+    * sizes is the one side that must NOT move. With the table bucketed
+    * on `fingerprint` the scan already satisfies the join's
+    * distribution, and the batch side's keep-first aggregate exchange
+    * doubles as its join exchange: the whole probe plans with ZERO
+    * index-side shuffle (Round15Spec asserts it). */
+  def incrementalNewIndexed(batch: DataFrame, idCol: String, textCol: String,
+      fingerprintIndex: DataFrame): DataFrame =
+    keepFirst(batch.withColumn("fingerprint", md5(col(textCol))),
+        keys = Seq("fingerprint"), order = Seq(col(idCol)))
+      .join(fingerprintIndex.select(col("fingerprint")).hint("merge"),
+        Seq("fingerprint"), "left_anti")
+
   /** The fingerprint-table side of [[incrementalNew]]: one `fingerprint`
     * row per distinct accepted content. */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =

@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Sinks
+
+/** Staged, bucketed ingest-dedup indexes — the X57/X91 PRODUCTION face.
+  *
+  * The incremental dedup probes (exact fingerprints, q75; shingle-hash
+  * near-dup, q107/q120) join every arriving batch against the
+  * already-accepted corpus's index table. At 100 TB that index is the
+  * big side and it is touched by EVERY ingest batch, so the
+  * write-once-shuffle-never trade is exactly right: materialize it
+  * bucketed on the probe key (`Sinks.writeBucketed` — hash-distributed
+  * and sorted at write time), and every subsequent ingest join reads it
+  * with `HashPartitioning` already satisfied — the ONLY Exchange in the
+  * probe subtree is the small batch side's (Round15Spec plan-asserts
+  * no Exchange above the index-side scan). Compare the unstaged shape,
+  * which re-exchanges the full index per batch.
+  *
+  * Staging protocol is the repo's fixture convention (q120 drain, q80
+  * probes): built once per (app, sf dir, kind), the build cost exposed
+  * via [[stageSecs]] and emitted by Bench as the separate
+  * `dedup_index_sec` field — ingest-side fixed cost a real deployment
+  * pays once per index snapshot, amortized over every batch probed
+  * against it (BENCHING.md rule 6). Bucket count 32 = the session's
+  * shuffle parallelism; a cluster deployment sizes buckets to
+  * executor-count × a small factor instead.
+  */
+object DedupIndex {
+
+  /** Bucket count for staged index tables (= local shuffle partitions,
+    * so co-partitioned plans line up 1:1 with batch-side exchanges). */
+  val NumBuckets = 32
+
+  // (applicationId, sf dir, kind) -> (table name, build seconds)
+  private val staged =
+    new ConcurrentHashMap[(String, String, String), (String, Double)]()
+
+  /** Wall seconds each staged index took to build, keyed `kind:dir`.
+    * Empty until an indexed dedup query has run in this app. */
+  def stageSecs: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    staged.asScala.map { case ((_, d, k), v) => s"$k:$d" -> v._2 }.toMap
+  }
+
+  private def tag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** Stage (once per app + sf dir) a bucketed index table and return it
+    * as read through the catalog — the scan carries the bucketed
+    * distribution on `bucketCols`. `build` runs only on the staging
+    * pass; repeat calls are a table lookup. */
+  def index(spark: SparkSession, dir: String, kind: String,
+      bucketCols: Seq[String])(build: => DataFrame): DataFrame = {
+    val table = staged.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, kind), _ => {
+        val t0 = System.nanoTime()
+        val name = s"graft_idx_${kind}_${tag(dir)}"
+        Sinks.writeBucketed(build, name, s"target/graft_idx/${kind}_${tag(dir)}",
+          NumBuckets, bucketCols)
+        (name, (System.nanoTime() - t0) / 1e9)
+      })._1
+    spark.table(table)
+  }
+}

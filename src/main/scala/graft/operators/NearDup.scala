@@ -237,12 +237,32 @@ object NearDup {
     * Jaccard, the lowest matching index doc, the match count, and the
     * best (max) Jaccard among matches (null for clean docs). */
   def incrementalDedupVerdicts(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame =
+    incrementalDedupVerdictsIndexed(batch,
+      indexShingles(index, idCol, textCol, n), idCol, textCol, n, threshold)
+
+  /** The (index_id, ni, h) shingle stream of an indexed corpus — the
+    * exact columns [[incrementalDedupVerdictsIndexed]] probes. Write
+    * this bucketed by `h` ([[DedupIndex]]) and every ingest batch joins
+    * it shuffle-free on the index side. */
+  def indexShingles(index: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    hashedShingles(index, idCol, textCol, n)
+      .select(col("doc_id").as("index_id"), col("n_sh").as("ni"), col("h"))
+
+  /** [[incrementalDedupVerdicts]] against a pre-materialized
+    * (index_id, ni, h) shingle table — X91's production face. The
+    * probe join is merge-hinted: broadcast would hang a
+    * BroadcastExchange over the index side (the side that must not
+    * move at 100 TB), while the merge join reads a
+    * [[DedupIndex]]-bucketed table in place and exchanges only the
+    * batch's shingles (Round15Spec plan-asserts no Exchange above the
+    * index-side scan). */
+  def incrementalDedupVerdictsIndexed(batch: DataFrame, indexShingles: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
     val bs = hashedShingles(batch, idCol, textCol, n)
       .select(col("doc_id").as("batch_id"), col("n_sh").as("nb"), col("h"))
-    val is = hashedShingles(index, idCol, textCol, n)
-      .select(col("doc_id").as("index_id"), col("n_sh").as("ni"), col("h"))
-    val verdicts = bs.join(is, Seq("h"))
+    val verdicts = bs.join(indexShingles.hint("merge"), Seq("h"))
       .groupBy("batch_id", "index_id", "nb", "ni")
       .agg(count(lit(1)).as("nc"))
       .withColumn("jaccard",

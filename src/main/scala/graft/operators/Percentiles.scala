@@ -32,7 +32,23 @@ import org.apache.spark.sql.functions._
   *     position p*(n-1) — the exact expression `percentile` / DuckDB
   *     `quantile_cont` evaluate (the algebraically equal
   *     v_lo + (v_hi-v_lo)*frac form differs in the last float bits).
-  */
+  *
+  * DEGENERATE-DOMAIN BOUND (round 15, the whole gridded family —
+  * [[exact]], [[exactGridded]], [[equiDepthGridded]], and the
+  * winsorized/clipped riders): bucketing assumes the VALUE DOMAIN
+  * SPREADS across the grid. If a key's values collapse into one grid
+  * cell (a constant-price feed, a saturated sensor), every bracketing
+  * rank lands in that cell and its per-(key, cell) rank window
+  * processes that key's whole stream in ONE task — O(n_key) worst
+  * case, the documented bound (results stay exact; Round15Spec pins
+  * the constant-value point). The mitigation for a KNOWN-degenerate
+  * low-cardinality domain is not a finer grid (a constant collapses
+  * any value-derived grid) but count-compression: [[exactWeighted]]
+  * reduces the stream to (key, value, count) first, and a constant
+  * column compresses to ONE row per key. Callers with heavy value
+  * ties should route there (X71); the gridded family keeps the
+  * value-spread contract because its riders (winsorize sums, equi-depth
+  * cell stats) need per-row passes the compressed form cannot carry. */
 object Percentiles {
 
   /** One output row per key: `p<NN>` columns for each requested fraction.

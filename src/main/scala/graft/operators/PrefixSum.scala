@@ -45,6 +45,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PrefixSum {
 
+  /** Hard cap on phase-1 partial entries (≤ partitions + distinct
+    * groups − 1, since groups are contiguous runs under the range
+    * sort). Phase 2 materializes O(entries) driver state and broadcasts
+    * it, so a HIGH-CARDINALITY group key (a per-row id, a raw hash)
+    * would melt the driver silently — every legitimate caller keys by a
+    * bounded dimension (source, stratum, level). Past this bound the
+    * operator refuses loudly (checked executor-side per partition
+    * BEFORE the collect, then globally): such a key needs a different
+    * formulation, not a bigger driver. */
+  val MaxDriverEntries: Int = 1 << 20
+
   /** `df` plus `cumName` = running total of `valueCol` (must be LONG)
     * within each `groupCols` key, ordered by `order` inside the group.
     * Row set and all input columns pass through unchanged.
@@ -57,7 +68,11 @@ object PrefixSum {
     * not the corpus. */
   def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
       order: Seq[Column], valueCol: String,
-      cumName: String = "cum"): DataFrame = {
+      cumName: String = "cum",
+      maxEntries: Int = MaxDriverEntries): DataFrame = {
+    require(!df.columns.contains(cumName),
+      s"groupedRunningSum: output column '$cumName' already exists in the " +
+      "input — pick a fresh name (a silent duplicate-name schema helps nobody)")
     val pinned = graft.Caching.tracked(df)
     val sorted = pinned.orderBy((groupCols.map(col) ++ order): _*)
     val schema = sorted.schema
@@ -68,19 +83,22 @@ object PrefixSum {
       s"groupedRunningSum: $valueCol must be LONG, got ${schema(vIdx).dataType}")
     // group keys ride value equality in the task loop AND as driver map
     // keys — binary/nested types equal by reference there, which would
-    // silently fork groups; refuse them loudly
+    // silently fork groups; float/double sort -0.0 and 0.0 as EQUAL
+    // (interleaved runs) while boxed equals forks them, so a key can
+    // recur in non-contiguous runs and phase 2's last-offset-wins map
+    // would silently drop the earlier run's sum; refuse both loudly
     groupCols.zip(gTypes).foreach { case (c, dt) =>
       import org.apache.spark.sql.types._
       val valueEqual = dt match {
         case StringType | BooleanType | ByteType | ShortType | IntegerType |
-             LongType | FloatType | DoubleType | DateType | TimestampType |
-             TimestampNTZType => true
+             LongType | DateType | TimestampType | TimestampNTZType => true
         case _: DecimalType => true
         case _ => false
       }
       require(valueEqual,
         s"groupedRunningSum: unsupported group key type $dt for '$c' " +
-        "(atomic non-binary keys only)")
+        "(atomic non-binary, non-floating group keys only — float keys' " +
+        "±0.0/NaN sort-vs-equals divergence forks runs)")
     }
 
     // copied (driver-safe) group key of the current row — UTF8Strings
@@ -109,6 +127,7 @@ object PrefixSum {
 
     val rdd = sorted.queryExecution.toRdd
     val sc = df.sparkSession.sparkContext
+    val maxE = maxEntries
     // phase 1: per-partition partial sums, one entry per contiguous group run
     val partials: Array[Seq[(List[Any], Long)]] = sc.runJob(rdd,
       (it: Iterator[InternalRow]) => {
@@ -119,6 +138,14 @@ object PrefixSum {
         it.foreach { r =>
           if (!started || !keyMatches(r, cur)) {
             if (started) out += ((cur, sum))
+            // a single partition past the GLOBAL bound proves the key is
+            // high-cardinality — fail here, before the collect ships a
+            // data-sized buffer to the driver
+            if (out.size >= maxE) throw new IllegalStateException(
+              s"groupedRunningSum: > $maxE group runs in one " +
+              s"partition (group key ${groupCols.mkString(",")} is " +
+              "high-cardinality; this operator keys by bounded dimensions " +
+              "only — see PrefixSum.MaxDriverEntries)")
             cur = copyKey(r); sum = 0L; started = true
           }
           sum += valueAt(r)
@@ -126,6 +153,14 @@ object PrefixSum {
         if (started) out += ((cur, sum))
         out.toSeq
       })
+    // group-cardinality guard: phase 2 holds O(entries) driver state and
+    // broadcasts it — refuse loudly rather than melt the driver
+    val nEntries = partials.iterator.map(_.size.toLong).sum
+    require(nEntries <= maxE,
+      s"groupedRunningSum: $nEntries (partition, group) partial entries " +
+      s"exceed maxEntries=$maxE — group key " +
+      s"${groupCols.mkString(",")} is too high-cardinality for the " +
+      "broadcast-offset formulation")
     // phase 2 (driver, O(partitions + groups)): prefix offsets per
     // (partition, group) — the sum of the same group's earlier partials
     val running = scala.collection.mutable.HashMap.empty[List[Any], Long]

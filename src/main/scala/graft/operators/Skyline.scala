@@ -32,10 +32,16 @@ import org.apache.spark.sql.functions._
   * the merge), and while the count exceeds `mergeBound` the operator
   * TREE-MERGES — repartition the survivors `fanIn`-ways narrower and
   * re-run the local frontier, each level a full barrier that can only
-  * shrink the set — until the bound holds or partitions stop shrinking
-  * (a true anti-chain's frontier IS the input; no algorithm feeds it
-  * through less than its own size, but every merge task along the way
-  * stayed bounded by partition width, never O(n) memory in one task). */
+  * shrink the set — until the bound holds, partitions stop shrinking,
+  * or a level fails to shrink the survivor COUNT (the set is a
+  * near-anti-chain; further fan-in cannot help, so the loop breaks
+  * instead of burning barriers). On a true anti-chain the frontier IS
+  * the input: no algorithm feeds it through less than its own size,
+  * and the final single-partition merge then pulls all n survivors
+  * through one task — the tree levels bound every INTERMEDIATE task by
+  * partition width, but that last merge is O(n) in one task in the
+  * worst case (the price of a global frontier; the bound only caps
+  * when it engages). */
 object Skyline {
 
   /** Frontier rows of `df` under (maximize `xCol`, minimize `yCol`),
@@ -89,7 +95,11 @@ object Skyline {
     var cur = graft.Caching.tracked(df.mapPartitions(localFrontier _))
     var n = cur.count()
     var levels = 0
-    while (n > mergeBound && cur.rdd.getNumPartitions > 1) {
+    // stop when a level fails to SHRINK the survivor count: the set is a
+    // near-anti-chain and further fan-in only adds barriers, not bound
+    var lastN = Long.MaxValue
+    while (n > mergeBound && cur.rdd.getNumPartitions > 1 && n < lastN) {
+      lastN = n
       val narrower = math.max(1, cur.rdd.getNumPartitions / math.max(2, fanIn))
       val next = graft.Caching.tracked(
         cur.repartition(narrower).mapPartitions(localFrontier _))

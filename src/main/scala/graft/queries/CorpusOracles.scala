@@ -3929,6 +3929,25 @@ object CorpusOracles {
                   AS cents_sum,
                 sum(o_orderkey)::BIGINT AS key_sum
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // X224 rename leg (round 15): epoch 2 renamed the price column
+    // (total_price) AND widened it integer→double through inference;
+    // the engine folds the rename back via the declared map before
+    // widening. The oracle replays epoch membership + the integral
+    // round-trip from the flat table; n_null_price replays as ZERO
+    // nulls — the unification gate a forked (drop+add) read fails
+    "q228_csv_rename_drift" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+                sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_null_price,
+                sum(CAST(round(
+                      (CASE WHEN o_orderkey % 2 = 0
+                            THEN CAST(CAST(round(o_totalprice) AS BIGINT)
+                                      AS DOUBLE)
+                            ELSE o_totalprice END) * 100) AS BIGINT))::BIGINT
+                  AS cents_sum,
+                sum(o_orderkey)::BIGINT AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 
   // X101: the STREAMING composition of X91 (ingest-time near-dup gate,

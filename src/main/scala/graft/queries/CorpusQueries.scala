@@ -883,17 +883,26 @@ object CorpusQueries {
   /** Incremental batch-vs-history dedup (X57): docs with `doc_id % 5 = 0`
     * play the incoming batch, the rest the accepted corpus; survivors =
     * batch rows whose content is new to both the batch (keep-first) and
-    * the history fingerprint table. */
+    * the history fingerprint table. Round 15: the fingerprint table is
+    * the STAGED bucketed index ([[fingerprintIndex]]) — the probe anti
+    * join exchanges only the batch side. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val batch = d.where(pmod(col("doc_id"), lit(5L)) === 0L)
       .select("doc_id", "text")
-    val history = d.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
-    Dedup.incrementalNew(batch, "doc_id", "text",
-        Dedup.fingerprints(history, "text"))
+    Dedup.incrementalNewIndexed(batch, "doc_id", "text",
+        fingerprintIndex(spark, dir))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
   }
+
+  /** q75's accepted-history fingerprint table, staged bucketed on
+    * `fingerprint` (X57 index face — [[graft.operators.DedupIndex]]). */
+  private def fingerprintIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupIndex.index(spark, dir, "fp", Seq("fingerprint")) {
+      val d = Tables.load(spark, dir, "documents")
+      Dedup.fingerprints(d.where(pmod(col("doc_id"), lit(5L)) =!= 0L), "text")
+    }
 
   /** view→click→purchase funnel (X58): earliest ordered completion times
     * per user, conditional-min aggregates only — no per-key history sort. */
@@ -2093,11 +2102,21 @@ object CorpusQueries {
   def incrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val srcNum = substring(col("source"), 4, 10).cast("int")
-    NearDup.incrementalDedupVerdicts(
-      batch = docs.filter(srcNum >= 10), index = docs.filter(srcNum < 10),
+    NearDup.incrementalDedupVerdictsIndexed(
+      batch = docs.filter(srcNum >= 10), indexShingles = shingleIndex(spark, dir),
       idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5)
       .orderBy("doc_id")
   }
+
+  /** q107/q120's indexed-corpus shingle table (index_id, ni, h), staged
+    * bucketed on `h` (X91 index face — [[graft.operators.DedupIndex]]):
+    * every ingest probe (batch or micro-batch) joins it in place. */
+  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupIndex.index(spark, dir, "sh", Seq("h")) {
+      val docs = Tables.load(spark, dir, "documents")
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      NearDup.indexShingles(docs.filter(srcNum < 10), "doc_id", "text", n = 3)
+    }
 
   /** q107 through the STREAMING face (X101): the new snapshot arrives as
     * a file stream, [[graft.streaming.CorpusStreams.nearDupIngest]]
@@ -2135,7 +2154,6 @@ object CorpusQueries {
       val t0 = System.nanoTime()
       val docs = Tables.load(spark, dir, "documents")
       val srcNum = substring(col("source"), 4, 10).cast("int")
-      val index = docs.filter(srcNum < 10)
       val out = java.nio.file.Files.createTempDirectory("graft-q120-out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-q120-ckpt").toString
       // the file source only monitors DIRECTORIES (its basePath is the
@@ -2149,8 +2167,10 @@ object CorpusQueries {
       val stream = spark.readStream.schema(docs.schema)
         .parquet(in.toString)
         .filter(srcNum >= 10)
-      CorpusStreams.nearDupIngest(stream, index, "doc_id", "text",
-          n = 3, threshold = 0.5) { (verdicts, _) =>
+      // probe the same staged bucketed shingle index as q107: per
+      // micro-batch the index side exchanges zero rows (X101 at scale)
+      CorpusStreams.nearDupIngestIndexed(stream, shingleIndex(spark, dir),
+          "doc_id", "text", n = 3, threshold = 0.5) { (verdicts, _) =>
           verdicts.write.mode("append").parquet(out)
         }
         .option("checkpointLocation", ckpt)
@@ -2810,7 +2830,13 @@ object CorpusQueries {
     * the robust location estimate an outlier-heavy feed needs instead
     * of a raw AVG. Same integer machinery as X146: exact rank cuts
     * over cents-integer count compression, clamp, then an EXACT LONG
-    * cents sum so the mean is one division (reduction-order-free). */
+    * cents sum so the mean is one division (reduction-order-free).
+    * Carries the gridded family's DEGENERATE-DOMAIN BOUND
+    * ([[graft.operators.Percentiles]] scaladoc): a key whose values
+    * collapse into one grid bucket re-ranks that key's whole stream in
+    * one task — exact but O(n_key); a known-degenerate domain belongs
+    * on the X71 count-compressed path instead (Round15Spec pins the
+    * constant-value point). */
   def winsorized(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grid = 4096L

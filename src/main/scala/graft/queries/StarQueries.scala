@@ -1367,4 +1367,30 @@ object StarQueries {
         sum(col("o_orderkey")).as("key_sum"))
       .orderBy("status")
   }
+
+  /** CSV rename-face drift census (X224 rename leg, round 15): epoch 2
+    * RENAMED the price column (`total_price`) while its values widened
+    * integer→double through inference
+    * ([[graft.sources.SchemaDrift.stageOrdersCsvRenameDrift]]); the
+    * declared rename map folds the new name back onto the canonical one
+    * BEFORE widening, so the census reads ONE price column spanning both
+    * epochs. `n_null_price` is the unification gate: a read without the
+    * map forks the price into two half-null columns (rename ≡ drop+add
+    * to the lattice — Round15Spec pins the fork), which would surface
+    * here as non-zero nulls and a halved cents_sum; the oracle replays
+    * zero nulls and the full epoch-aware sum from the flat table. */
+  def q228CsvRenameDrift(spark: SparkSession, dir: String): DataFrame = {
+    val corpus =
+      graft.sources.SchemaDrift.stageOrdersCsvRenameDrift(spark, dir)
+    graft.sources.SchemaDrift.readCsvMerged(spark, corpus,
+        renames = Map("total_price" -> "o_totalprice"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+          .as("n_null_price"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
 }

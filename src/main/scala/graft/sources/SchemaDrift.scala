@@ -368,6 +368,34 @@ object SchemaDrift {
     * construction (like q221's float leg): the oracle replays epoch-1
     * prices as `round(o_totalprice)::BIGINT::DOUBLE`, pinning that the
     * engine surfaces the file's actual written value. */
+  /** Stage the two-epoch CSV RENAME drift corpus (X224's rename face,
+    * round 15, memoized): epoch 1 (even o_orderkey) writes
+    * (o_orderkey, o_orderstatus, o_totalprice) as whole-dollar
+    * integrals (crawler-inferred integer); epoch 2 (odd keys) RENAMES
+    * the price column to `total_price` and writes true decimals — the
+    * producer-rename + inference-widening composition. Read with
+    * `renames = Map("total_price" -> "o_totalprice")`
+    * ([[readCsvMerged]]); without the map the merged read forks the
+    * price into two half-null columns (rename ≡ drop+add to the
+    * lattice — the Round15Spec counterexample). */
+  def stageOrdersCsvRenameDrift(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent((spark.sparkContext.applicationId, dir, "csvren"), { _ =>
+      val out = tempCorpusDir("graft-schema-csvren")
+      val o = graft.Tables.load(spark, dir, "orders")
+      def writeCsv(df: DataFrame, path: String): Unit =
+        df.write.mode("overwrite").option("header", "true")
+          .option("nullValue", "NULL").csv(path)
+      writeCsv(o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice")).cast("long").as("o_totalprice")),
+        s"$out/epoch=1")
+      writeCsv(o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("total_price")),
+        s"$out/epoch=2")
+      out
+    })
+
   def stageOrdersCsvDrift(spark: SparkSession, dir: String): String =
     staged.computeIfAbsent((spark.sparkContext.applicationId, dir, "csv"), { _ =>
       val out = tempCorpusDir("graft-schema-csv")
@@ -394,16 +422,26 @@ object SchemaDrift {
     * crawler run costs), and the same [[widen]] lattice the parquet
     * family uses decides the union type (refusing non-widenable drift
     * loudly). */
-  def csvEpochSchemas(spark: SparkSession, corpusDir: String)
+  def csvEpochSchemas(spark: SparkSession, corpusDir: String,
+      renames: Map[String, String] = Map.empty)
       : (Seq[String], Seq[StructType], StructType) = {
     val path = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs = fs.listStatus(path).filter(_.isDirectory)
       .map(_.getPath.toString).sorted.toSeq
     require(epochs.nonEmpty, s"no epoch directories under $corpusDir")
-    val schemas = epochs.map(e =>
-      Sinks.csvOptions(spark.read).option("inferSchema", "true")
-        .csv(e).schema)
+    // per-epoch inference through the SAME two-token NULL_IF contract
+    // as every other CSV ingest (Sinks.inferCsvNormalized, round 15):
+    // a foreign epoch carrying lowercase 'null' must not degrade an
+    // otherwise-numeric column to STRING here while Sinks.readCsv
+    // reads it as null. `renames` relabels old producer names →
+    // canonical on each epoch's OWN inferred schema before widening
+    // (same contract as the parquet family: a rename is otherwise
+    // indistinguishable from drop+add and the merged read forks the
+    // column, half-null each side — Round15Spec pins the fork)
+    val schemas = epochs.map(e => StructType(
+      Sinks.inferCsvNormalized(spark, e).schema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name)))))
     val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     schemas.foreach(_.fields.foreach { f =>
       order.get(f.name) match {
@@ -427,11 +465,18 @@ object SchemaDrift {
     * as NULL. Scale shape: one inference pass + one scan per epoch,
     * epoch count is a corpus constant; the per-row cost is the same
     * codegen'd cast chain as [[readWidened]]'s fallback path. */
-  def readCsvMerged(spark: SparkSession, corpusDir: String): DataFrame = {
-    val (epochs, schemas, widest) = csvEpochSchemas(spark, corpusDir)
+  def readCsvMerged(spark: SparkSession, corpusDir: String,
+      renames: Map[String, String] = Map.empty): DataFrame = {
+    val (epochs, schemas, widest) = csvEpochSchemas(spark, corpusDir, renames)
     val targets = widest.fields.map(f => f.name -> f.dataType).toMap
     epochs.zip(schemas).map { case (e, s) =>
-      val df = Sinks.csvOptions(spark.read).schema(s).csv(e)
+      // Sinks.readCsv, not a raw csvOptions read: epoch scans honor the
+      // same two-token NULL_IF post-pass as every other CSV ingest.
+      // Declaring the RENAMED per-epoch schema is safe precisely
+      // because it is the epoch's own inferred schema relabeled: the
+      // positional mapping is exact (same file, same column order) —
+      // the foreign-schema position hazard pinned above never arises.
+      val df = Sinks.readCsv(spark, e, s)
       val byName = s.fields.map(f => f.name -> f.dataType).toMap
       df.select(widest.fieldNames.toSeq.map { name =>
         (byName.get(name) match {

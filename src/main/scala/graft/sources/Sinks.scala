@@ -203,17 +203,42 @@ object Sinks {
   def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     normalizeNullTokens(csvOptions(spark.read).schema(schema).csv(dir))
 
+  /** Schema inference over the NORMALIZED cell values (round 15): the
+    * reader takes ONE nullValue token, so inferring directly over a
+    * foreign CSV carrying the reference's second token ('null') would
+    * see it as a string cell and degrade an otherwise-numeric column to
+    * STRING — the reference crawler with NULL_IF=('NULL','null') infers
+    * the numeric type. Parse all-string first, null BOTH tokens, then
+    * re-run inference over the normalized cells via an in-memory
+    * `to_csv` round-trip (headerless, columns re-named after). The
+    * crawler is a once-per-table control-plane op and Spark inference
+    * is a full extra pass over the files anyway, so the round-trip adds
+    * a constant factor, not a new asymptotic. */
+  def inferCsvNormalized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = csvOptions(spark.read).csv(dir) // header only, all-string
+    val csvOpts = { import scala.jdk.CollectionConverters._
+      Map("nullValue" -> "NULL").asJava }
+    val lines = normalizeNullTokens(raw)
+      .select(to_csv(struct(raw.columns.map(col): _*), csvOpts).as("line"))
+      .as[String]
+    spark.read
+      .option("inferSchema", "true").option("nullValue", "NULL")
+      .option("quote", "\"")
+      .csv(lines)
+      .toDF(raw.columns.toSeq: _*)
+  }
+
   /** Glue-Crawler equivalent (S11): infer schema from the header CSVs and
     * register a catalog table over them (reference: README.md:5-7, the 3
     * spotify_{album,artist,songs} crawlers). Explicit DDL stays the
     * production path — inference exists for parity with crawler-built
-    * tables. */
+    * tables. Inference runs over NORMALIZED cells ([[inferCsvNormalized]])
+    * so both reference null tokens read as null BEFORE types are picked. */
   def crawlCsv(spark: SparkSession, dir: String, table: String,
       location: Option[String] = None): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table") // crawler re-run = replace
-    val w = normalizeNullTokens(
-        csvOptions(spark.read).option("inferSchema", "true").csv(dir))
-      .write.mode("overwrite")
+    val w = inferCsvNormalized(spark, dir).write.mode("overwrite")
     location.fold(w)(w.option("path", _)).saveAsTable(table)
   }
 

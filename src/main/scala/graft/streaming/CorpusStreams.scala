@@ -42,12 +42,24 @@ object CorpusStreams {
   def nearDupIngest(docs: DataFrame, index: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.5)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    nearDupIngestIndexed(docs,
+      NearDup.indexShingles(index, idCol, textCol, n),
+      idCol, textCol, n, threshold)(sink)
+
+  /** [[nearDupIngest]] probing a pre-staged (index_id, ni, h) shingle
+    * table ([[graft.operators.DedupIndex]], bucketed by `h`): each
+    * micro-batch joins the index in place — zero index-side shuffle per
+    * batch, the shape a 100 TB ingest gate actually runs. Verdicts are
+    * identical to the ad-hoc path (same probe operator). */
+  def nearDupIngestIndexed(docs: DataFrame, indexShingles: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(NearDup.incrementalDedupVerdicts(
-          batch, index, idCol, textCol, n, threshold), id)
+        sink(NearDup.incrementalDedupVerdictsIndexed(
+          batch, indexShingles, idCol, textCol, n, threshold), id)
       }
 
   /** Per-batch step of [[decayedIngest]]: merge the batch's (key, day)

@@ -2,6 +2,13 @@
 """Local replica of the driver's correctness gate.
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [--json PATH]
+       [--only-present] [--time]
+
+--only-present: skip oracle entries with no spark output dir instead of
+failing them — for comparing a SUBSET Verify dump (Verify's optional
+query-name tail restricts the dump but still writes the full
+oracle_sql.json), e.g. the sf1 hash rung.
+--time: per-query oracle wall seconds in the report (duck_sec).
 
 With --json, also writes a driver-shaped correctness artifact
 ({name: {rows_match, schema_match, hash_match, spark_rows,
@@ -42,14 +49,21 @@ def main():
         report[name] = {"rows_match": rows, "schema_match": schema,
                         "hash_match": values, "spark_rows": sr,
                         "oracle_rows": orr, "err": err}
+    only_present = "--only-present" in sys.argv
+    timing = "--time" in sys.argv
     for name in sorted(oracle):
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
+            if only_present:
+                continue
             print(f"FAIL {name}: no spark output"); n_fail += 1
             record(name, err="no spark output"); continue
         try:
+            import time as _t
             got = norm(pd.concat([pd.read_parquet(f) for f in sorted(spark_files)]))
+            t0 = _t.time()
             want = norm(con.execute(oracle[name]).fetchdf())
+            duck_sec = _t.time() - t0
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1
             record(name, err=str(e)[:300]); continue
@@ -88,9 +102,12 @@ def main():
             record(name, rows=True, schema=True, sr=len(got), orr=len(want),
                    err="; ".join(bad[:4])[:300])
         else:
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)"
+                  + (f" duck={duck_sec:.2f}s" if timing else "")); n_pass += 1
             record(name, rows=True, schema=True, values=True,
                    sr=len(got), orr=len(want))
+            if timing:
+                report[name]["duck_sec"] = round(duck_sec, 3)
     print(f"== {n_pass} pass, {n_fail} fail")
     if json_path:
         json.dump(report, open(json_path, "w"), indent=1)
