@@ -395,6 +395,7 @@ object Bench {
       s""""duckdb_total_sec":$duckTotal,"ratio_throughput":${ratio(wallSec)},""" +
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":$q00Floor,""" +
       s""""floor_adjusted_total_sec":${math.rint(floorAdjTotal * 100) / 100},""" +
+      s""""ratio_sequential_flooradj":${ratio(floorAdjTotal)},""" +
       s""""q120_drain_sec":${math.rint(q120Drain * 100) / 100},""" +
       s""""q49_eval_sec":${math.rint(q49Eval * 100) / 100},""" +
       s""""q80_verify_sec":${math.rint(q80Verify * 100) / 100},""" +
@@ -419,6 +420,7 @@ object Bench {
       s""""duckdb_total_sec":${r2(duckTotal)},"ratio_throughput":${ratio(wallSec)},""" +
       s""""ratio_sequential":${ratio(total)},"q00_floor_sec":${r2(q00Floor)},""" +
       s""""floor_adjusted_total_sec":${r2(floorAdjTotal)},""" +
+      s""""ratio_sequential_flooradj":${ratio(floorAdjTotal)},""" +
       s""""q120_drain_sec":${r2(q120Drain)},"q49_eval_sec":${r2(q49Eval)},""" +
       s""""q80_verify_sec":${r2(q80Verify)},"dedup_index_sec":${r2(dedupIdx)},""" +
       s""""gc_ms":$gcMs,"peak_heap_mb":${math.rint(peakHeapMb).toLong},""" +

@@ -42,7 +42,11 @@ def main():
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files <t>.parquet; Spark-staged
+        # corpora (the sf1 rung) ship DIRECTORIES <t>.parquet/part-*
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     n_pass = n_fail = 0
     def record(name, rows=False, schema=False, values=False,
                sr=None, orr=None, err=None):
