@@ -251,6 +251,7 @@ object SparkEntry {
     "q226_skewed_bigdim"      -> (StarQueries.q226SkewedBigDim(_, _)),
     "q227_csv_drift"          -> (StarQueries.q227CsvDrift(_, _)),
     "q228_csv_rename_drift"   -> (StarQueries.q228CsvRenameDrift(_, _)),
+    "q229_index_maintenance"  -> (CorpusQueries.indexMaintenance(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

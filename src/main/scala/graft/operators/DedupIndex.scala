@@ -50,6 +50,49 @@ object DedupIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
+  // (applicationId, sf dir, kind) -> append done (memoized once per app)
+  private val appendedOnce =
+    new ConcurrentHashMap[(String, String, String), java.lang.Boolean]()
+
+  /** INCREMENTAL index maintenance (X228): append `rows` (same schema
+    * and bucket spec as the staged `kind` table) into the index IN
+    * PLACE — an accepted batch's fingerprints join the table without a
+    * snapshot rebuild. A bucketed append writes `NumBuckets` more
+    * files hash-clustered by the SAME spec, so subsequent probes still
+    * read the table exchange-free; each bucket simply spans more files
+    * (and the scan can no longer assume per-bucket sort order — an SMJ
+    * probe adds a local Sort, never an Exchange; periodic compaction
+    * rewrites the table, the standard LSM trade). `rows` is eagerly
+    * localCheckpointed first so the append's write plan reads executor
+    * blocks rather than the very table it appends to (a production
+    * ingest writes accepted fingerprints from the probe output as a
+    * separate job — same decoupling). Memoized once per (app, dir,
+    * kind): bench min-of-N re-runs must not grow the index. Cost lands
+    * in [[stageSecs]] under `kind.append`. */
+  def appendOnce(spark: SparkSession, dir: String, kind: String,
+      bucketCols: Seq[String])(rows: => DataFrame): Unit = {
+    appendedOnce.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, kind), _ => {
+        val key = (spark.sparkContext.applicationId, dir, kind)
+        val prior = staged.get(key)
+        require(prior != null,
+          s"appendOnce: index '$kind' for $dir is not staged in this app — " +
+          "stage via index() before maintaining it")
+        val t0 = System.nanoTime()
+        val pinned = rows.localCheckpoint(true)
+        pinned.write.mode("append")
+          .bucketBy(NumBuckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .format("parquet")
+          .saveAsTable(prior._1)
+        pinned.unpersist()
+        staged.put((spark.sparkContext.applicationId, dir, s"$kind.append"),
+          (prior._1, (System.nanoTime() - t0) / 1e9))
+        java.lang.Boolean.TRUE
+      })
+    ()
+  }
+
   /** Stage (once per app + sf dir) a bucketed index table and return it
     * as read through the catalog — the scan carries the bucketed
     * distribution on `bucketCols`. `build` runs only on the staging

@@ -947,6 +947,22 @@ object CorpusOracles {
            (SELECT 1 FROM hist WHERE hist.fingerprint = k.fingerprint)
          ORDER BY doc_id""",
 
+    // X228: the maintained index's content is hist ∪ (b1 \ hist) =
+    // hist ∪ b1 — the twin pins that in-place maintenance is invisible
+    // to query semantics (its history set is simply doc_id % 5 >= 1)
+    "q229_index_maintenance" ->
+      """WITH hist2 AS (SELECT DISTINCT md5(text) AS fingerprint
+                        FROM documents WHERE doc_id % 5 >= 1),
+         b2 AS (SELECT doc_id, md5(text) AS fingerprint FROM documents
+                WHERE doc_id % 5 = 0),
+         k AS (SELECT doc_id, fingerprint,
+                 row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+               FROM b2)
+         SELECT doc_id, fingerprint FROM k
+         WHERE rn = 1 AND NOT EXISTS
+           (SELECT 1 FROM hist2 WHERE hist2.fingerprint = k.fingerprint)
+         ORDER BY doc_id""",
+
     // X60: prefix filtering is exact — the oracle is the same all-pairs
     // Jaccard join the banded/LSH operators verify against, at the
     // prefix join's own parameters (4-gram shingles, threshold 0.6)

@@ -904,6 +904,40 @@ object CorpusQueries {
       Dedup.fingerprints(d.where(pmod(col("doc_id"), lit(5L)) =!= 0L), "text")
     }
 
+  /** Two-batch ingest over a MAINTAINED index (X228 — the q75 index
+    * face made incremental): history (doc_id%5 ≥ 2) stages the bucketed
+    * fingerprint index once; batch 1 (doc_id%5 = 1) probes it and its
+    * accepted (novel) fingerprints are APPENDED into the table in place
+    * ([[graft.operators.DedupIndex.appendOnce]] — no snapshot rebuild);
+    * batch 2 (doc_id%5 = 0) then probes the maintained table. Output =
+    * batch-2 survivors, the q75 shape. The batch-2 probe plan is
+    * identical to q75's — zero index-side exchange; appended files
+    * carry the same bucket hashing (Round15Spec asserts the plan, the
+    * append memoization, and value equality with a from-scratch
+    * rebuild over history ∪ batch 1). The oracle twin exploits the
+    * append ALGEBRA: maintained-index content = hist ∪ (b1 \ hist) =
+    * hist ∪ b1, so its history set is simply doc_id%5 ≥ 1 — the
+    * engine path exercises the maintenance machinery, the twin pins
+    * that maintenance is invisible to query semantics. */
+  def indexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    def m = pmod(col("doc_id"), lit(5L))
+    def idx = graft.operators.DedupIndex.index(
+        spark, dir, "fpm", Seq("fingerprint")) {
+      Dedup.fingerprints(d.where(m >= 2L), "text")
+    }
+    val index1 = idx // force the history staging before maintenance
+    graft.operators.DedupIndex.appendOnce(spark, dir, "fpm",
+        Seq("fingerprint")) {
+      Dedup.incrementalNewIndexed(d.where(m === 1L).select("doc_id", "text"),
+        "doc_id", "text", index1).select("fingerprint")
+    }
+    Dedup.incrementalNewIndexed(d.where(m === 0L).select("doc_id", "text"),
+        "doc_id", "text", idx)
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   /** view→click→purchase funnel (X58): earliest ordered completion times
     * per user, conditional-min aggregates only — no per-key history sort. */
   def funnel(spark: SparkSession, dir: String): DataFrame =

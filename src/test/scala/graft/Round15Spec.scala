@@ -255,4 +255,45 @@ class Round15Spec extends AnyFunSuite {
     assert(w.length == 1)
     assert(w(0).getDouble(1) == 42.0 && w(0).getDouble(2) == 42.0)
   }
+
+  // ---- X228 (session 2): incremental index maintenance ----
+
+  test("q229: maintained (appended) index probes exchange-free, values == rebuilt index") {
+    val df = CorpusQueries.indexMaintenance(spark, sf)
+    assertIndexUnshuffled(df, "q229")
+    // equality with a from-scratch rebuild over history ∪ batch 1 —
+    // in-place maintenance must be invisible to query semantics
+    val d = Tables.load(spark, sf, "documents")
+    val m = pmod(col("doc_id"), lit(5L))
+    val rebuilt = Dedup.incrementalNew(
+        d.where(m === 0L).select("doc_id", "text"), "doc_id", "text",
+        Dedup.fingerprints(d.where(m >= 1L), "text"))
+      .select("doc_id", "fingerprint").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == rebuilt)
+  }
+
+  test("appendOnce appended exactly once (no duplicate growth across re-runs)") {
+    // a second maintenance pass must NOT re-append: index row count ==
+    // distinct fingerprints of history ∪ batch 1, exactly
+    CorpusQueries.indexMaintenance(spark, sf).collect()
+    CorpusQueries.indexMaintenance(spark, sf).collect()
+    val idx = DedupIndex.index(spark, sf, "fpm", Seq("fingerprint")) {
+      sys.error("fpm must already be staged") }
+    val d = Tables.load(spark, sf, "documents")
+    val expected = d.where(pmod(col("doc_id"), lit(5L)) >= 1L)
+      .select(md5(col("text"))).distinct().count()
+    assert(idx.count() == expected,
+      "appended index must hold history ∪ batch-1 fingerprints exactly once")
+    assert(DedupIndex.stageSecs.keys.exists(_.startsWith("fpm.append:")),
+      "append cost must surface in stageSecs for the bench artifact")
+  }
+
+  test("appendOnce refuses an unstaged index loudly") {
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.appendOnce(spark, sf, "nostage", Seq("fingerprint")) {
+        spark.range(1).selectExpr("cast(id as string) as fingerprint") }
+    }
+    assert(e.getMessage.contains("not staged"))
+  }
 }
