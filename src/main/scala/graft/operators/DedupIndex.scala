@@ -93,6 +93,65 @@ object DedupIndex {
     ()
   }
 
+  private val generation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** LSM-style COMPACTION — X228's third verb (stage → append* →
+    * compact): rewrite the maintained table (base staging plus every
+    * appended delta) into a fresh snapshot with ONE file per non-empty
+    * bucket, and repoint `kind` at it — subsequent [[index]] lookups
+    * and probes read the compacted table transparently. The pre-write
+    * `repartition(NumBuckets, bucketCols)` aligns with the bucket
+    * hash (both are Murmur3 pmod NumBuckets), so each task holds
+    * exactly its bucket and writes exactly one file; the bucketed
+    * sortBy write also restores the per-bucket sort order the append
+    * path gave up (an SMJ probe after compaction needs no local sort
+    * of the index side). Values are identical by construction — a
+    * compaction that changed a probe result would be a bug, and the
+    * Round15Spec gate re-runs the probe against the compacted
+    * snapshot. The old table is dropped from the catalog. Cost lands
+    * in [[stageSecs]] under `kind.compact`. */
+  def compact(spark: SparkSession, dir: String, kind: String,
+      bucketCols: Seq[String]): DataFrame = {
+    val key = (spark.sparkContext.applicationId, dir, kind)
+    val prior = staged.get(key)
+    require(prior != null,
+      s"compact: index '$kind' for $dir is not staged in this app")
+    val t0 = System.nanoTime()
+    val (oldName, stageCost) = prior
+    val g = generation.incrementAndGet()
+    val newName = s"graft_idx_${kind}_${tag(dir)}_g$g"
+    import org.apache.spark.sql.functions.col
+    // one-file-per-bucket needs write tasks ALIGNED with bucket ids.
+    // Two planner behaviors break the naive `repartition(N, cols)`
+    // (observed: task 0 writing buckets 0..3 → 2 files/bucket): the
+    // auto-bucketed-scan rule reads the old table as a PLAIN packed
+    // scan (no per-bucket partitions) while the repartition is elided
+    // as already-satisfied by the table's declared bucketing, and
+    // AQE's coalescer merges adjacent shuffle partitions inside the
+    // planned-write rewrite. Pin both off for this one write: the
+    // bucketed read yields exactly one partition per bucket, the
+    // repartition then elides or aligns, and each task writes its one
+    // bucket.
+    val pinned = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+    val prev = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try Sinks.writeBucketed(
+      spark.table(oldName).repartition(NumBuckets, bucketCols.map(col): _*),
+      newName, s"target/graft_idx/${kind}_${tag(dir)}_g$g",
+      NumBuckets, bucketCols)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $oldName")
+    staged.put(key, (newName, stageCost))
+    staged.put((spark.sparkContext.applicationId, dir, s"$kind.compact"),
+      (newName, (System.nanoTime() - t0) / 1e9))
+    spark.table(newName)
+  }
+
   /** Stage (once per app + sf dir) a bucketed index table and return it
     * as read through the catalog — the scan carries the bucketed
     * distribution on `bucketCols`. `build` runs only on the staging

@@ -296,4 +296,30 @@ class Round15Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not staged"))
   }
+
+  test("compact: one file per bucket, probe values and exchange-free plan unchanged") {
+    CorpusQueries.indexMaintenance(spark, sf).collect() // staged + appended
+    val before = DedupIndex.index(spark, sf, "fpm", Seq("fingerprint")) {
+      sys.error("fpm must already be staged") }
+    val (nBefore, filesBefore) = (before.count(), before.inputFiles.length)
+    val compacted = DedupIndex.compact(spark, sf, "fpm", Seq("fingerprint"))
+    assert(compacted.count() == nBefore, "compaction must not change content")
+    val filesAfter = compacted.inputFiles.length
+    assert(filesAfter <= DedupIndex.NumBuckets,
+      s"compacted table must hold <= one file per bucket, got $filesAfter")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    // the q229 probe now reads the compacted snapshot transparently:
+    // same values, still zero index-side exchange
+    val df = CorpusQueries.indexMaintenance(spark, sf)
+    assertIndexUnshuffled(df, "q229-compacted")
+    val d = Tables.load(spark, sf, "documents")
+    val m = pmod(col("doc_id"), lit(5L))
+    val rebuilt = Dedup.incrementalNew(
+        d.where(m === 0L).select("doc_id", "text"), "doc_id", "text",
+        Dedup.fingerprints(d.where(m >= 1L), "text"))
+      .select("doc_id", "fingerprint").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == rebuilt)
+  }
 }
