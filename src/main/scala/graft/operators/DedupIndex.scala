@@ -109,7 +109,14 @@ object DedupIndex {
     * compaction that changed a probe result would be a bug, and the
     * Round15Spec gate re-runs the probe against the compacted
     * snapshot. The old table is dropped from the catalog. Cost lands
-    * in [[stageSecs]] under `kind.compact`. */
+    * in [[stageSecs]] under `kind.compact`.
+    *
+    * The repoint is NOT transactional against in-flight readers: a
+    * plan already resolved against the old table fails once it is
+    * dropped. All session callers are sequential (the probe queries
+    * never invoke compact); a concurrent deployment would keep the
+    * old snapshot until its readers drain and drop it then — the
+    * usual snapshot-swap discipline, out of scope here. */
   def compact(spark: SparkSession, dir: String, kind: String,
       bucketCols: Seq[String]): DataFrame = {
     val key = (spark.sparkContext.applicationId, dir, kind)
