@@ -103,9 +103,13 @@ object DedupIndex {
     * `repartition(NumBuckets, bucketCols)` aligns with the bucket
     * hash (both are Murmur3 pmod NumBuckets), so each task holds
     * exactly its bucket and writes exactly one file; the bucketed
-    * sortBy write also restores the per-bucket sort order the append
-    * path gave up (an SMJ probe after compaction needs no local sort
-    * of the index side). Values are identical by construction — a
+    * sortBy write also restores the per-bucket FILE sort the append
+    * path gave up. The planner elides the SMJ probe's index-side Sort
+    * only under `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * (proving one-file-per-bucket needs a planning-time listing, so
+    * Spark stopped declaring scan ordering by default — SPARK-32859);
+    * Round15Spec pins both behaviors. Values are identical by
+    * construction — a
     * compaction that changed a probe result would be a bug, and the
     * Round15Spec gate re-runs the probe against the compacted
     * snapshot. The old table is dropped from the catalog. Cost lands

@@ -297,11 +297,41 @@ class Round15Spec extends AnyFunSuite {
     assert(e.getMessage.contains("not staged"))
   }
 
+  /** Whether a SortExec sits between the innermost probe join and the
+    * bucketed index scan on the INDEX side — present after an append
+    * (multiple files per bucket forfeit the scan's declared ordering),
+    * gone after compaction (one sorted file per bucket restores it). */
+  private def indexSideSorted(df: DataFrame): Boolean = {
+    df.collect()
+    var sorted = false
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          Seq(j.left, j.right)
+            .filter(s => anyNode(s)(isIdxScan) && !anyNode(s) {
+              case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+              case _ => false })
+            .foreach { side =>
+              if (anyNode(side) {
+                case _: org.apache.spark.sql.execution.SortExec => true
+                case _ => false }) sorted = true }
+        case _ => ()
+      }
+      kids(p).foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    sorted
+  }
+
   test("compact: one file per bucket, probe values and exchange-free plan unchanged") {
     CorpusQueries.indexMaintenance(spark, sf).collect() // staged + appended
     val before = DedupIndex.index(spark, sf, "fpm", Seq("fingerprint")) {
       sys.error("fpm must already be staged") }
     val (nBefore, filesBefore) = (before.count(), before.inputFiles.length)
+    // post-append, pre-compact: the SMJ probe must LOCALLY sort the
+    // index side (multiple files per bucket — the documented trade)
+    assert(indexSideSorted(CorpusQueries.indexMaintenance(spark, sf)),
+      "expected an index-side local Sort on the appended (multi-file) table")
     val compacted = DedupIndex.compact(spark, sf, "fpm", Seq("fingerprint"))
     assert(compacted.count() == nBefore, "compaction must not change content")
     val filesAfter = compacted.inputFiles.length
@@ -313,6 +343,21 @@ class Round15Spec extends AnyFunSuite {
     // same values, still zero index-side exchange
     val df = CorpusQueries.indexMaintenance(spark, sf)
     assertIndexUnshuffled(df, "q229-compacted")
+    // the per-bucket FILE sort is restored, but the planner only
+    // trusts it (and elides the SMJ's index-side Sort) under the
+    // listing-based legacy conf — Spark stopped reporting bucketed
+    // scan output ordering by default because proving one-file-per-
+    // bucket requires a planning-time file listing (SPARK-32859).
+    // Pin BOTH behaviors: default keeps the local Sort; with the conf
+    // on, the compacted (single-sorted-file-per-bucket) table elides it
+    assert(indexSideSorted(df),
+      "default planner must still sort (no declared scan ordering)")
+    val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(orderingKey, "true")
+    try assert(!indexSideSorted(CorpusQueries.indexMaintenance(spark, sf)),
+      "with listing-based scan ordering on, the compacted table's " +
+      "per-bucket sort must elide the SMJ index-side Sort")
+    finally spark.conf.unset(orderingKey)
     val d = Tables.load(spark, sf, "documents")
     val m = pmod(col("doc_id"), lit(5L))
     val rebuilt = Dedup.incrementalNew(
