@@ -440,7 +440,7 @@ object SchemaDrift {
     // indistinguishable from drop+add and the merged read forks the
     // column, half-null each side — Round15Spec pins the fork)
     val schemas = epochs.map(e => StructType(
-      Sinks.inferCsvNormalized(spark, e).schema.fields.map(f =>
+      Sinks.inferCsvNormalizedSchema(spark, e).fields.map(f =>
         f.copy(name = renames.getOrElse(f.name, f.name)))))
     val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     schemas.foreach(_.fields.foreach { f =>

@@ -209,25 +209,36 @@ object Sinks {
     * see it as a string cell and degrade an otherwise-numeric column to
     * STRING — the reference crawler with NULL_IF=('NULL','null') infers
     * the numeric type. Parse all-string first, null BOTH tokens, then
-    * re-run inference over the normalized cells via an in-memory
-    * `to_csv` round-trip (headerless, columns re-named after). The
-    * crawler is a once-per-table control-plane op and Spark inference
-    * is a full extra pass over the files anyway, so the round-trip adds
-    * a constant factor, not a new asymptotic. */
-  def inferCsvNormalized(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    * run Spark's own `CSVInferSchema` type-promotion fold directly over
+    * the normalized cells ([[org.apache.spark.sql.graftsql.inferCsvSchema]]).
+    * One univocity parse + one codegen'd normalize projection + the
+    * inference fold — the round-15 build implementation serialized the
+    * normalized rows back to CSV text (`to_csv`) and re-parsed them just
+    * to reach the inference fold, a full extra parse per call removed in
+    * the optimization round (q227 ran it twice per execution). Inference
+    * semantics are Spark's verbatim: the fold sees `null` exactly where
+    * the two-token contract nulls a cell, everything else as the
+    * original token text. */
+  def inferCsvNormalizedSchema(spark: SparkSession, dir: String): StructType = {
     val raw = csvOptions(spark.read).csv(dir) // header only, all-string
-    val csvOpts = { import scala.jdk.CollectionConverters._
-      Map("nullValue" -> "NULL").asJava }
-    val lines = normalizeNullTokens(raw)
-      .select(to_csv(struct(raw.columns.map(col): _*), csvOpts).as("line"))
-      .as[String]
-    spark.read
-      .option("inferSchema", "true").option("nullValue", "NULL")
-      .option("quote", "\"")
-      .csv(lines)
-      .toDF(raw.columns.toSeq: _*)
+    val names = raw.columns
+    val n = names.length
+    val cells = normalizeNullTokens(raw).queryExecution.toRdd
+      .mapPartitions(_.map { ir =>
+        Array.tabulate(n)(i =>
+          if (ir.isNullAt(i)) null else ir.getUTF8String(i).toString)
+      })
+    org.apache.spark.sql.graftsql.inferCsvSchema(spark, cells, names, Map(
+      "inferSchema" -> "true", "nullValue" -> "NULL", "quote" -> "\""))
   }
+
+  /** The normalized-inference read: infer ([[inferCsvNormalizedSchema]]),
+    * then read through the standard two-token contract ([[readCsv]]) —
+    * value-identical to parsing the normalized cells under the inferred
+    * types (a non-string token that fails its typed parse reads as NULL
+    * under PERMISSIVE, which is exactly where the normalize pass nulls). */
+  def inferCsvNormalized(spark: SparkSession, dir: String): DataFrame =
+    readCsv(spark, dir, inferCsvNormalizedSchema(spark, dir))
 
   /** Glue-Crawler equivalent (S11): infer schema from the header CSVs and
     * register a catalog table over them (reference: README.md:5-7, the 3

@@ -57,6 +57,29 @@ package object graftsql {
       .toSet
   }
 
+  /** Run Spark's OWN CSV schema inference (`CSVInferSchema`,
+    * `private[sql]`) directly over already-parsed, already-normalized
+    * cell arrays — the type-promotion fold the DataFrameReader runs
+    * AFTER tokenizing, minus the tokenizer. Callers that hold parsed
+    * cells (e.g. an all-string read whose null tokens were normalized
+    * in-plan) get identical inference semantics without serializing the
+    * rows back to CSV text and paying a second univocity parse — the
+    * round-15 `Sinks.inferCsvNormalized` cost, removed in the
+    * optimization round (guide §2.3: don't re-serialize to re-parse).
+    * `options` takes the same reader option map the equivalent
+    * `spark.read.option(...).csv` inference would see. */
+  def inferCsvSchema(spark: SparkSession,
+      cells: org.apache.spark.rdd.RDD[Array[String]],
+      header: Array[String],
+      options: Map[String, String]): org.apache.spark.sql.types.StructType = {
+    val tz = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.sessionLocalTimeZone
+    val csvOpts = new org.apache.spark.sql.catalyst.csv.CSVOptions(
+      options, columnPruning = false, tz)
+    new org.apache.spark.sql.catalyst.csv.CSVInferSchema(csvOpts)
+      .infer(cells, header)
+  }
+
   /** Install the top-k-per-key rewrite + strategy on a live session (the
     * public `experimental` hooks; rule runs in the user-provided batch,
     * after Spark's own InferWindowGroupLimit — the rewrite strips the
