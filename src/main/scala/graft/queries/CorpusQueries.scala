@@ -2136,6 +2136,16 @@ object CorpusQueries {
   def incrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val srcNum = substring(col("source"), 4, 10).cast("int")
+    // NOT spread: fanning the batch side out before shingling (the
+    // q25/q48/q58 raw-doc-exchange mitigation) was A/B'd here in the
+    // optimization round — both round-robin and doc_id-keyed variants —
+    // and kept OFF: neither variant beat the scan-fused shingling in
+    // any window (best mins 2.3-2.9 s with the extra exchange vs 1.7 s
+    // without; the A/B windows were box-degraded, so the verdict is
+    // "no demonstrated win", not a precise delta). The batch side's
+    // shingle stream feeds a merge-sort by h anyway, so scan-fused
+    // shingling keeps the probe's only exchange the one that matters
+    // (shingles by h).
     NearDup.incrementalDedupVerdictsIndexed(
       batch = docs.filter(srcNum >= 10), indexShingles = shingleIndex(spark, dir),
       idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5)
@@ -3487,22 +3497,33 @@ object CorpusQueries {
     * collect_list bounded by order size; the dimension join broadcasts;
     * no window. */
   def nestExport(spark: SparkSession, dir: String): DataFrame = {
+    // The line triple rides ONE packed long through the exchange and the
+    // collect_list buffer instead of a 3-field struct (guide §2.3:
+    // narrower shuffle types): linenumber<<56 | qty<<48 | cents. The
+    // fields are non-negative and disjoint (TPC-H bounds: l_linenumber
+    // ≤ 7, rounded qty ≤ 50 < 2^8, cents = round(price·100) ≤ ~1.05e7
+    // < 2^48 at every SF — price is bounded by part retailprice × 50,
+    // not by volume), so packed-long order == (linenumber, qty, cents)
+    // struct order and array_sort sorts a primitive array; the doc
+    // string unpacks the same decimal digits the struct printed. Values
+    // and hash are pinned by the unchanged DuckDB oracle at both SFs.
+    val Cm = (1L << 48) - 1 // cents mask
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"),
-        struct(col("l_linenumber"),
-          round(col("l_quantity")).cast("long").as("qty"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"))
-          .as("line"))
+        (shiftleft(col("l_linenumber").cast("long"), 56) +
+          shiftleft(round(col("l_quantity")).cast("long"), 48) +
+          round(col("l_extendedprice") * 100).cast("long")).as("p"))
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val nested = li.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_lines"),
         array_join(
-          transform(array_sort(collect_list(col("line"))),
-            l => concat_ws(":", l.getField("l_linenumber"),
-              l.getField("qty"), l.getField("cents"))),
+          transform(array_sort(collect_list(col("p"))),
+            l => concat_ws(":", shiftright(l, 56),
+              shiftright(l, 48).bitwiseAND(lit(255L)),
+              l.bitwiseAND(lit(Cm)))),
           "|").as("lines_doc"),
-        sum(col("line.cents")).as("total_cents"))
+        sum(col("p").bitwiseAND(lit(Cm))).as("total_cents"))
     o.join(nested, o("o_orderkey") === nested("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("n_lines"),
         col("total_cents"), col("lines_doc"))
