@@ -2139,13 +2139,11 @@ object CorpusQueries {
     // NOT spread: fanning the batch side out before shingling (the
     // q25/q48/q58 raw-doc-exchange mitigation) was A/B'd here in the
     // optimization round — both round-robin and doc_id-keyed variants —
-    // and kept OFF: neither variant beat the scan-fused shingling in
-    // any window (best mins 2.3-2.9 s with the extra exchange vs 1.7 s
-    // without; the A/B windows were box-degraded, so the verdict is
-    // "no demonstrated win", not a precise delta). The batch side's
-    // shingle stream feeds a merge-sort by h anyway, so scan-fused
-    // shingling keeps the probe's only exchange the one that matters
-    // (shingles by h).
+    // and kept OFF: at C2 steady state (25-rep QBench, tail mins) the
+    // extra raw-text exchange LOSES, 1.91-1.95 s vs 1.69-1.73 s
+    // without it. The batch slice is only ~2/12 of the corpus, so the
+    // shingle stream it feeds into the merge-sort by h is small enough
+    // that the exchange costs more than the scan fan-out buys.
     NearDup.incrementalDedupVerdictsIndexed(
       batch = docs.filter(srcNum >= 10), indexShingles = shingleIndex(spark, dir),
       idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5)
