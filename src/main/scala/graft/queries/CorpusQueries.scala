@@ -1525,6 +1525,12 @@ object CorpusQueries {
   def tokenPagerank(spark: SparkSession, dir: String): DataFrame = {
     val base = spread(Tables.load(spark, dir, "documents"))
       .select(TextFunctions.tokens(col("text")).as("w"))
+    // NOT long-remapped (the q145 xxhash64 treatment was A/B'd here and
+    // REJECTED, 25-30-rep steady-state tail mins: 1.70 s original vs
+    // ~2.0 s remapped): unlike HITS — whose doc-token incidence table
+    // re-aggregates by token 7 times — PageRank's per-round tables are
+    // only |V|-sized, so the narrower key buys nothing and the guard
+    // job + vocab distinct + re-attach join are pure overhead.
     val pairs = base.where(size(col("w")) >= 2)
       .select(explode(expr(
         """transform(sequence(0, size(w) - 2),
@@ -2540,12 +2546,35 @@ object CorpusQueries {
     * fixed-point hub↔authority rounds — see
     * [[graft.operators.Hits.bipartiteAuthorities]]. */
   def docTokenHits(spark: SparkSession, dir: String): DataFrame = {
-    val e = spread(Tables.load(spark, dir, "documents"))
-      .select(col("doc_id").as("src"),
-        explode(TextFunctions.tokens(col("text"))).as("dst"))
-      .distinct()
+    // The fixed point iterates over LONG token keys, not strings
+    // (guide §2.3: narrower shuffle/agg keys): every per-round
+    // aggregate and broadcast build hashes the authority key 7+ times,
+    // so the token string is swapped for xxhash64(token) before the
+    // loop and re-attached once at the end by a vocab-sized broadcast
+    // join. Scores are key-independent associative sums, so the remap
+    // is result-neutral IF injective on this vocabulary — which the
+    // guard below enforces loudly (one vocab-sized agg job) instead of
+    // assuming: at ~50k tokens a 64-bit collision is ~1.4e-10, but at
+    // a 1e9-token production vocabulary silent merging would be a real
+    // (if rare) wrong answer, so the check is part of the operator
+    // contract, not an assertion to strip.
+    val pairs = graft.Caching.tracked(
+      spread(Tables.load(spark, dir, "documents"))
+        .select(col("doc_id").as("src"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct())
+    val vocab = graft.Caching.tracked(
+      pairs.select(col("tok"), xxhash64(col("tok")).as("dst")).distinct())
+    val coll = vocab.agg(
+      (count(lit(1)) - countDistinct(col("dst"))).as("c"))
+      .head().getLong(0)
+    require(coll == 0L,
+      s"docTokenHits: xxhash64 collided on $coll token(s) — the long " +
+      "remap is not injective on this vocabulary; widen the key")
+    val e = pairs.select(col("src"), xxhash64(col("tok")).as("dst"))
     Hits.bipartiteAuthorities(e, iters = 4)
-      .select(col("dst").as("token"), col("auth_scaled"))
+      .join(broadcast(vocab), Seq("dst"))
+      .select(col("tok").as("token"), col("auth_scaled"))
       .orderBy(desc("auth_scaled"), col("token"))
   }
 
